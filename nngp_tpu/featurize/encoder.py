@@ -1,0 +1,89 @@
+"""Vectorized feature encoders.
+
+The reference encodes queries one at a time in a Python loop
+(`transform_to_arrays` at `/root/reference/QuerySampler.py:188-197` — flagged
+HOT in SURVEY.md section 3.1). Here a parsed batch is lowered to flat index /
+value arrays once and the feature matrix is built with numpy scatter ops —
+bit-identical output, orders of magnitude less Python dispatch, and the
+result is ready to ship to device HBM as one contiguous fp32/fp64 array.
+
+Layout and conventions are defined by `TableStats` (see stats.py docstring).
+Labels are Y = log2(card), shape (n, 1)
+(`/root/reference/QuerySampler.py:195-197`).
+"""
+
+from typing import List, Sequence
+
+import numpy as np
+
+from nngp_tpu.featurize.stats import CATEGORICAL, NUMERICAL, TableStats
+
+
+class SingleTableEncoder:
+    """Equivalent of GeneralQuerySampler's encoding surface
+    (`/root/reference/QuerySampler.py:188-235`)."""
+
+    def __init__(self, stats: TableStats):
+        self.stats = stats
+        self._default = stats.default_row()
+        # Precompute per-column scale/shift for numerical columns.
+        self._mins = np.array(
+            [c.min if c.kind == NUMERICAL else 0.0 for c in stats.columns]
+        )
+        # Keep the reference's exact op order (v - min) / denom * 1000 for
+        # bit-identical features (`/root/reference/QuerySampler.py:215-219`).
+        self._denoms = np.array(
+            [c.denominator if c.kind == NUMERICAL else 1.0 for c in stats.columns]
+        )
+        self._starts = np.array([a.start for a in stats.addresses])
+
+    @property
+    def feat_dim(self) -> int:
+        return self.stats.feat_dim
+
+    def encode_batch(self, pred_lists: Sequence[List], dtype=np.float64) -> np.ndarray:
+        """(n, feat_dim) feature matrix for a batch of parsed predicate lists."""
+        n = len(pred_lists)
+        x = np.tile(self._default.astype(dtype), (n, 1))
+
+        num_rows, num_cols, num_up, num_lo = [], [], [], []
+        cat_rows, cat_slots, cat_vals = [], [], []
+        chunk = self.stats.chunk_size
+        for row, preds in enumerate(pred_lists):
+            for pred in preds:
+                col_idx = pred[0]
+                if self.stats.columns[col_idx].kind == CATEGORICAL:
+                    start = self._starts[col_idx]
+                    for code in pred[1]:
+                        cat_rows.append(row)
+                        cat_slots.append(start + code // chunk)
+                        cat_vals.append(2.0 ** (chunk - 1 - code % chunk))
+                else:
+                    num_rows.append(row)
+                    num_cols.append(col_idx)
+                    num_up.append(pred[1])
+                    num_lo.append(pred[2])
+
+        if num_rows:
+            rows = np.asarray(num_rows)
+            cols = np.asarray(num_cols)
+            up = (np.asarray(num_up) - self._mins[cols]) / self._denoms[cols] * 1000.0
+            lo = (np.asarray(num_lo) - self._mins[cols]) / self._denoms[cols] * 1000.0
+            starts = self._starts[cols]
+            x[rows, starts] = up
+            x[rows, starts + 1] = lo
+        if cat_rows:
+            # += accumulates bits that land in the same factorized chunk
+            np.add.at(x, (np.asarray(cat_rows), np.asarray(cat_slots)),
+                      np.asarray(cat_vals, dtype=dtype))
+        return x
+
+    def encode_one(self, pred_list: List, dtype=np.float64) -> np.ndarray:
+        return self.encode_batch([pred_list], dtype=dtype)[0]
+
+    def transform_to_arrays(self, all_queries, all_cards, dtype=np.float64):
+        """(X, Y) with Y = log2(card), mirroring
+        `/root/reference/QuerySampler.py:188-197`."""
+        x = self.encode_batch(all_queries, dtype=dtype)
+        y = np.log2(np.asarray(all_cards, dtype=np.float64)).reshape(-1, 1).astype(dtype)
+        return x, y

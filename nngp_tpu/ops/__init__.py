@@ -1,0 +1,30 @@
+from nngp_tpu.ops.dual_activations import (
+    relu_nngp,
+    relu_ntk_mult,
+    relu_diag,
+    erf_nngp,
+    erf_ntk_mult,
+    erf_diag,
+)
+from nngp_tpu.ops.gram import input_gram, input_diag
+from nngp_tpu.ops.linalg import (
+    cholesky_with_ridge,
+    cho_solve,
+    tri_solve_lower,
+    cholesky_append_rows,
+)
+
+__all__ = [
+    "relu_nngp",
+    "relu_ntk_mult",
+    "relu_diag",
+    "erf_nngp",
+    "erf_ntk_mult",
+    "erf_diag",
+    "input_gram",
+    "input_diag",
+    "cholesky_with_ridge",
+    "cho_solve",
+    "tri_solve_lower",
+    "cholesky_append_rows",
+]

@@ -1,0 +1,84 @@
+"""Closed-form dual activations for infinite-width network kernels.
+
+This module is the mathematical heart that replaces neural-tangents in the
+reference (`/root/reference/train.py:161-164` builds
+``stax.serial(Dense(512), Relu(), Dense(1))`` and uses its kernel). For an
+infinite-width network, each nonlinearity maps the pre-activation Gaussian
+covariance through a closed-form "dual" map T (for the NNGP kernel) and its
+derivative-dual Tdot (for the NTK multiplier):
+
+  ReLU  (arccos kernel, Cho & Saul 2009):
+      T(k12; k11, k22)   = sqrt(k11 k22) * (sin t + (pi - t) cos t) / (2 pi)
+      Tdot(k12; k11, k22) = (pi - t) / (2 pi)
+      with  cos t = k12 / sqrt(k11 k22),  t in [0, pi]
+
+  Erf   (arcsin kernel, Williams 1997):
+      T    = (2/pi) * arcsin( 2 k12 / sqrt((1 + 2 k11)(1 + 2 k22)) )
+      Tdot = (4/pi) / sqrt((1 + 2 k11)(1 + 2 k22) - 4 k12^2)
+
+All functions are pure elementwise jnp — they fuse into the surrounding Gram
+computation under XLA and are reused verbatim inside the Pallas kernel
+(`nngp_tpu/ops/gram_pallas.py`). They are dtype-polymorphic: fp32 on TPU,
+fp64 on CPU for oracle tests.
+
+Numerical safety: the cosine is clamped to [-1, 1] before arccos (fp32
+rounding can push |k12| a hair above sqrt(k11 k22) when x1 == x2), and
+diagonal entries use the exact scalar maps below instead of the generic
+formula, which keeps the posterior-variance subtraction well conditioned
+(SURVEY.md section 7 "fp64 -> fp32 parity").
+"""
+
+import jax.numpy as jnp
+
+_INV_2PI = 0.15915494309189535  # 1 / (2 pi)
+_PI = 3.141592653589793
+
+
+def _safe_cos_theta(k12, sqrt_k11_k22):
+    return jnp.clip(k12 / sqrt_k11_k22, -1.0, 1.0)
+
+
+def relu_nngp(k12, k11, k22):
+    """NNGP dual of ReLU: E[relu(u) relu(v)] for (u,v) ~ N(0, [[k11,k12],[k12,k22]])."""
+    sqrt_kk = jnp.sqrt(k11 * k22)
+    cos_t = _safe_cos_theta(k12, sqrt_kk)
+    theta = jnp.arccos(cos_t)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    return sqrt_kk * (sin_t + (_PI - theta) * cos_t) * _INV_2PI
+
+
+def relu_ntk_mult(k12, k11, k22):
+    """Derivative dual of ReLU: E[relu'(u) relu'(v)] = (pi - theta) / (2 pi)."""
+    sqrt_kk = jnp.sqrt(k11 * k22)
+    theta = jnp.arccos(_safe_cos_theta(k12, sqrt_kk))
+    return (_PI - theta) * _INV_2PI
+
+
+def relu_diag(k):
+    """Diagonal of the ReLU dual: T(k; k, k) = k / 2 exactly."""
+    return 0.5 * k
+
+
+def erf_nngp(k12, k11, k22):
+    """NNGP dual of erf: (2/pi) arcsin(2 k12 / sqrt((1+2k11)(1+2k22)))."""
+    denom = jnp.sqrt((1.0 + 2.0 * k11) * (1.0 + 2.0 * k22))
+    ratio = jnp.clip(2.0 * k12 / denom, -1.0, 1.0)
+    return (2.0 / _PI) * jnp.arcsin(ratio)
+
+
+def erf_ntk_mult(k12, k11, k22):
+    """Derivative dual of erf: (4/pi) / sqrt((1+2k11)(1+2k22) - 4 k12^2)."""
+    denom_sq = (1.0 + 2.0 * k11) * (1.0 + 2.0 * k22) - 4.0 * k12 * k12
+    return (4.0 / _PI) / jnp.sqrt(jnp.maximum(denom_sq, 1e-30))
+
+
+def erf_diag(k):
+    """Diagonal of the erf dual: (2/pi) arcsin(2k / (1 + 2k))."""
+    return (2.0 / _PI) * jnp.arcsin(2.0 * k / (1.0 + 2.0 * k))
+
+
+# Registry used by kernel_spec to look up an activation by name.
+DUALS = {
+    "relu": (relu_nngp, relu_ntk_mult, relu_diag),
+    "erf": (erf_nngp, erf_ntk_mult, erf_diag),
+}

@@ -1,0 +1,89 @@
+"""Split / q-error parity tests: the split must reproduce the reference's
+stdlib-random index math exactly (same seed -> same member sets)."""
+
+import random
+
+import numpy as np
+
+from nngp_tpu.eval import (
+    PredictionStatistics,
+    qerror_profile,
+    symmetric_qerror,
+    train_test_val_split,
+)
+from nngp_tpu.eval.calibration import calibration_table
+from nngp_tpu.featurize.parser import QueryInfo
+
+
+def _reference_split(x, y, train_frac=0.6, test_frac=0.2, seed=10):
+    """Literal port of /root/reference/util.py:271-293."""
+    num = x.shape[0]
+    num_train, num_test = int(train_frac * num), int(test_frac * num)
+    indices = list(range(num))
+    random.seed(seed)
+    random.shuffle(indices)
+    x, y = x[indices, :], y[indices, :]
+    return (x[:num_train], y[:num_train],
+            x[num_train:num_train + num_test], y[num_train:num_train + num_test],
+            x[num_train + num_test:], y[num_train + num_test:])
+
+
+def test_split_matches_reference_index_math():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((103, 4))
+    y = rng.standard_normal((103, 1))
+    xt, yt, _, xs, ys, _, xv, yv, _ = train_test_val_split(x, y)
+    rt = _reference_split(x, y)
+    np.testing.assert_array_equal(xt, rt[0])
+    np.testing.assert_array_equal(ys, rt[3])
+    np.testing.assert_array_equal(xv, rt[4])
+
+
+def test_split_is_deterministic():
+    x = np.arange(40).reshape(20, 2).astype(float)
+    y = np.arange(20).reshape(20, 1).astype(float)
+    a = train_test_val_split(x, y)
+    b = train_test_val_split(x, y)
+    np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_qerror_profile_and_symmetric():
+    errors = np.log2([2.0, 0.5, 1.0, 8.0])  # ratios 2, .5, 1, 8
+    prof = qerror_profile(errors)
+    assert prof["min"] == 0.5 and prof["max"] == 8.0
+    assert prof["median"] == 1.5
+    np.testing.assert_allclose(symmetric_qerror(errors), [2.0, 2.0, 1.0, 8.0])
+
+
+def test_partitioned_details_and_merge():
+    stat = PredictionStatistics()
+    infos = [QueryInfo(1, 0, p, False, False) for p in
+             [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7]]
+    errors = np.zeros(len(infos))
+    out = stat.get_prediction_details(errors, infos, "num_predicates", printer=None)
+    # 7 groups > 6 -> pairwise merge -> 4 buckets (1+2, 3+4, 5+6, 7)
+    assert len(out) == 4
+    assert sum(p["count"] for p in out.values()) == len(infos)
+
+
+def test_partition_indices():
+    stat = PredictionStatistics()
+    infos = [QueryInfo(2, 1, 3, True, False), QueryInfo(1, 0, 1, False, False),
+             QueryInfo(2, 1, 5, True, False)]
+    parts = stat.get_partitioned_indices(infos, "num_table")
+    assert parts[(1,)] == [1] and parts[(2,)] == [0, 2]
+
+
+def test_calibration_table_matches_direct_norm_interval():
+    rng = np.random.default_rng(5)
+    mu = rng.standard_normal(200)
+    sd = np.abs(rng.standard_normal(200)) + 0.1
+    y = mu + sd * rng.standard_normal(200)
+    table = calibration_table(y, mu, sd, num_intervals=4)
+    from scipy import stats as sps
+    for level, observed in table.items():
+        if level == 0.0:
+            continue
+        lo, hi = sps.norm.interval(level, loc=mu, scale=sd)
+        want = float(np.mean((y >= lo) & (y <= hi)))
+        assert abs(observed - want) < 1e-12

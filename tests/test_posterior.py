@@ -1,0 +1,129 @@
+"""GP posterior parity vs an independent numpy fp64 oracle implementing the
+documented gradient_descent_mse_ensemble t=infinity formulas (SURVEY.md
+section 7 item 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nngp_tpu.gp import fit_gp
+from nngp_tpu.models.kernel_spec import KernelSpec, reference_kernel, mlp
+
+
+def _np_kernel(spec, x1, x2):
+    """Numpy fp64 re-derivation of the kernel (independent code path)."""
+    d = x1.shape[1]
+    nngp = x1 @ x2.T / d
+    ntk = np.zeros_like(nngp)
+    d1 = np.sum(x1 * x1, axis=1)[:, None] / d
+    d2 = np.sum(x2 * x2, axis=1)[None, :] / d
+    from nngp_tpu.models.kernel_spec import Dense
+    for layer in spec.layers:
+        if isinstance(layer, Dense):
+            w2, b2 = layer.w_std ** 2, layer.b_std ** 2
+            nngp = w2 * nngp + b2
+            ntk = w2 * ntk + nngp
+            d1 = w2 * d1 + b2
+            d2 = w2 * d2 + b2
+        else:
+            sq = np.sqrt(d1 * d2)
+            cos = np.clip(nngp / sq, -1, 1)
+            if layer.name == "relu":
+                theta = np.arccos(cos)
+                tdot = (np.pi - theta) / (2 * np.pi)
+                t = sq * (np.sin(theta) + (np.pi - theta) * cos) / (2 * np.pi)
+                ntk = ntk * tdot
+                nngp = t
+                d1, d2 = d1 / 2, d2 / 2
+            elif layer.name == "erf":
+                den = np.sqrt((1 + 2 * d1) * (1 + 2 * d2))
+                t = (2 / np.pi) * np.arcsin(np.clip(2 * nngp / den, -1, 1))
+                tdot = (4 / np.pi) / np.sqrt((1 + 2 * d1) * (1 + 2 * d2) - 4 * nngp ** 2)
+                ntk = ntk * tdot
+                nngp = t
+                d1 = (2 / np.pi) * np.arcsin(2 * d1 / (1 + 2 * d1))
+                d2 = (2 / np.pi) * np.arcsin(2 * d2 / (1 + 2 * d2))
+    return nngp, ntk
+
+
+def _oracle_predict(spec, x_tr, y_tr, x_te, diag_reg, get):
+    k_tt, th_tt = _np_kernel(spec, x_tr, x_tr)
+    k_st, th_st = _np_kernel(spec, x_te, x_tr)
+    k_ss, _ = _np_kernel(spec, x_te, x_te)
+    n = x_tr.shape[0]
+    if get == "nngp":
+        solve = k_tt
+    else:
+        solve = th_tt
+    reg = diag_reg * np.mean(np.diag(solve))
+    inv = np.linalg.inv(solve + reg * np.eye(n))
+    if get == "nngp":
+        mean = k_st @ inv @ y_tr
+        cov = k_ss - k_st @ inv @ k_st.T
+    else:
+        mean = th_st @ inv @ y_tr
+        cov = (k_ss + th_st @ inv @ k_tt @ inv @ th_st.T
+               - th_st @ inv @ k_st.T - k_st @ inv @ th_st.T)
+    return mean, cov
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+@pytest.mark.parametrize("layers_fn", [reference_kernel,
+                                       lambda: KernelSpec(mlp(2, activation="erf"))])
+def test_posterior_matches_oracle(get, layers_fn):
+    spec = layers_fn()
+    rng = np.random.default_rng(0)
+    x_tr = rng.uniform(0, 1000, size=(40, 10))
+    y_tr = rng.standard_normal((40, 1)) * 5 + 10
+    x_te = rng.uniform(0, 1000, size=(15, 10))
+
+    post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
+                  diag_reg=1e-3, get=get)
+    mean, cov = post.predict(jnp.asarray(x_te), compute_cov=True)
+    mean_o, cov_o = _oracle_predict(spec, x_tr, y_tr, x_te, 1e-3, get)
+    # Oracle uses explicit inverse, we use Cholesky solves; at the [0,1000]
+    # feature scale the Gram condition number makes ~1e-7 relative drift fair.
+    np.testing.assert_allclose(np.asarray(mean), mean_o, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov), cov_o, rtol=1e-6, atol=1e-8)
+
+    # diag path agrees with full-cov diagonal (clamped at 0)
+    mean2, var = post.predict(jnp.asarray(x_te), compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(mean2), mean_o, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(var), np.maximum(np.diag(cov_o), 0), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_posterior_interpolates_training_data():
+    """With a tiny ridge the posterior mean at train points ~= targets and
+    variance ~ 0."""
+    spec = reference_kernel()
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 100, size=(25, 6))
+    y = rng.standard_normal((25, 1))
+    post = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), diag_reg=1e-8)
+    mean, var = post.predict(jnp.asarray(x), compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(mean), y, atol=1e-4)
+    assert np.all(np.asarray(var) < 1e-3 * float(post.spec.diag_fn(jnp.asarray(x)).mean()))
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_extend_equals_full_refit(get):
+    spec = reference_kernel()
+    rng = np.random.default_rng(2)
+    x1, y1 = rng.uniform(0, 10, (30, 5)), rng.standard_normal((30, 1))
+    x2, y2 = rng.uniform(0, 10, (8, 5)), rng.standard_normal((8, 1))
+    x_te = rng.uniform(0, 10, (6, 5))
+
+    post = fit_gp(spec, jnp.asarray(x1), jnp.asarray(y1), get=get)
+    ext = post.extend(jnp.asarray(x2), jnp.asarray(y2))
+
+    m_ext, v_ext = ext.predict(jnp.asarray(x_te), compute_cov="diag")
+    # Full refit with the SAME absolute ridge the incremental path kept.
+    full = fit_gp(spec, jnp.concatenate([jnp.asarray(x1), jnp.asarray(x2)]),
+                  np.vstack([y1, y2]), diag_reg=float(post.reg),
+                  get=get, diag_reg_absolute_scale=True)
+    m_full, v_full = full.predict(jnp.asarray(x_te), compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(m_ext), np.asarray(m_full), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_ext), np.asarray(v_full),
+                               rtol=1e-6, atol=1e-10)
