@@ -1,0 +1,111 @@
+"""Training / evaluation CLI — the `python train.py --kernel_type nngp`
+equivalent (`/root/reference/train.py:251-298`).
+
+    python -m nngp_tpu.cli.train --kernel_type nngp \
+        --query_path workloads/forest_data --relations forest
+
+Pipeline parity with `/root/reference/train.py:224-246`: load workload ->
+seed-10 60/20/20 split -> fit exact GP on the NNGP or NTK kernel -> report
+MSE + partitioned q-error profile. Differences by design: fp32 on TPU
+(fp64 on CPU via --x64), vectorized encoding, device-resident posterior.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nngp_tpu.data.workload import load_single_table_workload
+from nngp_tpu.eval.qerror import PredictionStatistics, qerror_profile, symmetric_qerror
+from nngp_tpu.eval.splits import train_test_val_split
+from nngp_tpu.gp import fit_gp
+from nngp_tpu.models.kernel_spec import KernelSpec, mlp
+from nngp_tpu.utils.timing import Timer
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        "nngp_tpu trainer", formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    p.add_argument("--kernel_type", type=str, default="nngp",
+                   choices=["nngp", "ntk"], help="posterior semantics")
+    p.add_argument("--chunk_size", type=int, default=64,
+                   help="factorized-encoding chunk width")
+    p.add_argument("--relations", type=str, default="forest")
+    p.add_argument("--names", type=str, default="forest")
+    p.add_argument("--query_path", type=str, default="workloads/forest_data")
+    p.add_argument("--data_path", type=str, default=None,
+                   help="raw CSV dir (optional; stats fall back to query scan)")
+    p.add_argument("--diag_reg", type=float, default=1e-3)
+    p.add_argument("--depth", type=int, default=1, help="hidden layers")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--activation", type=str, default="relu", choices=["relu", "erf"])
+    p.add_argument("--w_std", type=float, default=1.0)
+    p.add_argument("--b_std", type=float, default=0.0)
+    p.add_argument("--x64", action="store_true", help="fp64 (CPU only)")
+    p.add_argument("--train_frac", type=float, default=0.6)
+    p.add_argument("--test_frac", type=float, default=0.2)
+    p.add_argument("--max_num_train", type=int, default=None)
+    p.add_argument("--seed", type=int, default=10)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = np.float64 if args.x64 else np.float32
+
+    x, y, infos, _ = load_single_table_workload(
+        args.query_path, relation=args.relations.split(",")[0],
+        name=args.names.split(",")[0], data_path=args.data_path,
+        chunk_size=args.chunk_size, dtype=dtype,
+    )
+    print(f"number of query: {x.shape[0]}  feature dim: {x.shape[1]}")
+
+    (x_tr, y_tr, infos_tr, x_te, y_te, infos_te, *_rest) = train_test_val_split(
+        x, y, train_frac=args.train_frac, test_frac=args.test_frac,
+        seed=args.seed, all_query_infos=infos, max_num_train=args.max_num_train,
+    )
+    print(f"train {x_tr.shape}  test {x_te.shape}")
+
+    spec = KernelSpec(mlp(args.depth, args.width, args.activation,
+                          args.w_std, args.b_std))
+    timer = Timer()
+    with timer.measure("kernel construction (fit: Gram + Cholesky, cold)") as h:
+        post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
+                      diag_reg=args.diag_reg, get=args.kernel_type)
+        h["out"] = post.l
+    with timer.measure("fit (warm)") as h:
+        post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
+                      diag_reg=args.diag_reg, get=args.kernel_type)
+        h["out"] = post.l
+
+    with timer.measure("inference (cold, incl. compile)") as h:
+        mean, std = post.predict_mean_std(jnp.asarray(x_te))
+        h["out"] = (mean, std)
+    with timer.measure("inference (warm)") as h:
+        mean, std = post.predict_mean_std(jnp.asarray(x_te))
+        h["out"] = (mean, std)
+    timer.report()
+
+    mean = np.asarray(mean).ravel()
+    y_true = np.asarray(y_te).ravel()
+    mse = float(np.sum((mean - y_true) ** 2))
+    print(f"Mean Square Error: {mse}")
+
+    errors = mean - y_true
+    stat = PredictionStatistics()
+    stat.get_prediction_details(errors, infos_te, partition_keys="num_table")
+    q = symmetric_qerror(errors)
+    print(f"symmetric q-error: median={np.median(q):.4f} "
+          f"p95={np.quantile(q, 0.95):.4f} p99={np.quantile(q, 0.99):.4f} "
+          f"max={np.max(q):.4f}")
+    return qerror_profile(errors)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

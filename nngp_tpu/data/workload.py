@@ -1,0 +1,69 @@
+"""Workload assembly: query files + stats -> (X, Y, query_infos).
+
+Equivalent of `datasets.load_training_data`
+(`/root/reference/datasets.py:301-346`) for the single-table path, with one
+TPU-relevant improvement: when the raw CSV is unavailable (the reference repo
+never ships it — `readme.md:37` tells users to download Covertype), column
+stats are estimated from the query files themselves so the committed
+`workloads/forest_data` fixtures are runnable out of the box.
+"""
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from nngp_tpu.data.loaders import load_table
+from nngp_tpu.featurize.encoder import SingleTableEncoder
+from nngp_tpu.featurize.parser import load_single_table_queries
+from nngp_tpu.featurize.stats import TableStats
+
+
+def single_table_stats(relation: str, name: str, query_path: str,
+                       data_path: Optional[str] = None,
+                       chunk_size: int = 64,
+                       nrows: Optional[int] = None) -> TableStats:
+    csv_ok = False
+    if data_path:
+        try:
+            df, col_types = load_table(relation, data_path, nrows=nrows)
+            csv_ok = True
+        except (FileNotFoundError, ValueError):
+            csv_ok = False
+    if csv_ok:
+        return TableStats.from_dataframe(df, col_types, name, chunk_size=chunk_size)
+    # Stats JSON artifact next to the queries?
+    stats_json = os.path.join(query_path, os.pardir, f"{name}_stats.json")
+    if os.path.exists(stats_json):
+        return TableStats.load(stats_json)
+    # Fall back to scanning the query files (numerical-only workloads).
+    col_names = _discover_columns(query_path)
+    return TableStats.from_query_files(query_path, col_names, name,
+                                       chunk_size=chunk_size)
+
+
+def _discover_columns(query_path: str):
+    names = set()
+    for fname in sorted(os.listdir(query_path)):
+        with open(os.path.join(query_path, fname)) as f:
+            for line in f:
+                body = line.strip().split("@")[0]
+                if not body:
+                    continue
+                for pred in body.split("#"):
+                    names.add(pred.split(",")[0].strip())
+    return sorted(names)
+
+
+def load_single_table_workload(query_path: str, stats: Optional[TableStats] = None,
+                               relation: str = "forest", name: str = "forest",
+                               data_path: Optional[str] = None,
+                               chunk_size: int = 64, dtype=np.float64):
+    """Returns (X, Y, query_infos, encoder)."""
+    if stats is None:
+        stats = single_table_stats(relation, name, query_path, data_path,
+                                   chunk_size=chunk_size)
+    queries, cards, infos = load_single_table_queries(query_path, stats)
+    encoder = SingleTableEncoder(stats)
+    x, y = encoder.transform_to_arrays(queries, cards, dtype=dtype)
+    return x, y, infos, encoder

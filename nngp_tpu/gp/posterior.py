@@ -148,6 +148,23 @@ class GPPosterior:
         )
 
 
+@partial(jax.jit, static_argnames=("spec", "get", "diag_reg", "absolute"))
+def _fit_impl(x, y, spec, get, diag_reg, absolute):
+    """Top-level cached jit — one compilation per (spec, get, shapes), so
+    repeated fits (active-learning refits, serving restarts) don't retrace."""
+    if get == "nngp":
+        k_tt = spec.kernel_fn(x, x, "nngp")
+        solve_k = k_tt
+        keep_nngp = None
+    else:
+        k_tt, theta_tt = spec.kernel_fn(x, x, ("nngp", "ntk"))
+        solve_k = theta_tt
+        keep_nngp = k_tt
+    l, reg = cholesky_with_ridge(solve_k, diag_reg, absolute)
+    alpha = jax.scipy.linalg.cho_solve((l, True), y)
+    return l, alpha, reg, keep_nngp
+
+
 def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
            get: str = "nngp", diag_reg_absolute_scale: bool = False) -> GPPosterior:
     """Factorize the train Gram and return a ready posterior.
@@ -159,25 +176,13 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     if get not in ("nngp", "ntk"):
         raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
 
-    @partial(jax.jit, static_argnames=())
-    def _fit(x, y):
-        if get == "nngp":
-            k_tt = spec.kernel_fn(x, x, "nngp")
-            solve_k = k_tt
-            keep_nngp = None
-        else:
-            k_tt, theta_tt = spec.kernel_fn(x, x, ("nngp", "ntk"))
-            solve_k = theta_tt
-            keep_nngp = k_tt
-        l, reg = cholesky_with_ridge(solve_k, diag_reg, diag_reg_absolute_scale)
-        alpha = jax.scipy.linalg.cho_solve((l, True), y)
-        return l, alpha, reg, keep_nngp
-
     y_train = jnp.asarray(y_train)
     if y_train.ndim == 1:
         y_train = y_train[:, None]
     x_train = jnp.asarray(x_train)
-    l, alpha, reg, k_tt_nngp = _fit(x_train, y_train)
+    l, alpha, reg, k_tt_nngp = _fit_impl(
+        x_train, y_train, spec, get, float(diag_reg), bool(diag_reg_absolute_scale)
+    )
     return GPPosterior(
         x_train=x_train,
         y_train=y_train,

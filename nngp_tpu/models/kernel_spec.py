@@ -121,11 +121,21 @@ def apply_diag_recursion(d, layers: Sequence[Layer]):
 
 
 class KernelSpec:
-    """kernel_fn over a serial layer stack. get in {'nngp','ntk'} or a tuple."""
+    """kernel_fn over a serial layer stack. get in {'nngp','ntk'} or a tuple.
+
+    Hash/eq are structural (by layer tuple) so jit caches persist across
+    KernelSpec instances with the same architecture.
+    """
 
     def __init__(self, layers: Sequence[Layer]):
         _validate(layers)
         self.layers = tuple(layers)
+
+    def __hash__(self):
+        return hash(self.layers)
+
+    def __eq__(self, other):
+        return isinstance(other, KernelSpec) and self.layers == other.layers
 
     def __call__(self, x1, x2=None, get="nngp"):
         return self.kernel_fn(x1, x2, get)

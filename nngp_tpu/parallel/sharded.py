@@ -1,0 +1,99 @@
+"""Mesh-sharded Gram assembly and GP fit/predict.
+
+Sharding layout (the TPU-native replacement for `nt.batch`'s host-blocked
+Gram, `/root/reference/train.py:166-168`):
+
+  X_train  (n, d)   row-sharded over the `data` axis — d is tiny (tens), so
+                    an all-gather of X costs ~n*d*4 bytes over ICI, nothing.
+  K        (n, n)   row-block sharded: each device computes its
+                    (n/p, n) block = matmul on the MXU + fused recursion.
+                    The O(n^2) object never needs to be replicated.
+  Cholesky          XLA's SPMD partitioner handles K + rI -> L (it gathers
+                    for the factorization itself today; a Pallas distributed
+                    right-looking factorization is the planned upgrade).
+  predict           test rows sharded over `data` — embarrassingly parallel
+                    batched serving; L and X_train replicated.
+
+Everything is expressed with `shard_map` (Gram) and jit + NamedSharding
+(fit/predict) so XLA inserts the collectives and overlaps them with compute.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from nngp_tpu.models.kernel_spec import KernelSpec, apply_recursion
+from nngp_tpu.ops.gram import input_diag, input_gram
+from nngp_tpu.ops.linalg import cholesky_with_ridge
+
+
+def sharded_gram(spec: KernelSpec, x, mesh: Mesh, get="nngp",
+                 axis_name: str = "data"):
+    """Row-block-sharded symmetric Gram: returns K with rows sharded over
+    `axis_name`. Each device computes K[rows_i, :] from its local X block
+    against the all-gathered X."""
+
+    def block(x_local):
+        x_full = jax.lax.all_gather(x_local, axis_name, axis=0, tiled=True)
+        k0 = input_gram(x_local, x_full)
+        d1 = input_diag(x_local)[:, None]
+        d2 = input_diag(x_full)[None, :]
+        nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1, d2, spec.layers)
+        return KernelSpec._select(nngp, ntk, get)
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(axis_name, None),
+    )
+    return fn(x)
+
+
+def sharded_fit(spec: KernelSpec, x, y, mesh: Mesh, diag_reg: float = 1e-3,
+                get: str = "nngp", axis_name: str = "data"):
+    """Full training step over the mesh: sharded Gram -> Cholesky -> alpha.
+    Returns (l, alpha, reg) (+ k_tt for get='ntk'). jit-compatible: call under
+    jit for one fused program."""
+    solve_get = get if get in ("nngp", "ntk") else "nngp"
+    if get == "ntk":
+        k_tt = sharded_gram(spec, x, mesh, "nngp", axis_name)
+        theta = sharded_gram(spec, x, mesh, "ntk", axis_name)
+        solve_k = theta
+    else:
+        k_tt = sharded_gram(spec, x, mesh, "nngp", axis_name)
+        solve_k = k_tt
+    l, reg = cholesky_with_ridge(solve_k, diag_reg)
+    alpha = jax.scipy.linalg.cho_solve((l, True), y)
+    if get == "ntk":
+        return l, alpha, reg, k_tt
+    return l, alpha, reg
+
+
+def sharded_predict_mean_std(spec: KernelSpec, x_test, x_train, l, alpha,
+                             mesh: Mesh, axis_name: str = "data"):
+    """Batched posterior (mean, std) with test rows sharded over the mesh —
+    the serving fan-out. NNGP semantics."""
+
+    def block(x_te_local, x_tr, l_rep, alpha_rep):
+        k0 = input_gram(x_te_local, x_tr)
+        d1 = input_diag(x_te_local)[:, None]
+        d2 = input_diag(x_tr)[None, :]
+        cross, _ = apply_recursion(k0, jnp.zeros_like(k0), d1, d2, spec.layers)
+        mean = cross @ alpha_rep
+        v = jax.lax.linalg.triangular_solve(
+            l_rep, cross.T, left_side=True, lower=True
+        )
+        from nngp_tpu.models.kernel_spec import apply_diag_recursion
+        diag_ss, _ = apply_diag_recursion(input_diag(x_te_local), spec.layers)
+        var = jnp.maximum(diag_ss - jnp.sum(v * v, axis=0), 0.0)
+        return mean, jnp.sqrt(var)
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(axis_name, None), P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(axis_name, None), P(axis_name)),
+    )
+    return fn(x_test, x_train, l, alpha)
