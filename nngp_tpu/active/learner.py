@@ -1,0 +1,115 @@
+"""Posterior-variance active learning.
+
+Parity surface of `/root/reference/active/ActiveLearner.py:14-77`: each round
+predicts the unlabeled pool, normalizes std by max(mean) (coefficient of
+variation, `:47`), selects `budget` points either by biased sampling with
+probability proportional to normalized std (`jax.random.choice(p=std_prob)`,
+`:52-53`) or by top-k std (`:54`), merges them into the train set and refits.
+
+TPU-native differences:
+  - selection math is jitted on device (no host round-trip of the pool);
+  - the refit uses `GPPosterior.extend` — an O(n^2 k) block-Cholesky append —
+    instead of the reference's full O(n^3) refit per round (SURVEY.md
+    section 3.2 "nothing incremental"). `refit='full'` restores the exact
+    reference behavior (fresh relative ridge each round).
+"""
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nngp_tpu.eval.qerror import PredictionStatistics
+from nngp_tpu.gp import GPPosterior, fit_gp
+from nngp_tpu.models.kernel_spec import KernelSpec
+
+
+class ActiveLearner:
+    def __init__(self, spec: KernelSpec, budget: int = 1000,
+                 active_iters: int = 3, kernel_type: str = "nngp",
+                 biased_sample: bool = True, diag_reg: float = 1e-3,
+                 refit: str = "incremental", seed: int = 10):
+        if refit not in ("incremental", "full"):
+            raise ValueError("refit must be 'incremental' or 'full'")
+        self.spec = spec
+        self.budget = budget
+        self.active_iters = active_iters
+        self.kernel_type = kernel_type
+        self.biased_sample = biased_sample
+        self.diag_reg = diag_reg
+        self.refit = refit
+        self.key = jax.random.PRNGKey(seed)
+        self.pred_stat = PredictionStatistics()
+
+    def train(self, x_train, y_train) -> GPPosterior:
+        return fit_gp(self.spec, x_train, y_train, diag_reg=self.diag_reg,
+                      get=self.kernel_type)
+
+    def test(self, post: GPPosterior, x_val, y_val, query_infos_val=None,
+             printer=print):
+        mean, _ = post.predict_mean_std(x_val)
+        errors = np.asarray(mean).ravel() - np.asarray(y_val).ravel()
+        mse = float(np.mean(errors ** 2))
+        if printer:
+            printer(f"Test MSE Loss:{mse}")
+        self.pred_stat.get_prediction_details(
+            errors, query_infos_val, partition_keys="num_predicates",
+            printer=printer)
+        return mse
+
+    def select(self, post: GPPosterior, x_pool):
+        """Acquisition indices into the pool (device-side)."""
+        mean, std = post.predict_mean_std(x_pool)
+        # coefficient-of-variation normalization (`ActiveLearner.py:47`)
+        std = std / jnp.max(mean)
+        num_pool = x_pool.shape[0]
+        num_select = min(self.budget, num_pool)
+        if self.biased_sample:
+            std_prob = std / jnp.sum(std)
+            self.key, sub = jax.random.split(self.key)
+            indices = jax.random.choice(sub, num_pool, shape=(num_select,),
+                                        replace=False, p=std_prob)
+        else:
+            indices = jnp.argsort(std)[-num_select:]
+        return indices
+
+    @staticmethod
+    def merge_data(select_indices, x_train, y_train, x_pool, y_pool):
+        sel = np.asarray(select_indices)
+        x_delta, y_delta = x_pool[sel], y_pool[sel]
+        keep = np.setdiff1d(np.arange(x_pool.shape[0]), sel)
+        return (jnp.concatenate([x_train, x_delta]),
+                jnp.concatenate([y_train, y_delta]),
+                x_pool[keep], y_pool[keep], x_delta, y_delta)
+
+    def active_train(self, x_train, y_train, x_pool, y_pool, x_val, y_val,
+                     query_infos_val=None, printer=print):
+        x_train, y_train = jnp.asarray(x_train), jnp.asarray(y_train)
+        x_pool, y_pool = jnp.asarray(x_pool), jnp.asarray(y_pool)
+        x_val, y_val = jnp.asarray(x_val), jnp.asarray(y_val)
+        if printer:
+            printer(f"# Initial Training samples: {x_train.shape[0]}")
+        post = self.train(x_train, y_train)
+        self.test(post, x_val, y_val, query_infos_val, printer)
+        history = []
+        for i in range(self.active_iters):
+            if x_pool.shape[0] == 0:
+                break
+            select = self.select(post, x_pool)
+            if printer:
+                printer(f"Active Iteration {i}: Selection {select.shape[0]}")
+            (x_train, y_train, x_pool, y_pool,
+             x_delta, y_delta) = self.merge_data(select, x_train, y_train,
+                                                 x_pool, y_pool)
+            if printer:
+                printer(f"# Training samples: {x_train.shape[0]}")
+            if self.refit == "incremental":
+                post = post.extend(x_delta, y_delta)
+            else:
+                post = self.train(x_train, y_train)
+            mse = self.test(post, x_val, y_val, query_infos_val, printer)
+            history.append({"iter": i, "num_train": int(x_train.shape[0]),
+                            "val_mse": mse})
+        return post, history

@@ -30,6 +30,8 @@ formula, which keeps the posterior-variance subtraction well conditioned
 
 import jax.numpy as jnp
 
+from nngp_tpu.ops.math import acos as _arccos, asin as _arcsin
+
 _INV_2PI = 0.15915494309189535  # 1 / (2 pi)
 _PI = 3.141592653589793
 
@@ -42,7 +44,7 @@ def relu_nngp(k12, k11, k22):
     """NNGP dual of ReLU: E[relu(u) relu(v)] for (u,v) ~ N(0, [[k11,k12],[k12,k22]])."""
     sqrt_kk = jnp.sqrt(k11 * k22)
     cos_t = _safe_cos_theta(k12, sqrt_kk)
-    theta = jnp.arccos(cos_t)
+    theta = _arccos(cos_t)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     return sqrt_kk * (sin_t + (_PI - theta) * cos_t) * _INV_2PI
 
@@ -50,7 +52,7 @@ def relu_nngp(k12, k11, k22):
 def relu_ntk_mult(k12, k11, k22):
     """Derivative dual of ReLU: E[relu'(u) relu'(v)] = (pi - theta) / (2 pi)."""
     sqrt_kk = jnp.sqrt(k11 * k22)
-    theta = jnp.arccos(_safe_cos_theta(k12, sqrt_kk))
+    theta = _arccos(_safe_cos_theta(k12, sqrt_kk))
     return (_PI - theta) * _INV_2PI
 
 
@@ -63,7 +65,7 @@ def erf_nngp(k12, k11, k22):
     """NNGP dual of erf: (2/pi) arcsin(2 k12 / sqrt((1+2k11)(1+2k22)))."""
     denom = jnp.sqrt((1.0 + 2.0 * k11) * (1.0 + 2.0 * k22))
     ratio = jnp.clip(2.0 * k12 / denom, -1.0, 1.0)
-    return (2.0 / _PI) * jnp.arcsin(ratio)
+    return (2.0 / _PI) * _arcsin(ratio)
 
 
 def erf_ntk_mult(k12, k11, k22):
@@ -74,7 +76,7 @@ def erf_ntk_mult(k12, k11, k22):
 
 def erf_diag(k):
     """Diagonal of the erf dual: (2/pi) arcsin(2k / (1 + 2k))."""
-    return (2.0 / _PI) * jnp.arcsin(2.0 * k / (1.0 + 2.0 * k))
+    return (2.0 / _PI) * _arcsin(2.0 * k / (1.0 + 2.0 * k))
 
 
 # Registry used by kernel_spec to look up an activation by name.

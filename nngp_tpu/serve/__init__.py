@@ -1,0 +1,4 @@
+from nngp_tpu.serve.estimator import Estimator
+from nngp_tpu.serve.feedback import merge_query_res
+
+__all__ = ["Estimator", "merge_query_res"]

@@ -1,0 +1,127 @@
+"""Active-learning loop + serving Estimator tests (synthetic schema, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nngp_tpu.active import ActiveLearner
+from nngp_tpu.featurize.join import MultiJoinEncoder
+from nngp_tpu.featurize.stats import ColumnStats, TableStats
+from nngp_tpu.models.kernel_spec import reference_kernel
+from nngp_tpu.serve.estimator import Estimator
+from nngp_tpu.serve.feedback import merge_query_res, PredInfo
+
+
+def _toy_data(n=120, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1000, (n, d)).astype(np.float64)
+    y = (np.log2(1 + np.abs(x[:, :1] - x[:, 1:2]) / 10)
+         + 0.05 * rng.standard_normal((n, 1)))
+    return x, y
+
+
+@pytest.mark.parametrize("refit", ["incremental", "full"])
+@pytest.mark.parametrize("biased", [True, False])
+def test_active_learning_improves_val_mse(refit, biased):
+    x, y = _toy_data(300)
+    learner = ActiveLearner(reference_kernel(), budget=40, active_iters=3,
+                            biased_sample=biased, refit=refit)
+    post, history = learner.active_train(
+        x[:30], y[:30], x[30:240], y[30:240], x[240:], y[240:], printer=None)
+    assert len(history) == 3
+    assert post.num_train == 30 + 3 * 40
+    mse0 = learner.test(post, jnp.asarray(x[240:]), jnp.asarray(y[240:]),
+                        printer=None)
+    base = learner.train(jnp.asarray(x[:30]), jnp.asarray(y[:30]))
+    mse_base = learner.test(base, jnp.asarray(x[240:]), jnp.asarray(y[240:]),
+                            printer=None)
+    assert mse0 < mse_base  # more (selected) data must help on this toy task
+
+
+def test_active_incremental_tracks_full_refit():
+    """Incremental extend and full refit should give very close val MSE."""
+    x, y = _toy_data(240, seed=1)
+    common = dict(budget=30, active_iters=2, biased_sample=False)
+    li = ActiveLearner(reference_kernel(), refit="incremental", **common)
+    pi, hi = li.active_train(x[:30], y[:30], x[30:200], y[30:200],
+                             x[200:], y[200:], printer=None)
+    lf = ActiveLearner(reference_kernel(), refit="full", **common)
+    pf, hf = lf.active_train(x[:30], y[:30], x[30:200], y[30:200],
+                             x[200:], y[200:], printer=None)
+    # same top-k selections -> same train sets; ridge differs slightly
+    # (frozen vs re-derived relative reg), so allow a loose match.
+    assert hi[-1]["num_train"] == hf[-1]["num_train"]
+    assert abs(hi[-1]["val_mse"] - hf[-1]["val_mse"]) < 0.1 * (hf[-1]["val_mse"] + 1e-6)
+
+
+# ---------------------------------------------------------------- serving
+def _toy_schema_files(tmp_path):
+    """Synthetic 2-table schema + query files in the multi-join grammar."""
+    ta = TableStats("ta", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("x", "numerical", -10, 10),
+    ), chunk_size=8)
+    tb = TableStats("tb", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("y", "numerical", 0, 1),
+    ), chunk_size=8)
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(60):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        card = max(1, int(1000 * (xu - xl)))
+        lines.append(f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id@{card}")
+    (qdir / "join_query_2.txt").write_text("\n".join(lines) + "\n")
+    return [ta, tb], str(qdir)
+
+
+def test_estimator_predict_and_checkpoint_roundtrip(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", data_path=None, train_query_path=qdir,
+                    stats=stats, dtype=np.float64, verbose=False)
+    est.load_model(verbose=False)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+             "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    mean, std = est.predict(lines)
+    assert mean.shape == (2,) and std.shape == (2,)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+
+    ckpt = tmp_path / "ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    mean2, std2 = est2.predict(lines)
+    np.testing.assert_allclose(mean2, mean, rtol=1e-12)
+    np.testing.assert_allclose(std2, std, rtol=1e-12)
+
+
+def test_estimator_aux_threshold(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    import os
+    with open(os.path.join(qdir, "join_query_aux.txt"), "w") as f:
+        f.write("ta,tb@x,1.0,0.0@@ta,tb,id@500@200.0@0.1\n")   # kept (q_error)
+        f.write("ta,tb@x,2.0,0.0@@ta,tb,id@900@1.0@0.0\n")     # dropped
+    est_aux = Estimator("toy", None, qdir, stats=stats, use_aux=True,
+                        dtype=np.float64, verbose=False)
+    est_no = Estimator("toy", None, qdir, stats=stats, use_aux=False,
+                       dtype=np.float64, verbose=False)
+    assert est_aux.posterior.num_train == est_no.posterior.num_train + 1
+
+
+def test_feedback_merge():
+    infos = [
+        PredInfo("q1", nngp_card=200.0, nngp_std=2.0, pg_card=1.0, true_card=100.0),
+        PredInfo("q2", nngp_card=50.0, nngp_std=1.0, pg_card=1.0, true_card=-1.0),
+    ]
+    rows = ["ta,tb@x,1,0@@ta,tb,id@100\n", "ta,tb@x,2,0@@ta,tb,id@400\n"]
+    lines = merge_query_res(infos, rows)
+    assert len(lines) == 2
+    q1 = lines[0].split("@")
+    assert q1[-3] == "100"               # true card preserved
+    assert float(q1[-2]) == pytest.approx(2.0)   # q_error = 200/100
+    assert float(q1[-1]) == pytest.approx(2.0 / np.log2(200.0))
+    # csv true_card <= 0 skips the consistency assert
+    assert float(lines[1].split("@")[-2]) == pytest.approx(8.0)  # 400/50

@@ -1,0 +1,149 @@
+"""Multi-join featurization golden tests: synthetic 3-table schema, oracle is
+a literal transcription of the reference's per-query encoding
+(`/root/reference/JoinQuerySampler.py:604-622`)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nngp_tpu.featurize.join import (
+    JOIN_OPS_DICT,
+    BinaryJoinEncoder,
+    MultiJoinEncoder,
+    detect_join_columns,
+)
+from nngp_tpu.featurize.schema import DBSchema
+from nngp_tpu.featurize.stats import ColumnStats, TableStats
+
+
+def _tables():
+    a = TableStats("ta", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("x", "numerical", -10, 10),
+    ), chunk_size=4)
+    b = TableStats("tb", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("y", "numerical", 0, 1),
+        ColumnStats("tag", "categorical", categories=tuple(range(6))),
+    ), chunk_size=4)
+    c = TableStats("tc", (
+        ColumnStats("tag", "categorical", categories=tuple(range(6))),
+        ColumnStats("z", "numerical", 5, 15),
+    ), chunk_size=4)
+    return a, b, c
+
+
+def test_detect_join_columns():
+    a, b, c = _tables()
+    assert detect_join_columns(a, b) == [("id", "numerical")]
+    assert detect_join_columns(b, c) == [("tag", "categorical")]
+    assert detect_join_columns(a, c) == []
+
+
+def test_multi_join_layout_and_graph():
+    a, b, c = _tables()
+    enc = MultiJoinEncoder([a, b, c])
+    # triples: (0,1,id), (1,2,tag); join_feat_dim = 2*3 = 6
+    assert enc.all_join_triples == [(0, 1, "id"), (1, 2, "tag")]
+    assert enc.join_feat_dim == 6
+    # feat dim: ta 4 + tb (2+2+ceil(6/4)=2) 6 + tc (2+2) 4 + join 6
+    assert enc.feat_dim == a.feat_dim + b.feat_dim + c.feat_dim + 6
+    assert enc.join_adj[1] == {0, 2}
+
+
+def test_multi_join_parse_and_encode_matches_oracle():
+    a, b, c = _tables()
+    enc = MultiJoinEncoder([a, b, c])
+    line = "ta,tb@x,5.0,-5.0@y,0.8,0.2#tag,1,3@ta,tb,id@4242\n"
+    tids, preds, joins, card = enc.parse_line(line)
+    assert tids == [0, 1] and card == 4242
+    assert joins[0].col_name == "id" and joins[0].t1_id == 0
+
+    x = enc.encode_batch([(tids, preds, joins)])[0]
+
+    # oracle: per-table default rows + literal scatter
+    def table_default(t):
+        row = np.zeros(t.feat_dim)
+        for col, addr in zip(t.columns, t.addresses):
+            if col.kind == "numerical":
+                row[addr.start + 1] = 1000
+        return row
+
+    oa, ob, oc = (table_default(t) for t in (a, b, c))
+    # ta: x in [-10,10]: upper 5 -> (5+10)/20*1000 = 750; lower -5 -> 250
+    oa[2], oa[3] = 750.0, 250.0
+    # tb: y: upper .8 -> 800, lower .2 -> 200; tag {1,3} chunk4: code1 -> 2^(4-1-1)=4, code3 -> 2^0=1 -> slot0 = 5
+    ob[2], ob[3] = 800.0, 200.0
+    ob[4] = 5.0
+    # tc absent -> defaults
+    join = np.zeros(6)
+    join[0 * 3 + JOIN_OPS_DICT["="]] = 1
+    want = np.concatenate([oa, ob, oc, join])
+    np.testing.assert_allclose(x, want)
+
+
+def test_multi_join_cardless_parse():
+    a, b, c = _tables()
+    enc = MultiJoinEncoder([a, b, c])
+    tids, preds, joins = enc.parse_line_without_card("tb,tc@@tag,2@tb,tc,tag")
+    assert tids == [1, 2]
+    assert preds[0] == [] and preds[1] == [(0, [2])]
+    assert joins[0].col_name == "tag"
+
+
+def test_aux_query_filtering(tmp_path):
+    a, b, c = _tables()
+    enc = MultiJoinEncoder([a, b, c])
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "join_query_2.txt").write_text("ta,tb@@@ta,tb,id@100\n")
+    (qdir / "join_query_aux.txt").write_text(
+        "ta,tb@@@ta,tb,id@50@150.0@0.5\n"   # q_error >= 100 -> kept
+        "ta,tb@@@ta,tb,id@60@10.0@0.2\n"    # both below -> dropped
+        "ta,tb@@@ta,tb,id@70@10.0@2.0\n"    # coef_var >= 1 -> kept
+    )
+    queries, cards, infos = enc.load_queries(str(qdir), use_aux=True,
+                                             q_error_threshold=100.0,
+                                             coef_var_threshold=1.0)
+    assert sorted(cards) == [50, 70, 100]
+    q2, c2, _ = enc.load_queries(str(qdir), use_aux=False)
+    assert c2 == [100]
+
+
+def test_binary_join_encoder_multi_char_ops():
+    a, b, _ = _tables()
+    enc = BinaryJoinEncoder(a, b)
+    assert enc.join_col_names == ["id"]
+    line = "x,5.0,-5.0@@id,<=@77\n"
+    t1p, t2p, joins, card = enc.parse_line(line)
+    assert card == 77 and joins == [("id", "<=")]
+    x = enc.encode_batch([(t1p, t2p, joins)])[0]
+    join_x = x[a.feat_dim + b.feat_dim:]
+    # '<=' sets chars '<' (slot 1) and '=' (slot 2)
+    np.testing.assert_array_equal(join_x, [0, 1, 1])
+    # '<>' sets '<' and '>'
+    _, _, joins2, _ = enc.parse_line("@@id,<>@3")
+    x2 = enc.encode_batch([([], [], joins2)])[0]
+    np.testing.assert_array_equal(x2[a.feat_dim + b.feat_dim:], [1, 1, 0])
+
+
+def test_dbschema_pk_fk_recoding():
+    users = pd.DataFrame({"uid": ["u3", "u1", "u2"], "age": [30, 20, 25]})
+    orders = pd.DataFrame({"uid": ["u1", "u1", "u3", "u9"],
+                           "amount": [5.0, 6.0, 7.0, 8.0]})
+    schema = DBSchema(
+        [users, orders],
+        [["categorical", "numerical"], ["categorical", "numerical"]],
+        ["users", "orders"], ["uid", ""], chunk_size=4,
+    )
+    # users.uid recoded to categorical codes (sorted: u1->0, u2->1, u3->2)
+    assert schema.pk_code_dicts[0] == {"u1": 0, "u2": 1, "u3": 2}
+    # orders.uid reuses users' code dict (FK)
+    assert schema.fk_code_dicts_list[1]["uid"] == schema.pk_code_dicts[0]
+    ostats = schema.stats[1]
+    assert ostats.columns[0].kind == "categorical"
+    assert ostats.columns[0].num_cat == 3  # PK vocabulary, not orders' own
+    # joinable on uid (categorical both sides)
+    assert detect_join_columns(schema.stats[0], schema.stats[1]) == [
+        ("uid", "categorical")
+    ]
