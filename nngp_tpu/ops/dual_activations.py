@@ -84,3 +84,36 @@ DUALS = {
     "relu": (relu_nngp, relu_ntk_mult, relu_diag),
     "erf": (erf_nngp, erf_ntk_mult, erf_diag),
 }
+
+
+def _make_fast_duals():
+    """Fast-math variants using the division-free polynomial acos/asin
+    (2.5e-8 abs error — below fp32 rounding of the Gram matmul). Selected by
+    the Pallas Gram kernel where arccos dominates per-element cost."""
+    from nngp_tpu.ops.math import acos_fast, asin_fast
+
+    def relu_nngp_f(k12, k11, k22):
+        sqrt_kk = jnp.sqrt(k11 * k22)
+        cos_t = _safe_cos_theta(k12, sqrt_kk)
+        theta = acos_fast(cos_t)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        return sqrt_kk * (sin_t + (_PI - theta) * cos_t) * _INV_2PI
+
+    def relu_ntk_mult_f(k12, k11, k22):
+        theta = acos_fast(_safe_cos_theta(k12, jnp.sqrt(k11 * k22)))
+        return (_PI - theta) * _INV_2PI
+
+    def erf_nngp_f(k12, k11, k22):
+        denom = jnp.sqrt((1.0 + 2.0 * k11) * (1.0 + 2.0 * k22))
+        return (2.0 / _PI) * asin_fast(jnp.clip(2.0 * k12 / denom, -1.0, 1.0))
+
+    def erf_diag_f(k):
+        return (2.0 / _PI) * asin_fast(2.0 * k / (1.0 + 2.0 * k))
+
+    return {
+        "relu": (relu_nngp_f, relu_ntk_mult_f, relu_diag),
+        "erf": (erf_nngp_f, erf_ntk_mult, erf_diag_f),
+    }
+
+
+DUALS_FAST = _make_fast_duals()

@@ -37,7 +37,7 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _gram_kernel(*refs, layers, feat_dim, want_ntk, symmetric):
+def _gram_kernel(*refs, layers, feat_dim, want_ntk, symmetric, duals):
     if want_ntk:
         x1_ref, x2_ref, d1_ref, d2_ref, nngp_ref, ntk_ref = refs
     else:
@@ -56,7 +56,8 @@ def _gram_kernel(*refs, layers, feat_dim, want_ntk, symmetric):
         ) / feat_dim
         d1 = d1_ref[:]          # (TM, 1)
         d2 = d2_ref[:]          # (1, TN)
-        nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1, d2, layers)
+        nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1, d2, layers,
+                                    duals=duals)
         nngp_ref[:] = nngp
         if want_ntk:
             ntk_ref[:] = ntk
@@ -72,11 +73,13 @@ def _gram_kernel(*refs, layers, feat_dim, want_ntk, symmetric):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "get", "tile_m", "tile_n", "symmetric", "interpret"),
+    static_argnames=("spec", "get", "tile_m", "tile_n", "symmetric",
+                     "interpret", "fast_math"),
 )
 def gram_pallas(spec: KernelSpec, x1, x2=None, get="nngp",
                 tile_m: int = 256, tile_n: int = 256,
-                symmetric: bool = None, interpret: bool = None):
+                symmetric: bool = None, interpret: bool = None,
+                fast_math: bool = True):
     """Dense Gram via the fused Pallas kernel. Same contract as
     `spec.kernel_fn(x1, x2, get)`; fp32."""
     if x2 is None:
@@ -103,10 +106,13 @@ def gram_pallas(spec: KernelSpec, x1, x2=None, get="nngp",
     d1 = jnp.pad(input_diag(x1), (0, n1p - n1), constant_values=1.0)[:, None]
     d2 = jnp.pad(input_diag(x2), (0, n2p - n2), constant_values=1.0)[None, :]
 
+    from nngp_tpu.ops.dual_activations import DUALS, DUALS_FAST
+
     grid = (n1p // tile_m, n2p // tile_n)
     kernel = functools.partial(
         _gram_kernel, layers=spec.layers, feat_dim=float(d),
         want_ntk=want_ntk, symmetric=symmetric,
+        duals=DUALS_FAST if fast_math else DUALS,
     )
     out_shapes = [jax.ShapeDtypeStruct((n1p, n2p), jnp.float32)]
     out_specs = [pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
