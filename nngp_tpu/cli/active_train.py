@@ -1,0 +1,75 @@
+"""Active-learning CLI (`python active/active_train.py` equivalent,
+`/root/reference/active/active_train.py:54-107`). Default split: 20% train,
+60% unlabeled pool, 20% val (`:26-27`).
+
+    python -m nngp_tpu.cli.active_train --query_path workloads/forest_data \
+        --budget 1000 --active_iters 3
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+
+from nngp_tpu.active import ActiveLearner
+from nngp_tpu.data.workload import load_single_table_workload
+from nngp_tpu.eval.splits import train_test_val_split
+from nngp_tpu.models.kernel_spec import KernelSpec, mlp
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        "nngp_tpu active learner",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--kernel_type", type=str, default="nngp",
+                   choices=["nngp", "ntk"])
+    p.add_argument("--chunk_size", type=int, default=10)
+    p.add_argument("--biased_sample", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--active_iters", type=int, default=3)
+    p.add_argument("--budget", type=int, default=1000)
+    p.add_argument("--refit", type=str, default="incremental",
+                   choices=["incremental", "full"])
+    p.add_argument("--relations", type=str, default="forest")
+    p.add_argument("--names", type=str, default="forest")
+    p.add_argument("--query_path", type=str, default="workloads/forest_data")
+    p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--depth", type=int, default=1)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--activation", type=str, default="relu",
+                   choices=["relu", "erf"])
+    p.add_argument("--diag_reg", type=float, default=1e-3)
+    p.add_argument("--x64", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = np.float64 if args.x64 else np.float32
+
+    x, y, infos, _ = load_single_table_workload(
+        args.query_path, relation=args.relations.split(",")[0],
+        name=args.names.split(",")[0], data_path=args.data_path,
+        chunk_size=args.chunk_size, dtype=dtype)
+    print(f"number of query: {x.shape[0]}")
+    (x_tr, y_tr, _i1, x_pool, y_pool, _i2,
+     x_val, y_val, infos_val) = train_test_val_split(
+        x, y, train_frac=0.2, test_frac=0.6, all_query_infos=infos)
+    print(f"train {x_tr.shape}  pool {x_pool.shape}  val {x_val.shape}")
+
+    spec = KernelSpec(mlp(args.depth, args.width, args.activation))
+    learner = ActiveLearner(
+        spec, budget=args.budget, active_iters=args.active_iters,
+        kernel_type=args.kernel_type, biased_sample=args.biased_sample,
+        diag_reg=args.diag_reg, refit=args.refit)
+    post, history = learner.active_train(x_tr, y_tr, x_pool, y_pool,
+                                         x_val, y_val, infos_val)
+    return history
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,117 @@
+"""Deep Kernel Learning baseline (jax).
+
+Parity surface of `GPRegressionModel` + `DKL_train_and_test`
+(`/root/reference/dnn/layers.py:62-78`, `/root/reference/dnn/train.py:
+348-388`): an MLP feature extractor projects inputs to 2 dims (min-max
+rescaled to [-1, 1] as the reference does at `layers.py:74-75`), and an RBF
+GP with constant mean is trained by maximizing the exact marginal likelihood
+jointly over extractor + kernel + likelihood parameters with Adam.
+
+The reference needs gpytorch's grid-interpolation (KISS-GP) for speed on
+CPU; on TPU the exact Gram of the 2-d projected features is one small matmul
++ Cholesky per step, so the exact GP is used directly.
+"""
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def _extract(params, x):
+    h = jnp.maximum(x @ params["w1"] + params["b1"], 0.0)
+    z = h @ params["w2"] + params["b2"]          # (n, 2)
+    z = z - jnp.min(z, axis=0)
+    z = 2.0 * (z / jnp.maximum(jnp.max(z, axis=0), 1e-12)) - 1.0
+    return z
+
+
+def _rbf_gram(z1, z2, lengthscale, amp):
+    zs1, zs2 = z1 / lengthscale, z2 / lengthscale
+    d = (jnp.sum(zs1 ** 2, 1)[:, None] + jnp.sum(zs2 ** 2, 1)[None, :]
+         - 2.0 * zs1 @ zs2.T)
+    return amp * jnp.exp(-0.5 * jnp.maximum(d, 0.0))
+
+
+def init_dkl_params(key, in_dim, hid_dim=256, out_dim=2):
+    k1, k2 = jax.random.split(key)
+    s1 = 1.0 / jnp.sqrt(in_dim)
+    s2 = 1.0 / jnp.sqrt(hid_dim)
+    return {
+        "w1": jax.random.uniform(k1, (in_dim, hid_dim), minval=-s1, maxval=s1),
+        "b1": jnp.zeros(hid_dim),
+        "w2": jax.random.uniform(k2, (hid_dim, out_dim), minval=-s2, maxval=s2),
+        "b2": jnp.zeros(out_dim),
+        "raw_lengthscale": jnp.zeros(out_dim),
+        "raw_amp": jnp.zeros(()),
+        "raw_noise": jnp.asarray(-2.0),
+        "mean_const": jnp.zeros(()),
+    }
+
+
+def neg_mll(params, x, y):
+    z = _extract(params, x)
+    ls = _softplus(params["raw_lengthscale"]) + 1e-4
+    amp = _softplus(params["raw_amp"]) + 1e-4
+    noise = _softplus(params["raw_noise"]) + 1e-4
+    n = x.shape[0]
+    k = _rbf_gram(z, z, ls, amp) + noise * jnp.eye(n)
+    chol = jax.lax.linalg.cholesky(k)
+    yc = y.ravel() - params["mean_const"]
+    kinvy = jax.scipy.linalg.cho_solve((chol, True), yc)
+    return (0.5 * jnp.dot(yc, kinvy)
+            + jnp.sum(jnp.log(jnp.diagonal(chol)))
+            + 0.5 * n * jnp.log(2.0 * jnp.pi))
+
+
+def train_dkl(x_train, y_train, hid_dim=256, epochs=40, lr=0.01, seed=0,
+              verbose=None):
+    x = jnp.asarray(x_train, jnp.float32)
+    y = jnp.asarray(y_train, jnp.float32)
+    params = init_dkl_params(jax.random.PRNGKey(seed), x.shape[1], hid_dim)
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state):
+        loss, grads = jax.value_and_grad(neg_mll)(params, x, y)
+        updates, state = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    for i in range(epochs):
+        params, state, loss = step(params, state)
+        if verbose:
+            verbose(f"{i}-th Epochs: DKL Train Loss={float(loss):.4f}")
+    return params
+
+
+@jax.jit
+def predict_dkl(params, x_train, y_train, x_test) -> Tuple[jax.Array, jax.Array]:
+    """Posterior mean/std at x_test."""
+    x = jnp.asarray(x_train)
+    z = _extract(params, x)
+    # project test through the SAME normalization stats is impossible exactly
+    # (the reference renormalizes per-batch, layers.py:74-75); evaluate
+    # jointly, as the reference does when it calls model(X_test) with the
+    # train data conditioned inside gpytorch.
+    zt = _extract(params, jnp.asarray(x_test))
+    ls = _softplus(params["raw_lengthscale"]) + 1e-4
+    amp = _softplus(params["raw_amp"]) + 1e-4
+    noise = _softplus(params["raw_noise"]) + 1e-4
+    n = x.shape[0]
+    k = _rbf_gram(z, z, ls, amp) + noise * jnp.eye(n)
+    chol = jax.lax.linalg.cholesky(k)
+    yc = jnp.asarray(y_train).ravel() - params["mean_const"]
+    kinvy = jax.scipy.linalg.cho_solve((chol, True), yc)
+    cross = _rbf_gram(zt, z, ls, amp)
+    mean = cross @ kinvy + params["mean_const"]
+    v = jax.lax.linalg.triangular_solve(chol, cross.T, left_side=True,
+                                        lower=True)
+    var = amp - jnp.sum(v * v, axis=0)
+    return mean, jnp.sqrt(jnp.maximum(var, 0.0))
