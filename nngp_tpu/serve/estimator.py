@@ -69,6 +69,7 @@ class Estimator:
             stats = _build_schema_stats(schema_name, data_path, chunk_size)
         self.stats = list(stats)
         self.encoder = MultiJoinEncoder(self.stats)
+        self._fast = self._try_fast_encoder()
 
         queries, cards, _infos = self.encoder.load_queries(
             train_query_path, use_aux=use_aux,
@@ -95,6 +96,7 @@ class Estimator:
         self.spec = spec if spec is not None else reference_kernel()
         self.stats = [TableStats.from_json(s) for s in meta["stats"]]
         self.encoder = MultiJoinEncoder(self.stats)
+        self._fast = self._try_fast_encoder()
         arrs = np.load(os.path.join(ckpt_dir, "posterior.npz"))
         k_tt = jnp.asarray(arrs["k_tt_nngp"]) if "k_tt_nngp" in arrs else None
         self.posterior = GPPosterior(
@@ -138,7 +140,22 @@ class Estimator:
             print(mean.shape, std.shape)
             print("Model construction complete.")
 
+    def _try_fast_encoder(self):
+        """Native C++ line parser/encoder for the serving hot path
+        (~30-100x the Python encoder); silently unavailable without g++."""
+        try:
+            from nngp_tpu.native import FastEncoder, is_available
+            if is_available():
+                return FastEncoder(self.stats)
+        except Exception:
+            pass
+        return None
+
     def encode_lines(self, query_lines: Sequence[str]) -> np.ndarray:
+        if self._fast is not None:
+            x, *_ = self._fast.encode_multi("\n".join(query_lines),
+                                            with_card=False, dtype=self.dtype)
+            return x
         parsed = [self.encoder.parse_line_without_card(l) for l in query_lines
                   if l.strip()]
         return self.encoder.encode_batch(parsed, dtype=self.dtype)

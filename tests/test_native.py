@@ -1,0 +1,122 @@
+"""Native C++ encoder: bit-exact parity with the Python encoders + speed."""
+
+import time
+
+import numpy as np
+import pytest
+
+from nngp_tpu.featurize.encoder import SingleTableEncoder
+from nngp_tpu.featurize.join import MultiJoinEncoder
+from nngp_tpu.featurize.parser import parse_single_table_line
+from nngp_tpu.featurize.stats import ColumnStats, TableStats
+
+native = pytest.importorskip("nngp_tpu.native")
+if not native.is_available():
+    pytest.skip("g++ unavailable", allow_module_level=True)
+
+
+def _tables():
+    a = TableStats("ta", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("x", "numerical", -10, 10),
+        ColumnStats("tag", "categorical", categories=tuple(range(13))),
+    ), chunk_size=5)
+    b = TableStats("tb", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("y", "numerical", 0, 1),
+    ), chunk_size=5)
+    return [a, b]
+
+
+def _multi_lines(n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    lines = []
+    for i in range(n):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        cats = ",".join(str(c) for c in sorted(
+            rng.choice(13, size=rng.integers(1, 4), replace=False)))
+        if i % 3 == 0:
+            lines.append(f"ta,tb@x,{xu:.6f},{xl:.6f}#tag,{cats}@@ta,tb,id@{i+1}")
+        elif i % 3 == 1:
+            lines.append(f"ta,tb@@y,0.9,0.1@ta,tb,id@{i+1}")
+        else:
+            lines.append(f"tb@y,{rng.uniform(0,1):.6f},0.0@@{i+1}")
+    return lines
+
+
+def test_multi_join_native_matches_python():
+    tables = _tables()
+    enc_py = MultiJoinEncoder(tables)
+    enc_c = native.FastEncoder(tables)
+    lines = _multi_lines()
+    x_c, cards_c, nt, npd, nj = enc_c.encode_multi("\n".join(lines))
+
+    parsed = [enc_py.parse_line(l) for l in lines]
+    x_py = enc_py.encode_batch([(t, p, j) for (t, p, j, _) in parsed])
+    cards_py = [c for (_, _, _, c) in parsed]
+
+    np.testing.assert_array_equal(x_c, x_py)
+    np.testing.assert_array_equal(cards_c, cards_py)
+    np.testing.assert_array_equal(nt, [len(t) for (t, _, _, _) in parsed])
+    np.testing.assert_array_equal(
+        npd, [sum(len(pl) for pl in p) for (_, p, _, _) in parsed])
+    np.testing.assert_array_equal(nj, [len(j) for (_, _, j, _) in parsed])
+
+
+def test_cardless_lines():
+    tables = _tables()
+    enc_c = native.FastEncoder(tables)
+    enc_py = MultiJoinEncoder(tables)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id", "tb@y,0.5,0.1@"]
+    x_c, cards, *_ = enc_c.encode_multi("\n".join(lines), with_card=False)
+    parsed = [enc_py.parse_line_without_card(l) for l in lines]
+    x_py = enc_py.encode_batch(parsed)
+    np.testing.assert_array_equal(x_c, x_py)
+    assert cards is None
+
+
+def test_single_table_native_matches_python():
+    tables = _tables()
+    enc_c = native.FastEncoder(tables)
+    st = tables[0]
+    enc_py = SingleTableEncoder(st)
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(100):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        lines.append(f"x,{xu:.6f},{xl:.6f}#tag,{rng.integers(0,13)}@{i+1}")
+    x_c, cards, npd = enc_c.encode_single("\n".join(lines))
+    parsed = [parse_single_table_line(l, st) for l in lines]
+    x_py = enc_py.encode_batch([p for p, _ in parsed])
+    np.testing.assert_array_equal(x_c, x_py)
+    np.testing.assert_array_equal(cards, [c for _, c in parsed])
+
+
+def test_parse_error_reports_line():
+    enc_c = native.FastEncoder(_tables())
+    with pytest.raises(ValueError, match="line 2"):
+        enc_c.encode_multi("ta@@@1\nbogus_table@@@2")
+
+
+def test_native_speedup():
+    tables = _tables()
+    enc_py = MultiJoinEncoder(tables)
+    enc_c = native.FastEncoder(tables)
+    lines = _multi_lines(4000, seed=2)
+    text = "\n".join(lines)
+
+    t0 = time.perf_counter()
+    x_c, *_ = enc_c.encode_multi(text)
+    t_c = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    parsed = [enc_py.parse_line(l) for l in lines]
+    x_py = enc_py.encode_batch([(t, p, j) for (t, p, j, _) in parsed])
+    t_py = time.perf_counter() - t0
+
+    np.testing.assert_array_equal(x_c, x_py)
+    assert t_c < t_py  # must actually be faster
+    print(f"native {t_c*1000:.1f} ms vs python {t_py*1000:.1f} ms "
+          f"({t_py/t_c:.1f}x)")
