@@ -53,11 +53,16 @@ def sharded_gram(spec: KernelSpec, x, mesh: Mesh, get="nngp",
 
 
 def sharded_fit(spec: KernelSpec, x, y, mesh: Mesh, diag_reg: float = 1e-3,
-                get: str = "nngp", axis_name: str = "data"):
+                get: str = "nngp", axis_name: str = "data",
+                distributed_solver: bool = False):
     """Full training step over the mesh: sharded Gram -> Cholesky -> alpha.
     Returns (l, alpha, reg) (+ k_tt for get='ntk'). jit-compatible: call under
-    jit for one fused program."""
-    solve_get = get if get in ("nngp", "ntk") else "nngp"
+    jit for one fused program.
+
+    distributed_solver=True keeps the Gram row-sharded through the
+    factorization and solves (parallel/cholesky.py) — required when the
+    N x N Gram exceeds one chip's HBM; otherwise XLA's partitioner decides
+    (it gathers for the factorization)."""
     if get == "ntk":
         k_tt = sharded_gram(spec, x, mesh, "nngp", axis_name)
         theta = sharded_gram(spec, x, mesh, "ntk", axis_name)
@@ -65,8 +70,19 @@ def sharded_fit(spec: KernelSpec, x, y, mesh: Mesh, diag_reg: float = 1e-3,
     else:
         k_tt = sharded_gram(spec, x, mesh, "nngp", axis_name)
         solve_k = k_tt
-    l, reg = cholesky_with_ridge(solve_k, diag_reg)
-    alpha = jax.scipy.linalg.cho_solve((l, True), y)
+    if distributed_solver:
+        from nngp_tpu.parallel.cholesky import (
+            distributed_cho_solve,
+            distributed_cholesky,
+        )
+        n = solve_k.shape[0]
+        reg = diag_reg * jnp.mean(jnp.diagonal(solve_k))
+        l = distributed_cholesky(
+            solve_k + reg * jnp.eye(n, dtype=solve_k.dtype), mesh, axis_name)
+        alpha = distributed_cho_solve(l, y, mesh, axis_name)
+    else:
+        l, reg = cholesky_with_ridge(solve_k, diag_reg)
+        alpha = jax.scipy.linalg.cho_solve((l, True), y)
     if get == "ntk":
         return l, alpha, reg, k_tt
     return l, alpha, reg
