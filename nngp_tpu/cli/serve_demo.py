@@ -1,0 +1,82 @@
+"""Serving smoke script — the `neuroestimator/estimator_test.py` equivalent
+(`/root/reference/neuroestimator/estimator_test.py:1-44`): build an
+Estimator, warm it up, strip cards from a query file, predict, print shapes
+and latency.
+
+    python -m nngp_tpu.cli.serve_demo --schema_name imdb_simple \
+        --data_path /data/imdb_clean --train_query_path /data/queries \
+        --test_query_file /data/queries/join_query_2.txt
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def load_query_lines_without_card(path: str, limit=None):
+    """Strip the trailing @card from labeled lines
+    (`estimator_test.py:13-20`)."""
+    lines = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            lines.append(line.rsplit("@", 1)[0])
+            if limit and len(lines) >= limit:
+                break
+    return lines
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        "nngp_tpu serving demo",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--schema_name", type=str, required=True)
+    p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--stats_dir", type=str, default=None,
+                   help="dir of TableStats JSONs (serving without CSVs)")
+    p.add_argument("--train_query_path", type=str, required=True)
+    p.add_argument("--test_query_file", type=str, required=True)
+    p.add_argument("--chunk_size", type=int, default=64)
+    p.add_argument("--use_aux", action="store_true")
+    p.add_argument("--q_error_threshold", type=float, default=100.0)
+    p.add_argument("--coef_var_threshold", type=float, default=1.0)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="save/restore checkpoint dir")
+    args = p.parse_args(argv)
+
+    from nngp_tpu.serve import Estimator
+    import os
+    if args.ckpt and os.path.exists(os.path.join(args.ckpt, "meta.json")):
+        print("restoring from checkpoint ...")
+        est = Estimator.restore(args.ckpt)
+    else:
+        print("loading schema and training data ... This may take seconds ...")
+        est = Estimator(args.schema_name, args.data_path,
+                        args.train_query_path, chunk_size=args.chunk_size,
+                        use_aux=args.use_aux,
+                        q_error_threshold=args.q_error_threshold,
+                        coef_var_threshold=args.coef_var_threshold,
+                        stats_dir=args.stats_dir)
+        if args.ckpt:
+            est.save(args.ckpt)
+    est.load_model()
+
+    lines = load_query_lines_without_card(args.test_query_file, args.limit)
+    t0 = time.perf_counter()
+    mean, std = est.predict(lines)
+    dt = time.perf_counter() - t0
+    print(f"predicted {len(lines)} queries in {dt:.4f}s "
+          f"({len(lines)/dt:.1f} q/s)")
+    print("pred_mean shape", mean.shape, "pred_std shape", std.shape)
+    print("first 5 (log2-card mean, std):")
+    for m, s in list(zip(mean, std))[:5]:
+        print(f"  {m:.3f}  {s:.3f}   (card ~ {2**float(m):.1f})")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

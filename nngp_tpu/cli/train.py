@@ -36,9 +36,13 @@ def build_parser():
                    help="factorized-encoding chunk width")
     p.add_argument("--relations", type=str, default="forest")
     p.add_argument("--names", type=str, default="forest")
+    p.add_argument("--schema_name", type=str, default=None,
+                   help="multi-join schema (tpch/tpcds/imdb_simple/...); "
+                        "switches to the multi-join workload path")
     p.add_argument("--query_path", type=str, default="workloads/forest_data")
     p.add_argument("--data_path", type=str, default=None,
-                   help="raw CSV dir (optional; stats fall back to query scan)")
+                   help="raw CSV dir (optional; stats fall back to query scan "
+                        "/ stats JSON)")
     p.add_argument("--diag_reg", type=float, default=1e-3)
     p.add_argument("--depth", type=int, default=1, help="hidden layers")
     p.add_argument("--width", type=int, default=512)
@@ -59,11 +63,17 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.x64 else np.float32
 
-    x, y, infos, _ = load_single_table_workload(
-        args.query_path, relation=args.relations.split(",")[0],
-        name=args.names.split(",")[0], data_path=args.data_path,
-        chunk_size=args.chunk_size, dtype=dtype,
-    )
+    if args.schema_name:
+        from nngp_tpu.data.workload import load_multi_join_workload
+        x, y, infos, _ = load_multi_join_workload(
+            args.query_path, schema_name=args.schema_name,
+            data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype)
+    else:
+        x, y, infos, _ = load_single_table_workload(
+            args.query_path, relation=args.relations.split(",")[0],
+            name=args.names.split(",")[0], data_path=args.data_path,
+            chunk_size=args.chunk_size, dtype=dtype,
+        )
     print(f"number of query: {x.shape[0]}  feature dim: {x.shape[1]}")
 
     (x_tr, y_tr, infos_tr, x_te, y_te, infos_te, *_rest) = train_test_val_split(

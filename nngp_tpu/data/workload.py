@@ -55,6 +55,50 @@ def _discover_columns(query_path: str):
     return sorted(names)
 
 
+def load_multi_join_workload(query_path: str, schema_name: str = None,
+                             data_path: Optional[str] = None,
+                             stats_list=None, chunk_size: int = 64,
+                             dtype=np.float64, use_aux: bool = False,
+                             q_error_threshold: float = 100.0,
+                             coef_var_threshold: float = 1.0):
+    """Multi-join workload -> (X, Y, query_infos, encoder). Equivalent of
+    `schemas.load_training_schema_data` (`/root/reference/schemas.py:83-134`).
+
+    Table stats come from the raw CSVs (schema_name + data_path), or from a
+    `<schema_name>_stats/` directory of TableStats JSONs next to the queries,
+    or are passed directly (stats_list)."""
+    from nngp_tpu.featurize.join import MultiJoinEncoder
+
+    if stats_list is None:
+        stats_json_dir = os.path.join(query_path, os.pardir,
+                                      f"{schema_name}_stats")
+        if data_path:
+            from nngp_tpu.data.loaders import SCHEMAS
+            from nngp_tpu.featurize.schema import DBSchema
+            loaders, table_names = SCHEMAS[schema_name]
+            dfs, col_types_list, pks = [], [], []
+            for fn in loaders:
+                df, col_types, pk = fn(data_path)
+                dfs.append(df)
+                col_types_list.append(col_types)
+                pks.append(pk)
+            schema = DBSchema(dfs, col_types_list, table_names, pks, chunk_size)
+            stats_list = schema.stats
+        elif os.path.isdir(stats_json_dir):
+            from nngp_tpu.featurize.stats import TableStats as TS
+            stats_list = [TS.load(os.path.join(stats_json_dir, f))
+                          for f in sorted(os.listdir(stats_json_dir))]
+        else:
+            raise FileNotFoundError(
+                f"need --data_path or a stats dir {stats_json_dir}")
+    encoder = MultiJoinEncoder(stats_list)
+    queries, cards, infos = encoder.load_queries(
+        query_path, use_aux=use_aux, q_error_threshold=q_error_threshold,
+        coef_var_threshold=coef_var_threshold)
+    x, y = encoder.transform_to_arrays(queries, cards, dtype=dtype)
+    return x, y, infos, encoder
+
+
 def load_single_table_workload(query_path: str, stats: Optional[TableStats] = None,
                                relation: str = "forest", name: str = "forest",
                                data_path: Optional[str] = None,

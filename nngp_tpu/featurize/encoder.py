@@ -87,3 +87,39 @@ class SingleTableEncoder:
         x = self.encode_batch(all_queries, dtype=dtype)
         y = np.log2(np.asarray(all_cards, dtype=np.float64)).reshape(-1, 1).astype(dtype)
         return x, y
+
+
+class SplitLayoutEncoder:
+    """Legacy QuerySet encoding convention: X = [all uppers ; all lowers]
+    halves instead of per-column (upper, lower) pairs
+    (`/root/reference/QuerySet.py:44-64`). Numerical-only; defaults
+    upper = 0, lower = 1000. Kept because older query sets were trained with
+    this layout (the class itself is superseded — its loader has an
+    uninitialized-attribute bug, SURVEY.md section 5 quirks)."""
+
+    def __init__(self, stats: TableStats):
+        for c in stats.columns:
+            if c.kind != NUMERICAL:
+                raise ValueError("SplitLayoutEncoder supports numerical "
+                                 "columns only (QuerySet legacy layout)")
+        self.stats = stats
+
+    @property
+    def feat_dim(self) -> int:
+        return 2 * self.stats.num_cols
+
+    def encode_batch(self, pred_lists, dtype=np.float64) -> np.ndarray:
+        n = len(pred_lists)
+        c = self.stats.num_cols
+        x = np.hstack([np.zeros((n, c)), np.full((n, c), 1000.0)]).astype(dtype)
+        for row, preds in enumerate(pred_lists):
+            for col_idx, upper, lower in preds:
+                col = self.stats.columns[col_idx]
+                x[row, col_idx] = (upper - col.min) / col.denominator * 1000
+                x[row, c + col_idx] = (lower - col.min) / col.denominator * 1000
+        return x
+
+    def transform_to_arrays(self, all_queries, all_cards, dtype=np.float64):
+        x = self.encode_batch(all_queries, dtype=dtype)
+        y = np.log2(np.asarray(all_cards, dtype=np.float64)).reshape(-1, 1).astype(dtype)
+        return x, y

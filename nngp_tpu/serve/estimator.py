@@ -57,6 +57,7 @@ class Estimator:
                  kernel_type: str = "nngp", diag_reg: float = 1e-3,
                  spec: Optional[KernelSpec] = None,
                  stats: Optional[Sequence[TableStats]] = None,
+                 stats_dir: Optional[str] = None,
                  dtype=np.float32, verbose: bool = True):
         self.schema_name = schema_name
         self.chunk_size = chunk_size
@@ -66,7 +67,11 @@ class Estimator:
         self.spec = spec if spec is not None else reference_kernel()
 
         if stats is None:
-            stats = _build_schema_stats(schema_name, data_path, chunk_size)
+            if stats_dir is not None:
+                stats = [TableStats.load(os.path.join(stats_dir, f))
+                         for f in sorted(os.listdir(stats_dir))]
+            else:
+                stats = _build_schema_stats(schema_name, data_path, chunk_size)
         self.stats = list(stats)
         self.encoder = MultiJoinEncoder(self.stats)
         self._fast = self._try_fast_encoder()
@@ -161,7 +166,17 @@ class Estimator:
         return self.encoder.encode_batch(parsed, dtype=self.dtype)
 
     def predict(self, query_lines: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-        """(pred_mean, pred_std) in log2-card space, one entry per line."""
+        """(pred_mean, pred_std) in log2-card space, one entry per line.
+
+        Batch sizes are bucketed to powers of two (min 64) so PostgreSQL
+        plans with varying sub-query counts reuse compiled programs instead
+        of recompiling per shape (compiles cost seconds-to-minutes on a
+        remote TPU; padding rows cost microseconds)."""
         x_test = self.encode_lines(query_lines)
+        n = x_test.shape[0]
+        bucket = max(64, 1 << (n - 1).bit_length())
+        if n < bucket:
+            x_test = np.concatenate(
+                [x_test, np.tile(x_test[-1:], (bucket - n, 1))], axis=0)
         mean, std = self.posterior.predict_mean_std(jnp.asarray(x_test))
-        return np.asarray(mean).ravel(), np.asarray(std).ravel()
+        return np.asarray(mean).ravel()[:n], np.asarray(std).ravel()[:n]
