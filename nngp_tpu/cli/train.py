@@ -54,6 +54,12 @@ def build_parser():
     p.add_argument("--test_frac", type=float, default=0.2)
     p.add_argument("--max_num_train", type=int, default=None)
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--calibration", action="store_true",
+                   help="print expected-vs-observed confidence levels")
+    p.add_argument("--uneven_split", type=str, default=None,
+                   help="skew train composition by these attributes "
+                        "(e.g. num_predicates)")
+    p.add_argument("--skew_ratio", type=float, default=0.5)
     return p
 
 
@@ -76,15 +82,27 @@ def main(argv=None):
         )
     print(f"number of query: {x.shape[0]}  feature dim: {x.shape[1]}")
 
-    (x_tr, y_tr, infos_tr, x_te, y_te, infos_te, *_rest) = train_test_val_split(
-        x, y, train_frac=args.train_frac, test_frac=args.test_frac,
-        seed=args.seed, all_query_infos=infos, max_num_train=args.max_num_train,
-    )
+    if args.uneven_split:
+        from nngp_tpu.eval.splits import uneven_train_test_split
+        (x_tr, y_tr, infos_tr, x_te, y_te, infos_te, *_rest) = \
+            uneven_train_test_split(
+                x, y, all_query_infos=infos,
+                skew_split_keys=args.uneven_split,
+                train_frac=args.train_frac, skew_ratio=args.skew_ratio,
+                seed=args.seed)
+    else:
+        (x_tr, y_tr, infos_tr, x_te, y_te, infos_te, *_rest) = \
+            train_test_val_split(
+                x, y, train_frac=args.train_frac, test_frac=args.test_frac,
+                seed=args.seed, all_query_infos=infos,
+                max_num_train=args.max_num_train)
     print(f"train {x_tr.shape}  test {x_te.shape}")
 
+    from nngp_tpu.utils.memory import memory_usage_gb
     spec = KernelSpec(mlp(args.depth, args.width, args.activation,
                           args.w_std, args.b_std))
     timer = Timer()
+    print("memory:", memory_usage_gb())
     with timer.measure("kernel construction (fit: Gram + Cholesky, cold)") as h:
         post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
                       diag_reg=args.diag_reg, get=args.kernel_type)
@@ -101,6 +119,7 @@ def main(argv=None):
         mean, std = post.predict_mean_std(jnp.asarray(x_te))
         h["out"] = (mean, std)
     timer.report()
+    print("memory:", memory_usage_gb())
 
     mean = np.asarray(mean).ravel()
     y_true = np.asarray(y_te).ravel()
@@ -114,6 +133,14 @@ def main(argv=None):
     print(f"symmetric q-error: median={np.median(q):.4f} "
           f"p95={np.quantile(q, 0.95):.4f} p99={np.quantile(q, 0.99):.4f} "
           f"max={np.max(q):.4f}")
+    if args.calibration:
+        from nngp_tpu.eval.calibration import calibration_table
+        table = calibration_table(y_true, mean, np.asarray(std).ravel())
+        print("<" * 80)
+        print("Calibration Result:")
+        for level, observed in table.items():
+            print(f"Expected/Observed Confidence Level={level}/{observed}")
+        print(">" * 80)
     return qerror_profile(errors)
 
 

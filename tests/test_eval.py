@@ -87,3 +87,20 @@ def test_calibration_table_matches_direct_norm_interval():
         lo, hi = sps.norm.interval(level, loc=mu, scale=sd)
         want = float(np.mean((y >= lo) & (y <= hi)))
         assert abs(observed - want) < 1e-12
+
+
+def test_uneven_train_test_split_skews_composition():
+    from nngp_tpu.eval.splits import uneven_train_test_split
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((200, 3))
+    y = rng.standard_normal((200, 1))
+    infos = [QueryInfo(1, 0, p, False, False)
+             for p in ([1] * 100 + [2] * 100)]
+    (x_tr, y_tr, infos_tr, x_te, y_te, infos_te, *_rest) = \
+        uneven_train_test_split(x, y, infos, "num_predicates",
+                                train_frac=0.6, skew_ratio=0.2)
+    n1 = sum(1 for i in infos_tr if i.num_predicates == 1)
+    n2 = sum(1 for i in infos_tr if i.num_predicates == 2)
+    # 60 candidates per partition; ratios 0.2 / 0.8 -> 12 vs 48
+    assert n1 == 12 and n2 == 48
+    assert len(infos_te) == 80
