@@ -51,8 +51,16 @@ def main():
     sync((post.l, post.alpha))
     sync(post.predict_mean_std(x_te_d))
 
-    _, fit_s = timed(lambda: (lambda p: (p.l, p.alpha))(fit()), repeats=3)
-    (mean, std), pred_s = timed(lambda: post.predict_mean_std(x_te_d), repeats=3)
+    # Dispatch+sync floor of the remote-TPU tunnel on this image (~30 ms):
+    # included in the wall-clocks below, reported so on-device time is
+    # interpretable.
+    trivial = jax.jit(lambda a: a + 1.0)
+    small = jnp.ones((8, 128))
+    trivial(small)
+    _, floor_s = timed(lambda: trivial(small), repeats=5)
+
+    _, fit_s = timed(lambda: (lambda p: (p.l, p.alpha))(fit()), repeats=5)
+    (mean, std), pred_s = timed(lambda: post.predict_mean_std(x_te_d), repeats=5)
     qps = x_te.shape[0] / pred_s
 
     errors = np.asarray(mean).ravel() - np.asarray(y_te).ravel()
@@ -70,6 +78,7 @@ def main():
         "p95_qerror": round(float(np.quantile(q, 0.95)), 4),
         "n_train": int(x_tr.shape[0]),
         "n_test": int(x_te.shape[0]),
+        "dispatch_floor_s": round(floor_s, 6),
         "backend": jax.default_backend(),
     }))
 

@@ -30,7 +30,7 @@ formula, which keeps the posterior-variance subtraction well conditioned
 
 import jax.numpy as jnp
 
-from nngp_tpu.ops.math import acos as _arccos, asin as _arcsin
+from nngp_tpu.ops.math import acos_auto as _arccos, asin_auto as _arcsin
 
 _INV_2PI = 0.15915494309189535  # 1 / (2 pi)
 _PI = 3.141592653589793

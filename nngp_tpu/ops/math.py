@@ -82,3 +82,19 @@ def acos_fast(x):
 
 def asin_fast(x):
     return _PIO2 - acos_fast(x)
+
+
+def acos_auto(x):
+    """Dtype dispatch: fp64 gets the exact fdlibm rational (oracle runs),
+    fp32 gets the division-free polynomial (2.5e-8 abs — below the Gram
+    matmul's own fp32 rounding, and ~3x cheaper on the VPU where the
+    arccos dominates Gram assembly)."""
+    if jnp.asarray(x).dtype == jnp.float64:
+        return acos(x)
+    return acos_fast(x)
+
+
+def asin_auto(x):
+    if jnp.asarray(x).dtype == jnp.float64:
+        return asin(x)
+    return asin_fast(x)

@@ -15,10 +15,20 @@ import jax
 
 
 def sync(tree):
-    """Block until every array in `tree` is computed; returns `tree`."""
-    for leaf in jax.tree_util.tree_leaves(tree):
-        if isinstance(leaf, jax.Array):
-            jax.device_get(leaf.ravel()[-1])
+    """Block until every array in `tree` is computed; returns `tree`.
+
+    One element per leaf is gathered into a single device array and fetched
+    with ONE blocking transfer: the tunnel to the TPU costs ~29 ms per
+    blocking roundtrip on this image, so per-leaf fetches would multiply
+    that floor into every measurement."""
+    import jax.numpy as jnp
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if isinstance(l, jax.Array)]
+    if leaves:
+        probes = jnp.stack(
+            [l.ravel()[-1].astype(jnp.float32) for l in leaves])
+        jax.device_get(probes)
     return tree
 
 
