@@ -86,6 +86,22 @@ class Estimator:
         self.posterior: GPPosterior = fit_gp(
             self.spec, jnp.asarray(x), jnp.asarray(y),
             diag_reg=diag_reg, get=kernel_type)
+        self._validate_fit()
+
+    def _validate_fit(self):
+        """Fail loudly at construction if the factorization degenerated
+        (non-SPD Gram from corrupt inputs shows up as NaNs in L/alpha) —
+        the reference has no failure detection at all (SURVEY.md section 5)."""
+        probes = jnp.stack([
+            jnp.isfinite(self.posterior.alpha).all(),
+            jnp.isfinite(jnp.diagonal(self.posterior.l)).all(),
+        ])
+        ok_alpha, ok_l = np.asarray(probes)
+        if not (ok_alpha and ok_l):
+            raise FloatingPointError(
+                "GP fit produced non-finite factors (alpha finite: "
+                f"{bool(ok_alpha)}, chol diag finite: {bool(ok_l)}). "
+                "Check training cards > 0 and feature encodings.")
 
     # Alternate constructor: restore from checkpoint (no CSVs, no refit).
     @classmethod
