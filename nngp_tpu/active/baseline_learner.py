@@ -9,8 +9,6 @@ mixture variance. Each round merges the selected pool points into the train
 set and retrains for `active_epochs`.
 """
 
-from typing import Optional
-
 import numpy as np
 
 import jax

@@ -14,8 +14,6 @@ TPU-native differences:
     reference behavior (fresh relative ridge each round).
 """
 
-from typing import Optional
-
 import numpy as np
 
 import jax

@@ -14,7 +14,7 @@ reference parity (pass use_masks=True for the corrected pooling).
 """
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from nngp_tpu.featurize.mscn import MSCNMultiEncoder, pad_sets
 from nngp_tpu.models.mscn import MSCN, MSCNJoin, MSCNMultiJoin
 from nngp_tpu.models.tree_lstm import TreeLSTMMultiJoin
 

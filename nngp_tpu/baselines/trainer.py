@@ -14,9 +14,6 @@ step is reused across epochs (one compile).
 """
 
 import math
-import time
-from functools import partial
-from typing import Callable, Optional, Tuple
 
 import numpy as np
 

@@ -12,8 +12,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
-
 
 def load_query_lines_without_card(path: str, limit=None):
     """Strip the trailing @card from labeled lines

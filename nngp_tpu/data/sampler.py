@@ -25,12 +25,12 @@ A ClickHouse path equivalent to `query_true_card_by_clickhouse`
 import os
 import random
 from multiprocessing import Process
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 
-from nngp_tpu.featurize.stats import CATEGORICAL, NUMERICAL, TableStats
+from nngp_tpu.featurize.stats import CATEGORICAL, TableStats
 
 NUMERICAL_JOIN_OPS = ["<", ">", "=", "<=", ">=", "<>"]
 CATEGORICAL_JOIN_OPS = ["=", "<>"]

@@ -13,7 +13,7 @@ Two metrics are exposed:
   - `symmetric_qerror` — the standard q-error max(r, 1/r) the paper reports.
 """
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

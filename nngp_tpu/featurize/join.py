@@ -20,7 +20,7 @@ with the same kind (`JoinQuerySampler.py:190-195,389-393`). This needs only
 `TableStats`, so the encoder works without the raw CSVs (serving hosts).
 """
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

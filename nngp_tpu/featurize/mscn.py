@@ -19,11 +19,10 @@ returned for the corrected mean (the reference pools over the padding).
 """
 
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
-from nngp_tpu.featurize.parser import JoinInfo
 from nngp_tpu.featurize.stats import NUMERICAL, TableStats
 
 JOIN_OPS = ["<", ">", "=", "<=", ">=", "<>"]

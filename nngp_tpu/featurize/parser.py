@@ -19,7 +19,7 @@ Parsing returns plain python structures; the vectorized encoders in
 """
 
 import collections
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 from nngp_tpu.featurize.stats import CATEGORICAL, TableStats
 

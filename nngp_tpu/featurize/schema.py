@@ -7,12 +7,11 @@ encoding space across tables. Output is a list of `TableStats` (plus the
 recoded dataframes for ground-truth query execution by the offline sampler).
 """
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
-import numpy as np
 import pandas as pd
 
-from nngp_tpu.featurize.stats import CATEGORICAL, TableStats
+from nngp_tpu.featurize.stats import TableStats
 
 
 class DBSchema:

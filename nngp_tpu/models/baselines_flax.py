@@ -17,7 +17,7 @@ dimension (one fused program) instead of the reference's Python loops of
 forwards (`dnn/layers.py:127-138`, `dnn/DeepEnsemble.py:86-93`).
 """
 
-from typing import Callable, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

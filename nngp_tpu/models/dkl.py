@@ -12,8 +12,7 @@ CPU; on TPU the exact Gram of the 2-d projected features is one small matmul
 + Cholesky per step, so the exact GP is used directly.
 """
 
-from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

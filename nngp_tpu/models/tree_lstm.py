@@ -18,8 +18,6 @@ growing per-level predicate sets padded to a fixed size — compile once per
 padded shape instead of per tree.
 """
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -38,7 +36,7 @@ class _LSTMStep(nn.Module):
         carry = cell.initialize_carry(jax.random.PRNGKey(0),
                                       (x.shape[0], x.shape[-1]))
         carry = jax.tree_util.tree_map(jnp.zeros_like, carry)
-        (_, h), _ = cell(carry, x), None
+        _, h = cell(carry, x)
         return h
 
 
@@ -105,7 +103,7 @@ class TreeLSTMMultiJoin(nn.Module):
             jnp.zeros_like,
             self.cell.initialize_carry(jax.random.PRNGKey(0),
                                        (x.shape[0], x.shape[-1])))
-        (_, h), _ = self.cell(carry, x), None
+        _, h = self.cell(carry, x)
         return h
 
     def __call__(self, leaf_pred_x, leaf_op_x, leaf_meta_x,

@@ -22,7 +22,6 @@ Numerical layout notes:
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

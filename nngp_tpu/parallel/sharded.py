@@ -18,8 +18,6 @@ Everything is expressed with `shard_map` (Gram) and jit + NamedSharding
 (fit/predict) so XLA inserts the collectives and overlaps them with compute.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -20,7 +20,7 @@ TPU-native upgrades over the reference:
 
 import os
 import json
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -31,7 +31,6 @@ from nngp_tpu.featurize.schema import DBSchema
 from nngp_tpu.featurize.stats import TableStats
 from nngp_tpu.gp import GPPosterior, fit_gp
 from nngp_tpu.models.kernel_spec import KernelSpec, reference_kernel
-from nngp_tpu.utils.timing import Timer
 
 
 def _build_schema_stats(schema_name: str, data_path: str, chunk_size: int):

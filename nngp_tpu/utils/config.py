@@ -8,7 +8,7 @@ presets as constructors.
 
 import dataclasses
 import json
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass
