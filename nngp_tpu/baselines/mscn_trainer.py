@@ -37,7 +37,7 @@ def _train_loop(model, params, inputs, y, epochs, batch_size, lr,
     y = jnp.asarray(y, jnp.float32)
 
     @jax.jit
-    def epoch_fn(params, state, batch_idx):
+    def epoch_fn(params, state, batch_idx, y, *args_all):
         def body(carry, idx):
             params, state = carry
             batch = tuple(jnp.take(a, idx, axis=0) for a in args_all)
@@ -61,8 +61,9 @@ def _train_loop(model, params, inputs, y, epochs, batch_size, lr,
         pad = nb * batch_size - n
         if pad:
             perm = np.concatenate([perm, perm[:pad]])
-        params, state, total = epoch_fn(params, state,
-                                        jnp.asarray(perm.reshape(nb, batch_size)))
+        params, state, total = epoch_fn(
+            params, state, jnp.asarray(perm.reshape(nb, batch_size)),
+            y, *args_all)
         if verbose:
             verbose(f"{epoch}-th Epochs: Train MSE Loss={float(total):.4f}")
     return params

@@ -87,12 +87,15 @@ def _fit(params, loss_fn, x, y_tuple, epochs, batch_size, lr, weight_decay,
                      decay_patience * steps_per_epoch)
     state = opt.init(params)
 
+    # Data is passed as arguments (NOT closed over): jit treats captured
+    # arrays as compile-time constants, which re-compiles per dataset and
+    # bakes the data into the executable.
     @jax.jit
-    def epoch_fn(params, state, batch_idx):
+    def epoch_fn(params, state, batch_idx, x, *y_arrays):
         def body(carry, idx):
             params, state = carry
             xb = jnp.take(x, idx, axis=0)
-            yb = tuple(jnp.take(yy, idx, axis=0) for yy in y_tuple)
+            yb = tuple(jnp.take(yy, idx, axis=0) for yy in y_arrays)
             loss, grads = jax.value_and_grad(loss_fn)(params, xb, *yb)
             updates, state = opt.update(grads, state, params)
             return (optax.apply_updates(params, updates), state), loss
@@ -103,7 +106,7 @@ def _fit(params, loss_fn, x, y_tuple, epochs, batch_size, lr, weight_decay,
     rng = np.random.default_rng(seed)
     for epoch in range(epochs):
         batch_idx = jnp.asarray(_epoch_perm(n, batch_size, rng))
-        params, state, total = epoch_fn(params, state, batch_idx)
+        params, state, total = epoch_fn(params, state, batch_idx, x, *y_tuple)
         if verbose:
             verbose(f"{epoch}-th Epochs: Train Loss={float(total):.4f}")
     return params
@@ -170,7 +173,7 @@ def train_mc_dropout(x_train, y_train, num_hid=256, dropout=0.5,
     state = opt.init(params)
 
     @jax.jit
-    def epoch_fn(params, state, batch_idx, rngs):
+    def epoch_fn(params, state, batch_idx, rngs, x, y):
         def body(carry, inputs):
             params, state = carry
             idx, rb = inputs
@@ -193,7 +196,7 @@ def train_mc_dropout(x_train, y_train, num_hid=256, dropout=0.5,
         batch_idx = jnp.asarray(_epoch_perm(n, batch_size, rng_np))
         key, sub = jax.random.split(key)
         rngs = jax.random.split(sub, batch_idx.shape[0])
-        params, state, total = epoch_fn(params, state, batch_idx, rngs)
+        params, state, total = epoch_fn(params, state, batch_idx, rngs, x, y)
         if verbose:
             verbose(f"{epoch}-th Epochs: Train Loss={float(total):.4f}")
     return model, params
