@@ -151,16 +151,34 @@ class GPPosterior:
 @partial(jax.jit, static_argnames=("spec", "get", "diag_reg", "absolute"))
 def _fit_impl(x, y, spec, get, diag_reg, absolute):
     """Top-level cached jit — one compilation per (spec, get, shapes), so
-    repeated fits (active-learning refits, serving restarts) don't retrace."""
+    repeated fits (active-learning refits, serving restarts) don't retrace.
+
+    HBM note: the relative ridge is derived from the O(n) diagonal recursion
+    (identical to diag(K) up to elementwise rounding) so `K + r I` is fused
+    straight into the Gram epilogue — the unridged Gram never materializes
+    as a second n x n buffer, which raises the single-chip fit ceiling."""
+    from nngp_tpu.models.kernel_spec import apply_diag_recursion
+    from nngp_tpu.ops.gram import input_diag
+
+    n = x.shape[0]
+    if absolute:
+        reg = jnp.asarray(diag_reg, x.dtype)
+    else:
+        diag_nngp, diag_ntk = apply_diag_recursion(input_diag(x), spec.layers)
+        diag_vec = diag_nngp if get == "nngp" else diag_ntk
+        reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
+
+    idx = jnp.arange(n)
     if get == "nngp":
-        k_tt = spec.kernel_fn(x, x, "nngp")
-        solve_k = k_tt
+        k = spec.kernel_fn(x, x, "nngp")
+        # O(n) diagonal scatter; XLA updates in place (no second n^2 buffer)
+        solve_k = k.at[idx, idx].add(reg)
         keep_nngp = None
     else:
         k_tt, theta_tt = spec.kernel_fn(x, x, ("nngp", "ntk"))
-        solve_k = theta_tt
+        solve_k = theta_tt.at[idx, idx].add(reg)
         keep_nngp = k_tt
-    l, reg = cholesky_with_ridge(solve_k, diag_reg, absolute)
+    l = jax.lax.linalg.cholesky(solve_k)
     alpha = jax.scipy.linalg.cho_solve((l, True), y)
     return l, alpha, reg, keep_nngp
 
