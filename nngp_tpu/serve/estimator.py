@@ -180,6 +180,31 @@ class Estimator:
                   if l.strip()]
         return self.encoder.encode_batch(parsed, dtype=self.dtype)
 
+    def extend_with_lines(self, labeled_lines: Sequence[str]):
+        """Online learning: fold freshly-labeled queries (the aux-feedback
+        loop's `query@...@card` lines) into the posterior with an O(n^2 k)
+        block-Cholesky extension — no CSVs, no refit, no restart. The
+        reference can only retrain from scratch with a new Estimator
+        (SURVEY.md section 3.3)."""
+        if self._fast is not None:
+            x, cards, *_ = self._fast.encode_multi("\n".join(labeled_lines),
+                                                   with_card=True,
+                                                   dtype=self.dtype)
+        else:
+            parsed, cards = [], []
+            for line in labeled_lines:
+                if not line.strip():
+                    continue
+                tids, preds, joins, card = self.encoder.parse_line(line)
+                parsed.append((tids, preds, joins))
+                cards.append(card)
+            x = self.encoder.encode_batch(parsed, dtype=self.dtype)
+            cards = np.asarray(cards, dtype=np.float64)
+        y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
+        self.posterior = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
+        self._validate_fit()
+        return x.shape[0]
+
     def predict(self, query_lines: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """(pred_mean, pred_std) in log2-card space, one entry per line.
 

@@ -125,3 +125,19 @@ def test_feedback_merge():
     assert float(q1[-1]) == pytest.approx(2.0 / np.log2(200.0))
     # csv true_card <= 0 skips the consistency assert
     assert float(lines[1].split("@")[-2]) == pytest.approx(8.0)  # 400/50
+
+
+def test_estimator_online_extend(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    n0 = est.posterior.num_train
+    added = est.extend_with_lines([
+        "ta,tb@x,3.0,1.0@@ta,tb,id@2000",
+        "ta,tb@x,8.0,2.0@@ta,tb,id@6000",
+    ])
+    assert added == 2
+    assert est.posterior.num_train == n0 + 2
+    mean, std = est.predict(["ta,tb@x,3.0,1.0@@ta,tb,id"])
+    # the freshly-taught point should now be predicted near its label
+    assert abs(float(mean[0]) - np.log2(2000)) < 1.0
