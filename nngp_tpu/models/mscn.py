@@ -41,8 +41,12 @@ class SetConvolution(nn.Module):
         elif self.pool_type == "min":
             if mask is None:
                 return jnp.min(x, axis=1)
-            big = jnp.where(mask[..., None], x, jnp.inf)
-            return jnp.min(big, axis=1)
+            # Finite sentinel, not inf: an all-padding set would min to inf
+            # and inf/NaN leaks into gradients through jnp.where (0 * inf).
+            big = jnp.where(mask[..., None], x, jnp.asarray(1e30, x.dtype))
+            pooled = jnp.min(big, axis=1)
+            nonempty = jnp.any(mask, axis=1)[..., None]
+            return jnp.where(nonempty, pooled, 0.0)
         raise ValueError(f"Unsupported pool type {self.pool_type!r}")
 
 

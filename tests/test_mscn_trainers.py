@@ -103,3 +103,25 @@ def test_plans_to_arrays_chain_structure():
     assert node_valid.shape[1] == 2       # max chain levels = 2
     assert node_valid[-1].sum() == 2      # the 3-table plan has 2 joins
     assert node_valid[0].sum() == 1       # 2-table plans have 1
+
+
+def test_tree_lstm_trains_on_mixed_chain_lengths():
+    """Mixed 1/2/3-table plans: padded leaves/levels must not poison
+    gradients (regression: inf sentinel in masked min-pool -> NaN params)."""
+    enc, queries, y = _multi_join_workload(n=40, seed=4)
+    lines = ["tb@y,0.5,0.1@@30",
+             "ta,tb,tc@@@z,9,6@ta,tb,id#tb,tc,k@50"]
+    for line in lines * 10:
+        tids, preds, joins, card = enc.parse_line(line)
+        queries.append((tids, preds, joins))
+        y = np.vstack([y, [[np.log2(card)]]])
+    roots = [enc.encode_plan(*q) for q in queries]
+    model, params, arrays = train_tree_lstm(
+        roots, y, epochs=5, batch_size=20, verbose=None,
+        op_out_ch=8, meta_out_ch=8, pred_hid_ch=16, pred_out_ch=16,
+        lstm_hid_ch=16, mlp_hid_ch=16)
+    pred = model.apply(params, *[__import__("jax").numpy.asarray(a)
+                                 for a in arrays])
+    assert np.isfinite(np.asarray(pred)).all()
+    leaves = __import__("jax").tree_util.tree_leaves(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
