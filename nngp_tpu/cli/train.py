@@ -74,6 +74,13 @@ def main(argv=None):
         x, y, infos, _ = load_multi_join_workload(
             args.query_path, schema_name=args.schema_name,
             data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype)
+    elif len(args.relations.split(",")) > 1:
+        # binary-join path, derived from the comma exactly as the reference
+        # does (`/root/reference/train.py:295-296`)
+        from nngp_tpu.data.workload import load_binary_join_workload
+        x, y, infos, _ = load_binary_join_workload(
+            args.query_path, relations=args.relations, names=args.names,
+            data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype)
     else:
         x, y, infos, _ = load_single_table_workload(
             args.query_path, relation=args.relations.split(",")[0],

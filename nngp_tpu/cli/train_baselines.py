@@ -31,7 +31,7 @@ from nngp_tpu.eval.qerror import PredictionStatistics, symmetric_qerror
 from nngp_tpu.eval.splits import train_test_val_split
 
 MODEL_TYPES = ["DNN", "MCDropout", "DeepEnsemble", "Density", "DKL", "GP",
-               "KRR", "MLP", "XGB", "RBF-GP"]
+               "KRR", "MLP", "XGB", "RBF-GP", "MSCN"]
 
 
 def build_parser():
@@ -58,8 +58,56 @@ def build_parser():
     return p
 
 
+def _run_mscn(args):
+    """Single-table MSCN set-convolution baseline
+    (`/root/reference/baselines/train.py` with MSCNEncoder)."""
+    from nngp_tpu.baselines.mscn_trainer import train_mscn_single
+    from nngp_tpu.data.workload import single_table_stats
+    from nngp_tpu.featurize.mscn import MSCNSingleEncoder
+    from nngp_tpu.featurize.parser import load_single_table_queries
+    import random
+
+    stats = single_table_stats(args.relations, args.names, args.query_path,
+                               args.data_path, chunk_size=args.chunk_size)
+    queries, cards, infos = load_single_table_queries(args.query_path, stats)
+    enc = MSCNSingleEncoder(stats)
+    batch, _mask = enc.encode_batch(queries)
+    y = np.log2(np.asarray(cards, dtype=np.float64)).reshape(-1, 1)
+    n = len(queries)
+    idx = list(range(n))
+    random.seed(10)
+    random.shuffle(idx)
+    n_tr = int(0.6 * n)
+    n_te = int(0.2 * n)
+    if args.max_num_train:
+        n_tr = min(n_tr, args.max_num_train)
+    te = idx[int(0.6 * n):int(0.6 * n) + n_te]
+    batch = batch[idx]
+    yp = y[idx]
+    model, params = train_mscn_single(
+        batch[:n_tr], yp[:n_tr], epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.learning_rate,
+        weight_decay=args.weight_decay, verbose=print,
+        pred_hid_ch=args.num_hid, pred_out_ch=args.num_hid,
+        mlp_hid_ch=args.num_hid)
+    te_slice = slice(int(0.6 * n), int(0.6 * n) + n_te)
+    pred = model.apply(params, jnp.asarray(batch[te_slice], jnp.float32))
+    return (np.asarray(pred).ravel(), yp[te_slice].ravel(),
+            [infos[i] for i in te])
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.model_type == "MSCN":
+        pred, y_true, infos_te = _run_mscn(args)
+        errors = pred - y_true
+        print(f"MSCN mean square error: {float(np.mean(errors ** 2)):.4f}")
+        PredictionStatistics().get_prediction_details(
+            errors, infos_te, partition_keys="num_table")
+        q = symmetric_qerror(errors)
+        print(f"symmetric q-error: median={np.median(q):.4f} "
+              f"p95={np.quantile(q, 0.95):.4f}")
+        return
     x, y, infos, _ = load_single_table_workload(
         args.query_path, relation=args.relations.split(",")[0],
         name=args.names.split(",")[0], data_path=args.data_path,

@@ -99,6 +99,32 @@ def load_multi_join_workload(query_path: str, schema_name: str = None,
     return x, y, infos, encoder
 
 
+def load_binary_join_workload(query_path: str, relations=None, names=None,
+                              data_path: Optional[str] = None,
+                              stats_pair=None, chunk_size: int = 64,
+                              dtype=np.float64):
+    """Two-table join workload (`t1p@t2p@joins@card` grammar) ->
+    (X, Y, query_infos, encoder). The `--relations a,b` path of the
+    reference (`/root/reference/datasets.py:335-343`)."""
+    from nngp_tpu.featurize.join import BinaryJoinEncoder
+
+    if stats_pair is None:
+        if not (relations and data_path):
+            raise ValueError("need stats_pair or (relations + data_path)")
+        rels = [r.strip() for r in relations.split(",")]
+        nms = ([n.strip() for n in names.split(",")]
+               if names else rels)
+        stats_pair = []
+        for rel, nm in zip(rels, nms):
+            df, col_types = load_table(rel, data_path, nrows=100000)
+            stats_pair.append(TableStats.from_dataframe(
+                df, col_types, nm, chunk_size=chunk_size))
+    encoder = BinaryJoinEncoder(stats_pair[0], stats_pair[1])
+    queries, cards, infos = encoder.load_queries(query_path)
+    x, y = encoder.transform_to_arrays(queries, cards, dtype=dtype)
+    return x, y, infos, encoder
+
+
 def load_single_table_workload(query_path: str, stats: Optional[TableStats] = None,
                                relation: str = "forest", name: str = "forest",
                                data_path: Optional[str] = None,

@@ -46,3 +46,37 @@ def test_multi_join_workload_stats_json_fallback():
     assert enc.feat_dim == x.shape[1]
     # join feature block: fact-dim1 and fact-dim2 share key columns
     assert enc.total_num_joins >= 2
+
+
+def test_binary_join_workload_end_to_end(tmp_path):
+    """Sample a binary-join workload with ground truth, load it through the
+    binary-join workload path, fit, sanity-check q-error."""
+    import pandas as pd
+    from nngp_tpu.data.sampler import BinaryJoinSampler
+    from nngp_tpu.data.workload import load_binary_join_workload
+    from nngp_tpu.featurize.stats import TableStats
+
+    rng = np.random.default_rng(0)
+    t1 = pd.DataFrame({"k": rng.integers(0, 30, 400),
+                       "x": rng.uniform(0, 1, 400)})
+    t2 = pd.DataFrame({"k": rng.integers(0, 30, 300),
+                       "w": rng.uniform(0, 1, 300)})
+    s1 = TableStats.from_dataframe(t1, ["numerical"] * 2, "t1")
+    s2 = TableStats.from_dataframe(t2, ["numerical"] * 2, "t2")
+    sampler = BinaryJoinSampler(t1, s1, t2, s2, seed=3)
+    qdir = tmp_path / "bj"
+    qdir.mkdir()
+    sampler.sample_batch_query(num_joins=1, mini_batch=120,
+                               save_path=str(qdir), data_centric=True)
+
+    x, y, infos, enc = load_binary_join_workload(str(qdir),
+                                                 stats_pair=[s1, s2])
+    assert x.shape == (120, enc.feat_dim)
+    assert all(i.num_table == 2 for i in infos)
+    x_tr, y_tr, _, x_te, y_te, *_rest = train_test_val_split(
+        x, y, 0.6, 0.2, all_query_infos=infos)
+    post = fit_gp(reference_kernel(), jnp.asarray(x_tr), jnp.asarray(y_tr))
+    mean, _std = post.predict_mean_std(jnp.asarray(x_te))
+    q = symmetric_qerror(np.asarray(mean).ravel() - np.asarray(y_te).ravel())
+    const_q = symmetric_qerror(float(np.mean(y_tr)) - np.asarray(y_te).ravel())
+    assert np.median(q) <= np.median(const_q) * 1.05
