@@ -1,0 +1,53 @@
+"""CLI smoke tests: every entry point runs end-to-end on tiny budgets
+(CPU; conftest forces the backend)."""
+
+import os
+
+import numpy as np
+import pytest
+
+WORKLOAD = os.path.join(os.path.dirname(__file__), os.pardir, "workloads")
+
+
+def test_train_cli_single_table():
+    from nngp_tpu.cli.train import main
+    profile = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
+                    "--max_num_train", "400", "--calibration"])
+    assert profile["count"] == 3600
+    assert np.isfinite(profile["median"])
+
+
+def test_train_cli_multi_join():
+    from nngp_tpu.cli.train import main
+    profile = main(["--schema_name", "synth",
+                    "--query_path", os.path.join(WORKLOAD, "synth_join_data"),
+                    "--max_num_train", "300"])
+    assert profile["count"] == 480
+
+
+def test_active_train_cli():
+    from nngp_tpu.cli.active_train import main
+    history = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
+                    "--budget", "50", "--active_iters", "1"])
+    assert len(history) == 1 and history[0]["num_train"] == 3650
+
+
+def test_sweep_cli_single_config():
+    from nngp_tpu.cli.sweep import main
+    rows = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
+                 "--depths", "1", "--activations", "relu",
+                 "--kernel_types", "nngp", "--max_num_train", "300"])
+    assert len(rows) == 1 and np.isfinite(rows[0]["median_q"])
+
+
+def test_train_baselines_cli_krr():
+    from nngp_tpu.cli.train_baselines import main
+    main(["--model_type", "KRR",
+          "--query_path", os.path.join(WORKLOAD, "forest_data"),
+          "--max_num_train", "300"])
+
+
+def test_sample_queries_cli_requires_exactly_one_mode(tmp_path):
+    from nngp_tpu.cli.sample_queries import main
+    with pytest.raises(SystemExit):
+        main(["--data_path", str(tmp_path)])  # neither mode
