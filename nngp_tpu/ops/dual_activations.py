@@ -28,6 +28,7 @@ formula, which keeps the posterior-variance subtraction well conditioned
 (SURVEY.md section 7 "fp64 -> fp32 parity").
 """
 
+import jax
 import jax.numpy as jnp
 
 from nngp_tpu.ops.math import acos_auto as _arccos, asin_auto as _arcsin
@@ -41,19 +42,23 @@ def _safe_cos_theta(k12, sqrt_k11_k22):
 
 
 def relu_nngp(k12, k11, k22):
-    """NNGP dual of ReLU: E[relu(u) relu(v)] for (u,v) ~ N(0, [[k11,k12],[k12,k22]])."""
-    sqrt_kk = jnp.sqrt(k11 * k22)
-    cos_t = _safe_cos_theta(k12, sqrt_kk)
+    """NNGP dual of ReLU: E[relu(u) relu(v)] for (u,v) ~ N(0, [[k11,k12],[k12,k22]]).
+
+    Uses one rsqrt instead of sqrt+divide: the Gram is VPU-transcendental-
+    bound, and cos = k12 * rsqrt(k11 k22), sqrt(k11 k22) = (k11 k22) * rsqrt
+    saves the division at identical accuracy."""
+    kk = k11 * k22
+    inv = jax.lax.rsqrt(kk)
+    cos_t = jnp.clip(k12 * inv, -1.0, 1.0)
     theta = _arccos(cos_t)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-    return sqrt_kk * (sin_t + (_PI - theta) * cos_t) * _INV_2PI
+    return (kk * inv) * (sin_t + (_PI - theta) * cos_t) * _INV_2PI
 
 
 def relu_ntk_mult(k12, k11, k22):
     """Derivative dual of ReLU: E[relu'(u) relu'(v)] = (pi - theta) / (2 pi)."""
-    sqrt_kk = jnp.sqrt(k11 * k22)
-    theta = _arccos(_safe_cos_theta(k12, sqrt_kk))
-    return (_PI - theta) * _INV_2PI
+    cos_t = jnp.clip(k12 * jax.lax.rsqrt(k11 * k22), -1.0, 1.0)
+    return (_PI - _arccos(cos_t)) * _INV_2PI
 
 
 def relu_diag(k):
