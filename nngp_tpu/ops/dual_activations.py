@@ -68,15 +68,15 @@ def relu_diag(k):
 
 def erf_nngp(k12, k11, k22):
     """NNGP dual of erf: (2/pi) arcsin(2 k12 / sqrt((1+2k11)(1+2k22)))."""
-    denom = jnp.sqrt((1.0 + 2.0 * k11) * (1.0 + 2.0 * k22))
-    ratio = jnp.clip(2.0 * k12 / denom, -1.0, 1.0)
+    inv = jax.lax.rsqrt((1.0 + 2.0 * k11) * (1.0 + 2.0 * k22))
+    ratio = jnp.clip(2.0 * k12 * inv, -1.0, 1.0)
     return (2.0 / _PI) * _arcsin(ratio)
 
 
 def erf_ntk_mult(k12, k11, k22):
     """Derivative dual of erf: (4/pi) / sqrt((1+2k11)(1+2k22) - 4 k12^2)."""
     denom_sq = (1.0 + 2.0 * k11) * (1.0 + 2.0 * k22) - 4.0 * k12 * k12
-    return (4.0 / _PI) / jnp.sqrt(jnp.maximum(denom_sq, 1e-30))
+    return (4.0 / _PI) * jax.lax.rsqrt(jnp.maximum(denom_sq, 1e-30))
 
 
 def erf_diag(k):
