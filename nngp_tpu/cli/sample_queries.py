@@ -24,6 +24,9 @@ def build_parser():
     p.add_argument("--names", type=str, default=None)
     p.add_argument("--schema_name", type=str, default=None,
                    help="multi-table schema (tpch/tpcds/imdb_simple/...)")
+    p.add_argument("--binary", action="store_true",
+                   help="two comma-separated --relations: sample binary "
+                        "joins with the full op set (<,>,=,<=,>=,<>)")
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--save_path", type=str, default="./queryset")
     p.add_argument("--mini_batch", type=int, default=2000)
@@ -40,6 +43,28 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if (args.relations is None) == (args.schema_name is None):
         raise SystemExit("pass exactly one of --relations / --schema_name")
+
+    if args.binary:
+        from nngp_tpu.data.loaders import load_table
+        from nngp_tpu.data.sampler import BinaryJoinSampler
+        from nngp_tpu.featurize.stats import TableStats
+        rels = [r.strip() for r in args.relations.split(",")]
+        nms = ([n.strip() for n in args.names.split(",")]
+               if args.names else rels)
+        if len(rels) != 2:
+            raise SystemExit("--binary needs exactly two --relations")
+        dfs, sts = [], []
+        for rel, nm in zip(rels, nms):
+            df, col_types = load_table(rel, args.data_path, nrows=args.nrows)
+            dfs.append(df)
+            sts.append(TableStats.from_dataframe(df, col_types, nm,
+                                                 chunk_size=args.chunk_size))
+        sampler = BinaryJoinSampler(dfs[0], sts[0], dfs[1], sts[1])
+        for nj in range(1, max(sampler.encoder.total_num_joins, 1) + 1):
+            sampler.sample_batch_query(nj, args.mini_batch, args.cat_size,
+                                       args.save_path, args.data_centric)
+        print(f"wrote query files to {args.save_path}")
+        return
 
     if args.relations:
         from nngp_tpu.data.loaders import load_table
