@@ -116,6 +116,28 @@ class GPPosterior:
         mean, var = self.predict(x_test, compute_cov="diag")
         return mean, jnp.sqrt(var)
 
+    def predict_mean_std_chunked(self, x_test, chunk: int = 8192):
+        """(mean, std) over arbitrarily large test sets: processes `chunk`
+        rows per device dispatch so the (m, n) cross Gram never exceeds
+        chunk x n (the reference materializes the full test covariance,
+        capping m; this path is O(chunk * n) memory)."""
+        import numpy as np
+        m = x_test.shape[0]
+        means, stds = [], []
+        for s in range(0, m, chunk):
+            block = jnp.asarray(x_test[s:s + chunk])
+            pad = 0
+            if block.shape[0] < chunk and s > 0:
+                # reuse the compiled chunk-shaped program for the tail
+                pad = chunk - block.shape[0]
+                block = jnp.concatenate(
+                    [block, jnp.tile(block[-1:], (pad, 1))], axis=0)
+            mean, std = self.predict_mean_std(block)
+            n_keep = chunk - pad if pad else block.shape[0]
+            means.append(np.asarray(mean)[:n_keep])
+            stds.append(np.asarray(std)[:n_keep])
+        return np.concatenate(means), np.concatenate(stds)
+
     # --------------------------------------------------------------- extend
     @jax.jit
     def extend(self, x_new, y_new):

@@ -35,3 +35,16 @@ def test_split_layout_rejects_categorical():
         ColumnStats("a", "categorical", categories=(0, 1)),))
     with pytest.raises(ValueError):
         SplitLayoutEncoder(stats)
+
+
+def test_chunked_predict_matches_full():
+    rng = np.random.default_rng(1)
+    x_tr = jnp.asarray(rng.uniform(0, 1000, (80, 6)))
+    y_tr = jnp.asarray(rng.standard_normal((80, 1)))
+    x_te = rng.uniform(0, 1000, (50, 6))
+    post = fit_gp(reference_kernel(), x_tr, y_tr)
+    m_full, s_full = post.predict_mean_std(jnp.asarray(x_te))
+    m_c, s_c = post.predict_mean_std_chunked(x_te, chunk=16)  # 3 full + tail
+    np.testing.assert_allclose(m_c.ravel(), np.asarray(m_full).ravel(),
+                               rtol=1e-10)
+    np.testing.assert_allclose(s_c, np.asarray(s_full), rtol=1e-8)
