@@ -9,8 +9,10 @@ Parity notes:
     chain length and the batched scan model trains like any other batch —
     same math, one compiled program.
 
-Set batches are zero-padded; pooling includes the padding by default for
-reference parity (pass use_masks=True for the corrected pooling).
+Set batches are zero-padded; MSCN pooling includes the padding rows, for
+reference parity (`/root/reference/baselines/layers.py:17-27` pools over the
+padded axis). The TreeLSTM trainer passes masks (its min-pool would otherwise
+be poisoned by all-padding sets).
 """
 
 import math
@@ -27,7 +29,7 @@ from nngp_tpu.models.tree_lstm import TreeLSTMMultiJoin
 
 
 def _train_loop(model, params, inputs, y, epochs, batch_size, lr,
-                weight_decay, seed=0, verbose=None, masks=None):
+                weight_decay, seed=0, verbose=None):
     """Generic MSE loop over tuple-of-arrays inputs, one scan per epoch."""
     n = y.shape[0]
     opt = optax.adamw(lr, weight_decay=weight_decay)

@@ -60,7 +60,11 @@ def main(argv=None):
             sts.append(TableStats.from_dataframe(df, col_types, nm,
                                                  chunk_size=args.chunk_size))
         sampler = BinaryJoinSampler(dfs[0], sts[0], dfs[1], sts[1])
-        for nj in range(1, max(sampler.encoder.total_num_joins, 1) + 1):
+        if sampler.encoder.total_num_joins == 0:
+            raise SystemExit(
+                f"tables {nms[0]!r} and {nms[1]!r} share no joinable column "
+                "(same name + same kind) — nothing to sample")
+        for nj in range(1, sampler.encoder.total_num_joins + 1):
             sampler.sample_batch_query(nj, args.mini_batch, args.cat_size,
                                        args.save_path, args.data_centric)
         print(f"wrote query files to {args.save_path}")

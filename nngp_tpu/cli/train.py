@@ -54,6 +54,9 @@ def build_parser():
     p.add_argument("--test_frac", type=float, default=0.2)
     p.add_argument("--max_num_train", type=int, default=None)
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--partition_keys", type=str, default=None,
+                   help="q-error partition attributes (default: num_table "
+                        "for join workloads, num_predicates for single-table)")
     p.add_argument("--calibration", action="store_true",
                    help="print expected-vs-observed confidence levels")
     p.add_argument("--uneven_split", type=str, default=None,
@@ -135,7 +138,10 @@ def main(argv=None):
 
     errors = mean - y_true
     stat = PredictionStatistics()
-    stat.get_prediction_details(errors, infos_te, partition_keys="num_table")
+    join_workload = bool(args.schema_name) or len(args.relations.split(",")) > 1
+    part_keys = args.partition_keys or (
+        "num_table" if join_workload else "num_predicates")
+    stat.get_prediction_details(errors, infos_te, partition_keys=part_keys)
     q = symmetric_qerror(errors)
     print(f"symmetric q-error: median={np.median(q):.4f} "
           f"p95={np.quantile(q, 0.95):.4f} p99={np.quantile(q, 0.99):.4f} "

@@ -176,8 +176,11 @@ class MultiJoinSampler:
         self.stats = list(stats)
         self.encoder = MultiJoinEncoder(stats)
         self.rng = random.Random(seed)
-        self.samplers = [SingleTableSampler(df, st, seed=seed)
-                         for df, st in zip(self.dfs, self.stats)]
+        # distinct per-table streams: identical seeds would make every
+        # table draw the same predicate positions/quantiles in lockstep
+        self.samplers = [SingleTableSampler(df, st, seed=seed + t_id)
+                         for t_id, (df, st) in enumerate(
+                             zip(self.dfs, self.stats))]
         self.num_tables = len(stats)
 
     def sample_tables_and_joins(self, num_tables):
@@ -329,7 +332,7 @@ class BinaryJoinSampler:
         self.encoder = BinaryJoinEncoder(stats1, stats2)
         self.rng = random.Random(seed)
         self.s1 = SingleTableSampler(self.df1, stats1, seed=seed)
-        self.s2 = SingleTableSampler(self.df2, stats2, seed=seed)
+        self.s2 = SingleTableSampler(self.df2, stats2, seed=seed + 1)
 
     def sample_join_query(self, num_joins, data_centric=False, cat_size=10):
         enc = self.encoder

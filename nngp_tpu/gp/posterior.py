@@ -143,9 +143,15 @@ class GPPosterior:
     def extend(self, x_new, y_new):
         """Append labeled points with an O(n^2 m) block-Cholesky update
         instead of a full refit. Only the solve-kernel blocks are recomputed."""
-        solve_get = "nngp" if self.get == "nngp" else "ntk"
-        k21 = self.spec.kernel_fn(x_new, self.x_train, solve_get)   # (m, n)
-        k22 = self.spec.kernel_fn(x_new, x_new, solve_get)
+        if self.get == "nngp":
+            k21 = self.spec.kernel_fn(x_new, self.x_train, "nngp")  # (m, n)
+            k22 = self.spec.kernel_fn(x_new, x_new, "nngp")
+            n21 = n22 = None
+        else:
+            # tuple get: one recursion yields both kernels per block
+            n21, k21 = self.spec.kernel_fn(x_new, self.x_train,
+                                           ("nngp", "ntk"))
+            n22, k22 = self.spec.kernel_fn(x_new, x_new, ("nngp", "ntk"))
         m = x_new.shape[0]
         # Keep the ridge the fit chose (relative reg is defined by the fit-time
         # Gram; re-deriving it from the extended Gram would silently change
@@ -156,10 +162,7 @@ class GPPosterior:
         alpha = jax.scipy.linalg.cho_solve((l_ext, True), y_ext)
         k_tt = None
         if self.get == "ntk":
-            n11 = self.k_tt_nngp
-            n21 = self.spec.kernel_fn(x_new, self.x_train, "nngp")
-            n22 = self.spec.kernel_fn(x_new, x_new, "nngp")
-            k_tt = jnp.block([[n11, n21.T], [n21, n22]])
+            k_tt = jnp.block([[self.k_tt_nngp, n21.T], [n21, n22]])
         return dataclasses.replace(
             self,
             x_train=jnp.concatenate([self.x_train, x_new], axis=0),

@@ -160,7 +160,6 @@ class FastEncoder:
         (encodes into table 0's layout)."""
         data = text.encode()
         n = self._count(data)
-        x = np.zeros((n, self.single_feat_dim), dtype=np.float64)
         # single-table layout == the full row when there is 1 table + 0 joins
         full = np.zeros((n, self.feat_dim), dtype=np.float64)
         cards = np.zeros(n, dtype=np.float64)

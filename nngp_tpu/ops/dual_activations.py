@@ -47,7 +47,9 @@ def relu_nngp(k12, k11, k22):
     Uses one rsqrt instead of sqrt+divide: the Gram is VPU-transcendental-
     bound, and cos = k12 * rsqrt(k11 k22), sqrt(k11 k22) = (k11 k22) * rsqrt
     saves the division at identical accuracy."""
-    kk = k11 * k22
+    # tiny floor keeps zero-norm rows finite (rsqrt(0)=inf -> 0*inf=NaN);
+    # the true dual for a zero row is 0 and the floored path returns ~1e-18 (floor 1e-36 stays in fp32 normal range; TPUs flush subnormals)
+    kk = jnp.maximum(k11 * k22, 1e-36)
     inv = jax.lax.rsqrt(kk)
     cos_t = jnp.clip(k12 * inv, -1.0, 1.0)
     theta = _arccos(cos_t)
@@ -57,7 +59,8 @@ def relu_nngp(k12, k11, k22):
 
 def relu_ntk_mult(k12, k11, k22):
     """Derivative dual of ReLU: E[relu'(u) relu'(v)] = (pi - theta) / (2 pi)."""
-    cos_t = jnp.clip(k12 * jax.lax.rsqrt(k11 * k22), -1.0, 1.0)
+    cos_t = jnp.clip(k12 * jax.lax.rsqrt(jnp.maximum(k11 * k22, 1e-36)),
+                     -1.0, 1.0)
     return (_PI - _arccos(cos_t)) * _INV_2PI
 
 

@@ -86,6 +86,10 @@ def gram_pallas(spec: KernelSpec, x1, x2=None, get="nngp",
         if symmetric is None:
             symmetric = True
     symmetric = bool(symmetric)
+    if symmetric and tile_m != tile_n:
+        # with rectangular tiles the skipped upper tiles straddle the
+        # diagonal and jnp.tril would keep never-written elements
+        raise ValueError("symmetric=True requires tile_m == tile_n")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     want_ntk = get == "ntk" or (isinstance(get, (tuple, list)) and "ntk" in get)

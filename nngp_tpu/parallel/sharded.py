@@ -42,10 +42,12 @@ def sharded_gram(spec: KernelSpec, x, mesh: Mesh, get="nngp",
         nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1, d2, spec.layers)
         return KernelSpec._select(nngp, ntk, get)
 
+    out_specs = (tuple(P(axis_name, None) for _ in get)
+                 if isinstance(get, (tuple, list)) else P(axis_name, None))
     fn = shard_map(
         block, mesh=mesh,
         in_specs=P(axis_name, None),
-        out_specs=P(axis_name, None),
+        out_specs=out_specs,
     )
     return fn(x)
 
@@ -62,8 +64,9 @@ def sharded_fit(spec: KernelSpec, x, y, mesh: Mesh, diag_reg: float = 1e-3,
     N x N Gram exceeds one chip's HBM; otherwise XLA's partitioner decides
     (it gathers for the factorization)."""
     if get == "ntk":
-        k_tt = sharded_gram(spec, x, mesh, "nngp", axis_name)
-        theta = sharded_gram(spec, x, mesh, "ntk", axis_name)
+        # one Gram pass computes both kernels (the recursion produces the
+        # pair anyway); two passes would double the O(n^2 d) work + ICI
+        k_tt, theta = sharded_gram(spec, x, mesh, ("nngp", "ntk"), axis_name)
         solve_k = theta
     else:
         k_tt = sharded_gram(spec, x, mesh, "nngp", axis_name)

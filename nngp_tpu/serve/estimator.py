@@ -30,7 +30,33 @@ from nngp_tpu.featurize.join import MultiJoinEncoder
 from nngp_tpu.featurize.schema import DBSchema
 from nngp_tpu.featurize.stats import TableStats
 from nngp_tpu.gp import GPPosterior, fit_gp
-from nngp_tpu.models.kernel_spec import KernelSpec, reference_kernel
+from nngp_tpu.models.kernel_spec import (
+    Activation,
+    Dense,
+    KernelSpec,
+    reference_kernel,
+)
+
+
+def _spec_to_json(spec: KernelSpec):
+    out = []
+    for layer in spec.layers:
+        if isinstance(layer, Dense):
+            out.append({"dense": [layer.width, layer.w_std, layer.b_std]})
+        else:
+            out.append({"activation": layer.name})
+    return out
+
+
+def _spec_from_json(items) -> KernelSpec:
+    layers = []
+    for it in items:
+        if "dense" in it:
+            w, ws, bs = it["dense"]
+            layers.append(Dense(int(w), float(ws), float(bs)))
+        else:
+            layers.append(Activation(it["activation"]))
+    return KernelSpec(tuple(layers))
 
 
 def _build_schema_stats(schema_name: str, data_path: str, chunk_size: int):
@@ -113,7 +139,12 @@ class Estimator:
         self.kernel_type = meta["kernel_type"]
         self.diag_reg = meta["diag_reg"]
         self.dtype = np.dtype(meta["dtype"]).type
-        self.spec = spec if spec is not None else reference_kernel()
+        if spec is not None:
+            self.spec = spec
+        elif "spec" in meta:
+            self.spec = _spec_from_json(meta["spec"])
+        else:
+            self.spec = reference_kernel()
         self.stats = [TableStats.from_json(s) for s in meta["stats"]]
         self.encoder = MultiJoinEncoder(self.stats)
         self._fast = self._try_fast_encoder()
@@ -138,6 +169,7 @@ class Estimator:
             "kernel_type": self.kernel_type,
             "diag_reg": self.diag_reg,
             "dtype": np.dtype(self.dtype).name,
+            "spec": _spec_to_json(self.spec),
             "stats": [s.to_json() for s in self.stats],
         }
         with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
@@ -200,9 +232,20 @@ class Estimator:
                 cards.append(card)
             x = self.encoder.encode_batch(parsed, dtype=self.dtype)
             cards = np.asarray(cards, dtype=np.float64)
+        if np.any(cards < 1):
+            raise ValueError("extend_with_lines requires card >= 1 on every "
+                             "labeled line (log2 of 0 is -inf)")
         y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
-        self.posterior = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
-        self._validate_fit()
+        candidate = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
+        # validate BEFORE installing so a bad batch cannot corrupt a live
+        # server (the old posterior stays authoritative on failure)
+        old = self.posterior
+        try:
+            self.posterior = candidate
+            self._validate_fit()
+        except FloatingPointError:
+            self.posterior = old
+            raise
         return x.shape[0]
 
     def predict(self, query_lines: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:

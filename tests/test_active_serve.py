@@ -141,3 +141,32 @@ def test_estimator_online_extend(tmp_path):
     mean, std = est.predict(["ta,tb@x,3.0,1.0@@ta,tb,id"])
     # the freshly-taught point should now be predicted near its label
     assert abs(float(mean[0]) - np.log2(2000)) < 1.0
+
+
+def test_checkpoint_preserves_custom_spec(tmp_path):
+    """Regression: restore() used to default to reference_kernel(), silently
+    mismatching checkpoints saved with a custom architecture."""
+    from nngp_tpu.models.kernel_spec import KernelSpec, mlp
+    stats, qdir = _toy_schema_files(tmp_path)
+    spec = KernelSpec(mlp(depth=2, width=64, activation="erf"))
+    est = Estimator("toy", None, qdir, stats=stats, spec=spec,
+                    dtype=np.float64, verbose=False)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    mean, std = est.predict(lines)
+    ckpt = tmp_path / "spec_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.spec == spec
+    mean2, std2 = est2.predict(lines)
+    np.testing.assert_allclose(mean2, mean, rtol=1e-12)
+    np.testing.assert_allclose(std2, std, rtol=1e-12)
+
+
+def test_extend_with_lines_rejects_bad_cards(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    before = est.posterior
+    with pytest.raises(ValueError, match="card >= 1"):
+        est.extend_with_lines(["ta,tb@x,3.0,1.0@@ta,tb,id@0"])
+    assert est.posterior is before  # live model untouched
