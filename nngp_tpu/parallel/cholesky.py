@@ -1,131 +1,250 @@
-"""Distributed right-looking block Cholesky + triangular solve over a mesh.
+"""Distributed block-cyclic Cholesky + triangular solves over a mesh.
 
 Why: XLA's SPMD partitioner handles a sharded `cholesky` by gathering the
 operand, so a replicated N x N Gram caps N at one chip's HBM (~60k fp32 rows
 on a 16 GB v5e). This factorization keeps the Gram row-block sharded end to
 end — the distributed-linear-algebra analog of tensor parallelism for this
-workload (SURVEY.md section 2.3, TP row).
+workload (SURVEY.md section 2.3, TP row). It is the O(N^3) step behind
+`/root/reference/train.py:171-172` when N outgrows one chip.
 
-Layout: K is row-block sharded over the mesh's `data` axis — device d owns
-rows [d*m, (d+1)*m), m = n/p — matching `parallel.sharded.sharded_gram`'s
-output, so fit never re-lays-out the Gram.
+Layout — block-cyclic storage, decoupled from elimination order:
+  The n rows are split into nb = n/b panels of width b. Panel g is OWNED by
+  device g % p and stored at local slot g // p, so every device keeps
+  participating until the last panel (contiguous ownership would idle device
+  0 after its rows finish — the classic right-looking load-balance fix).
+  A device's local shard is its nbl = nb/p panels stacked in slot order;
+  globally that is the row permutation `cyclic_storage_order(n, b, p)`:
+  storage row s on device d=s//(n/p), local offset r=s%(n/p), holds
+  ELIMINATION row e(s) = (d + p*(r//b))*b + r%b. Columns stay in elimination
+  order (full width, unsharded). With b = n/p (the default) the permutation
+  is the identity and the layout degenerates to plain contiguous row blocks.
 
-Algorithm (panel width = m, one panel per device):
-  for k in 0..p-1:
-    all devices:   all_gather panel column A[:, k] diag block; every device
-                   redundantly factors the tiny (m, m) diagonal block
-                   (cheaper than a broadcast round-trip)
-    device i > k:  L_ik = A_ik L_kk^{-T}            (local triangular solve)
-    all devices:   all_gather the finished panel column, then locally update
-                   their trailing blocks A_ij -= L_ik L_jk^T  (MXU matmuls)
+Algorithm (right-looking, one `lax.fori_loop` body per panel — compile time
+is O(1) in nb, which matters behind a 30-300 s/compile TPU tunnel):
+  panel kb: owner broadcasts the (b, b) diagonal block (psum); every device
+  factors it redundantly (b^3/3 flops — cheaper than serializing); each
+  device triangular-solves its own rows of the panel; the finished panel is
+  all-gathered (reordered slot-major -> elimination-major) and each device
+  applies the trailing update A -= L_panel L_panel^T to its rows as one
+  full-width masked MXU matmul. Per-device comm is O(n b) per panel, O(n^2)
+  total, riding ICI.
 
-Devices above the panel hold zeros in it, so their updates vanish — no
-control flow divergence. Per-device comm is O(n m) per panel, O(n^2) total,
-riding ICI. Compile unrolls p panels (fine for p <= ~32; block-cyclic
-distribution is the planned upgrade for larger meshes).
+The full-width masked update does 2x the minimal trailing flops in exchange
+for static shapes inside fori_loop; the panel factor/solve stages are
+O(n b^2) — negligible next to the O(n^3/p) update for b << n.
 
-The companion `distributed_tri_solve_lower` does blocked forward
-substitution for alpha = L^{-1} b with the factor left sharded.
+Companion solves keep the factor sharded: `distributed_tri_solve_lower`
+(forward) and `distributed_tri_solve_lower_t` (backward, i.e. L^T x = b),
+composed by `distributed_cho_solve`. Right-hand sides are row-sharded in the
+same storage layout.
 """
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-
-def _chol_local(a_loc, axis_name, p, m):
-    d = jax.lax.axis_index(axis_name)
-    for kb in range(p):
-        col = slice(kb * m, (kb + 1) * m)
-        a_panel = a_loc[:, col]                          # (m, m) my block
-        # Every device re-derives L_kk from the gathered diagonal block.
-        panel_blocks = jax.lax.all_gather(a_panel, axis_name)   # (p, m, m)
-        lkk = jax.lax.linalg.cholesky(panel_blocks[kb])
-        # My finished panel block.
-        lik = jax.lax.linalg.triangular_solve(
-            lkk, a_panel, left_side=False, lower=True, transpose_a=True)
-        zeros = jnp.zeros_like(a_panel)
-        my_panel = jnp.where(d == kb, lkk, jnp.where(d > kb, lik, zeros))
-        a_loc = a_loc.at[:, col].set(my_panel)
-        # Trailing update with the gathered finished panel.
-        panel_all = jax.lax.all_gather(my_panel, axis_name)     # (p, m, m)
-        for jb in range(kb + 1, p):
-            colj = slice(jb * m, (jb + 1) * m)
-            a_loc = a_loc.at[:, colj].add(
-                -jax.lax.dot_general(
-                    my_panel, panel_all[jb],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST))
-    # Zero the strict upper block triangle so the result is a clean L.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, a_loc.shape, 0) + \
-        jax.lax.axis_index(axis_name) * m
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, a_loc.shape, 1)
-    return jnp.where(col_ids <= row_ids, a_loc, 0.0)
+_HI = jax.lax.Precision.HIGHEST
 
 
-def distributed_cholesky(k_mat, mesh: Mesh, axis_name: str = "data"):
-    """Cholesky of a row-block-sharded SPD matrix; returns L with the same
-    sharding. n must divide the mesh size."""
-    n = k_mat.shape[0]
-    p = mesh.devices.size
+def cyclic_storage_order(n: int, block_size: int, p: int) -> np.ndarray:
+    """g2e: storage index -> elimination index, so A_storage = A[g2e, :].
+
+    Identity when block_size == n // p (one panel per device)."""
+    b = block_size
+    nb = n // b
+    nbl = nb // p
+    blocks = np.arange(p)[:, None] + p * np.arange(nbl)[None, :]  # (p, nbl)
+    g2e = (blocks[:, :, None] * b + np.arange(b)).reshape(-1)
+    return g2e
+
+
+def _layout(n: int, p: int, block_size):
+    b = n // p if block_size is None else int(block_size)
     if n % p:
         raise ValueError(f"n={n} not divisible by mesh size {p}")
-    m = n // p
+    if n % b or (n // b) % p:
+        raise ValueError(
+            f"block_size={b} must tile n={n} into a multiple of p={p} panels")
+    return b, n // b, n // p
+
+
+def _my_elim_blocks(d, m, b, p):
+    """Elimination block id of each local storage row (shape (m,))."""
+    return d + p * (jnp.arange(m) // b)
+
+
+def _chol_local(a_loc, axis_name, p, b, nb, m):
+    d = lax.axis_index(axis_name)
+    my_blk = _my_elim_blocks(d, m, b, p)[:, None]          # (m, 1)
+    nbl = m // b
+
+    def body(kb, a_loc):
+        owner = kb % p
+        slot = (kb // p) * b
+        a_panel = lax.dynamic_slice(a_loc, (0, kb * b), (m, b))
+        diag_cand = lax.dynamic_slice(a_panel, (slot, 0), (b, b))
+        diag = lax.psum(
+            jnp.where(d == owner, diag_cand, jnp.zeros_like(diag_cand)),
+            axis_name)
+        lkk = lax.linalg.cholesky(diag)
+        # My panel rows below the diagonal block: L_ik = A_ik L_kk^{-T}.
+        lik = lax.linalg.triangular_solve(
+            lkk, a_panel, left_side=False, lower=True, transpose_a=True)
+        lkk_at_slot = lax.dynamic_update_slice(
+            jnp.zeros_like(a_panel), lkk, (slot, 0))
+        panel = jnp.where(my_blk > kb, lik,
+                          jnp.where(my_blk == kb, lkk_at_slot, a_panel))
+        a_loc = lax.dynamic_update_slice(a_loc, panel, (0, kb * b))
+        # Trailing update with rows <= kb masked out: columns in panels
+        # <= kb (finished L + this panel) receive a zero update, columns
+        # beyond get the Schur complement step.
+        mine = jnp.where(my_blk > kb, panel, jnp.zeros_like(panel))
+        gathered = lax.all_gather(mine, axis_name)          # (p, m, b)
+        panel_glob = (gathered.reshape(p, nbl, b, b)
+                      .transpose(1, 0, 2, 3)               # slot-major -> elim
+                      .reshape(nb * b, b))
+        upd = lax.dot_general(mine, panel_glob,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              precision=_HI)
+        return a_loc - upd
+
+    a_loc = lax.fori_loop(0, nb, body, a_loc)
+    # Clean strict upper triangle (elimination coordinates).
+    rows = jnp.arange(m)
+    e_row = (d + p * (rows // b)) * b + rows % b
+    col_ids = jnp.arange(nb * b)[None, :]
+    return jnp.where(col_ids <= e_row[:, None], a_loc, 0.0)
+
+
+def distributed_cholesky(k_mat, mesh: Mesh, axis_name: str = "data",
+                         block_size=None):
+    """Cholesky of a row-sharded SPD matrix; returns L with the same sharding.
+
+    With block_size=None the rows are plain contiguous blocks (one panel per
+    device). With block_size=b < n/p the input must be in block-cyclic
+    storage layout (rows permuted by `cyclic_storage_order(n, b, p)`,
+    columns in elimination order) and L is returned in that same layout.
+    """
+    n = k_mat.shape[0]
+    p = mesh.devices.size
+    b, nb, m = _layout(n, p, block_size)
     fn = shard_map(
-        partial(_chol_local, axis_name=axis_name, p=p, m=m),
+        partial(_chol_local, axis_name=axis_name, p=p, b=b, nb=nb, m=m),
         mesh=mesh, in_specs=P(axis_name, None), out_specs=P(axis_name, None),
     )
     return fn(k_mat)
 
 
-def _solve_local(l_loc, b_loc, axis_name, p, m):
-    d = jax.lax.axis_index(axis_name)
-    x_loc = jnp.zeros_like(b_loc)
-    for kb in range(p):
-        # x_k = L_kk^{-1} (b_k - sum_{j<k} L_kj x_j); the subtraction is
-        # accumulated into b_loc as panels finish.
-        lkk_mine = l_loc[:, kb * m:(kb + 1) * m]
-        blocks = jax.lax.all_gather(lkk_mine, axis_name)        # (p, m, m)
-        b_all = jax.lax.all_gather(b_loc, axis_name)            # (p, m, r)
-        xk = jax.lax.linalg.triangular_solve(
-            blocks[kb], b_all[kb], left_side=True, lower=True)
-        # devices below kb subtract L_dk x_k from their rhs
-        update = jax.lax.dot_general(
-            lkk_mine, xk, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
-        b_loc = jnp.where(d > kb, b_loc - update, b_loc)
-        x_loc = jnp.where(d == kb, xk, x_loc)
+def _fwd_local(l_loc, b_loc, axis_name, p, b, nb, m):
+    d = lax.axis_index(axis_name)
+    my_blk = _my_elim_blocks(d, m, b, p)[:, None]
+    r = b_loc.shape[1]
+
+    def body(kb, carry):
+        b_loc, x_loc = carry
+        owner = kb % p
+        slot = (kb // p) * b
+        lkk_cand = lax.dynamic_slice(l_loc, (slot, kb * b), (b, b))
+        yk_cand = lax.dynamic_slice(b_loc, (slot, 0), (b, r))
+        lkk = lax.psum(
+            jnp.where(d == owner, lkk_cand, jnp.zeros_like(lkk_cand)),
+            axis_name)
+        yk = lax.psum(
+            jnp.where(d == owner, yk_cand, jnp.zeros_like(yk_cand)),
+            axis_name)
+        xk = lax.linalg.triangular_solve(lkk, yk, left_side=True, lower=True)
+        xk_at_slot = lax.dynamic_update_slice(
+            jnp.zeros_like(b_loc), xk, (slot, 0))
+        x_loc = jnp.where(my_blk == kb, xk_at_slot, x_loc)
+        # Rows below panel kb subtract L_{:,kb} x_k from their rhs.
+        lk_mine = lax.dynamic_slice(l_loc, (0, kb * b), (m, b))
+        upd = lax.dot_general(lk_mine, xk,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              precision=_HI)
+        b_loc = jnp.where(my_blk > kb, b_loc - upd, b_loc)
+        return b_loc, x_loc
+
+    _, x_loc = lax.fori_loop(0, nb, body, (b_loc, jnp.zeros_like(b_loc)))
     return x_loc
 
 
-def distributed_tri_solve_lower(l_mat, b, mesh: Mesh, axis_name: str = "data"):
-    """Solve L x = b with L and b row-block sharded; x returns row-sharded."""
+def _bwd_local(l_loc, b_loc, axis_name, p, b, nb, m):
+    d = lax.axis_index(axis_name)
+    my_blk = _my_elim_blocks(d, m, b, p)[:, None]
+    nbl = m // b
+    n = nb * b
+    r = b_loc.shape[1]
+
+    def body(i, carry):
+        b_loc, x_loc = carry
+        kb = nb - 1 - i
+        owner = kb % p
+        slot = (kb // p) * b
+        # Owner broadcasts its full row-panel L[kb-block, :] (b, n).
+        rowpan_cand = lax.dynamic_slice(l_loc, (slot, 0), (b, n))
+        rowpan = lax.psum(
+            jnp.where(d == owner, rowpan_cand, jnp.zeros_like(rowpan_cand)),
+            axis_name)
+        yk_cand = lax.dynamic_slice(b_loc, (slot, 0), (b, r))
+        yk = lax.psum(
+            jnp.where(d == owner, yk_cand, jnp.zeros_like(yk_cand)),
+            axis_name)
+        lkk = lax.dynamic_slice(rowpan, (0, kb * b), (b, b))
+        xk = lax.linalg.triangular_solve(
+            lkk, yk, left_side=True, lower=True, transpose_a=True)
+        xk_at_slot = lax.dynamic_update_slice(
+            jnp.zeros_like(b_loc), xk, (slot, 0))
+        x_loc = jnp.where(my_blk == kb, xk_at_slot, x_loc)
+        # Residual update for elimination rows above kb:
+        # y_e -= L[kb, e]^T x_k. Select the columns of rowpan that live on
+        # this device (its elimination blocks d, d+p, ...) in local order.
+        sel = (rowpan.reshape(b, nbl, p, b))
+        sel = lax.dynamic_index_in_dim(sel, d, axis=2, keepdims=False)
+        sel = sel.reshape(b, m)                              # cols = my rows
+        upd = lax.dot_general(sel, xk,
+                              dimension_numbers=(((0,), (0,)), ((), ())),
+                              precision=_HI)                 # (m, r)
+        b_loc = jnp.where(my_blk < kb, b_loc - upd, b_loc)
+        return b_loc, x_loc
+
+    _, x_loc = lax.fori_loop(0, nb, body, (b_loc, jnp.zeros_like(b_loc)))
+    return x_loc
+
+
+def _solve(kernel, l_mat, rhs, mesh, axis_name, block_size):
     n = l_mat.shape[0]
     p = mesh.devices.size
-    m = n // p
+    b, nb, m = _layout(n, p, block_size)
     fn = shard_map(
-        partial(_solve_local, axis_name=axis_name, p=p, m=m),
+        partial(kernel, axis_name=axis_name, p=p, b=b, nb=nb, m=m),
         mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
         out_specs=P(axis_name, None),
     )
-    return fn(l_mat, b)
+    return fn(l_mat, rhs)
 
 
-def distributed_cho_solve(l_mat, b, mesh: Mesh, axis_name: str = "data"):
-    """(L L^T)^{-1} b via forward then (transposed) backward substitution.
+def distributed_tri_solve_lower(l_mat, b, mesh: Mesh, axis_name: str = "data",
+                                block_size=None):
+    """Solve L x = b with L and b row-sharded (same storage layout); x is
+    returned row-sharded in that layout."""
+    return _solve(_fwd_local, l_mat, b, mesh, axis_name, block_size)
 
-    The backward pass L^T x = y runs on the mirrored problem: reversing both
-    block order and intra-block order turns an upper-triangular solve into a
-    lower-triangular one with the same machinery.
-    """
-    y = distributed_tri_solve_lower(l_mat, b, mesh, axis_name)
-    # L^T x = y  <=>  (J L^T J)(J x) = J y with J the reversal permutation;
-    # J L^T J = (J L J)^T = flip(L, both).T, which is lower triangular.
-    lt_rev = jnp.flip(l_mat, (0, 1)).T
-    y_rev = jnp.flip(y, 0)
-    x_rev = distributed_tri_solve_lower(lt_rev, y_rev, mesh, axis_name)
-    return jnp.flip(x_rev, 0)
+
+def distributed_tri_solve_lower_t(l_mat, b, mesh: Mesh,
+                                  axis_name: str = "data", block_size=None):
+    """Solve L^T x = b (backward substitution) with everything row-sharded."""
+    return _solve(_bwd_local, l_mat, b, mesh, axis_name, block_size)
+
+
+def distributed_cho_solve(l_mat, b, mesh: Mesh, axis_name: str = "data",
+                          block_size=None):
+    """(L L^T)^{-1} b via forward then backward substitution, fully sharded."""
+    y = distributed_tri_solve_lower(l_mat, b, mesh, axis_name, block_size)
+    return distributed_tri_solve_lower_t(l_mat, y, mesh, axis_name, block_size)

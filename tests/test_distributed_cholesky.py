@@ -8,9 +8,11 @@ import pytest
 
 from nngp_tpu.parallel import make_mesh
 from nngp_tpu.parallel.cholesky import (
+    cyclic_storage_order,
     distributed_cho_solve,
     distributed_cholesky,
     distributed_tri_solve_lower,
+    distributed_tri_solve_lower_t,
 )
 
 
@@ -54,6 +56,47 @@ def test_distributed_tri_solve_and_cho_solve():
     want = jax.scipy.linalg.cho_solve((l, True), b)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(want),
                                rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("block_size", [4, 8])
+def test_block_cyclic_cholesky_and_solves(block_size):
+    """Block-cyclic storage (panel g owned by device g%p): factor + both
+    triangular solves + cho_solve must match dense, rows in storage order."""
+    mesh = make_mesh()
+    p = mesh.devices.size
+    n = 64
+    k = np.asarray(_spd(n, seed=5))
+    rhs = np.random.default_rng(6).standard_normal((n, 3))
+    g2e = cyclic_storage_order(n, block_size, p)
+    if block_size == n // p:
+        np.testing.assert_array_equal(g2e, np.arange(n))
+
+    l_s = distributed_cholesky(jnp.asarray(k[g2e, :]), mesh,
+                               block_size=block_size)
+    l_dense = np.linalg.cholesky(k)
+    np.testing.assert_allclose(np.asarray(l_s), l_dense[g2e, :],
+                               rtol=1e-9, atol=1e-10)
+
+    rhs_s = jnp.asarray(rhs[g2e, :])
+    x = distributed_tri_solve_lower(l_s, rhs_s, mesh, block_size=block_size)
+    np.testing.assert_allclose(np.asarray(x),
+                               np.linalg.solve(l_dense, rhs)[g2e, :],
+                               rtol=1e-8, atol=1e-10)
+    xt = distributed_tri_solve_lower_t(l_s, rhs_s, mesh,
+                                       block_size=block_size)
+    np.testing.assert_allclose(np.asarray(xt),
+                               np.linalg.solve(l_dense.T, rhs)[g2e, :],
+                               rtol=1e-8, atol=1e-10)
+    a = distributed_cho_solve(l_s, rhs_s, mesh, block_size=block_size)
+    np.testing.assert_allclose(np.asarray(a),
+                               np.linalg.solve(k, rhs)[g2e, :],
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_bad_block_size_raises():
+    mesh = make_mesh()
+    with pytest.raises(ValueError, match="block_size"):
+        distributed_cholesky(_spd(64), mesh, block_size=16)  # 64/(8*16) < 1
 
 
 def test_indivisible_n_raises():
