@@ -107,7 +107,13 @@ def apply_recursion(k, ntk, d1, d2, layers: Sequence[Layer], duals=None):
 
 
 def apply_diag_recursion(d, layers: Sequence[Layer]):
-    """Propagate only diagonal covariances (for K_** diag / test variance)."""
+    """Propagate only diagonal covariances (for K_** diag / test variance).
+
+    Uses the exact on-diagonal duals (DUALS_NTK_DIAG / tdiag) — the generic
+    Tdot(k; k, k) evaluates acos at rho = 1 +- rounding, where its sqrt(eps)
+    sensitivity injects ~1e-4 relative noise into fp32 NTK diagonals."""
+    from nngp_tpu.ops.dual_activations import DUALS_NTK_DIAG
+
     nngp = d
     ntk = jnp.zeros_like(d)
     for layer in layers:
@@ -116,9 +122,7 @@ def apply_diag_recursion(d, layers: Sequence[Layer]):
             ntk = layer.w_std ** 2 * ntk + nngp
         else:
             _, _, tdiag = DUALS[layer.name]
-            # On the diagonal Tdot(k; k, k): relu -> 1/2, erf -> (4/pi)/sqrt((1+2k)^2-4k^2)
-            t, tdot, _ = DUALS[layer.name]
-            ntk = ntk * tdot(nngp, nngp, nngp)
+            ntk = ntk * DUALS_NTK_DIAG[layer.name](nngp)
             nngp = tdiag(nngp)
     return nngp, ntk
 

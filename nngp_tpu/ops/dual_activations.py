@@ -87,10 +87,30 @@ def erf_diag(k):
     return (2.0 / _PI) * _arcsin(2.0 * k / (1.0 + 2.0 * k))
 
 
+def relu_ntk_mult_diag(k):
+    """Tdot(k; k, k) = (pi - acos(1)) / (2 pi) = 1/2 exactly. The generic
+    formula computes acos(k * rsqrt(k*k)) whose sqrt(eps) sensitivity at
+    rho=1 injects ~1e-4 relative noise into fp32 NTK diagonals."""
+    return jnp.full_like(k, 0.5)
+
+
+def erf_ntk_mult_diag(k):
+    """Tdot(k; k, k) = (4/pi)/sqrt((1+2k)^2 - 4k^2) = (4/pi)/sqrt(1+4k),
+    algebraically cancellation-free (the generic form subtracts two large
+    squares)."""
+    return (4.0 / _PI) * jax.lax.rsqrt(1.0 + 4.0 * k)
+
+
 # Registry used by kernel_spec to look up an activation by name.
 DUALS = {
     "relu": (relu_nngp, relu_ntk_mult, relu_diag),
     "erf": (erf_nngp, erf_ntk_mult, erf_diag),
+}
+
+# Exact on-diagonal NTK multipliers (apply_diag_recursion).
+DUALS_NTK_DIAG = {
+    "relu": relu_ntk_mult_diag,
+    "erf": erf_ntk_mult_diag,
 }
 
 

@@ -58,3 +58,39 @@ def test_precise_math_mode():
     k_x = np.asarray(spec.kernel_fn(x, x, "nngp"))
     np.testing.assert_allclose(k_fast, k_x, rtol=2e-5, atol=1e-3)
     np.testing.assert_allclose(k_precise, k_x, rtol=2e-5, atol=1e-3)
+
+
+def test_lower_mode_and_fused_ridge():
+    """mirror='lower' leaves correct lower triangle + diagonal (upper tiles
+    unwritten); the diagonal comes from the exact O(n) recursion with
+    diag_add fused onto the solve kernel only."""
+    from nngp_tpu.models.kernel_spec import apply_diag_recursion
+    from nngp_tpu.ops.gram import input_diag
+
+    spec = reference_kernel()
+    x = _x(40, seed=6)
+    reg = 0.125
+    dn, dt = apply_diag_recursion(input_diag(x), spec.layers)
+    il = np.tril_indices(40, k=-1)  # strict lower: diag checked separately
+    idx = np.arange(40)
+
+    k_low = np.asarray(gram_pallas(spec, x, tile_m=16, tile_n=16,
+                                   mirror="lower", diag_add=reg))
+    k_x = np.asarray(spec.kernel_fn(x, x, "nngp"))
+    np.testing.assert_allclose(k_low[il], k_x[il], rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(k_low[idx, idx], np.asarray(dn) + reg,
+                               rtol=1e-5)
+
+    # ntk pair: ridge must land on Theta only; nngp stays clean
+    k_pair, t_pair = gram_pallas(spec, x, get=("nngp", "ntk"),
+                                 tile_m=16, tile_n=16, mirror="lower",
+                                 diag_add=reg)
+    t_x = np.asarray(spec.kernel_fn(x, x, "ntk"))
+    np.testing.assert_allclose(np.asarray(t_pair)[il], t_x[il],
+                               rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t_pair)[idx, idx],
+                               np.asarray(dt) + reg, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(k_pair)[il], k_x[il],
+                               rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(k_pair)[idx, idx], np.asarray(dn),
+                               rtol=1e-5)
