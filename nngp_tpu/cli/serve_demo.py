@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--ckpt", type=str, default=None,
                    help="save/restore checkpoint dir")
+    p.add_argument("--streaming", action="store_true",
+                   help="also drive the continuous-batching front-end with "
+                        "concurrent clients and print qps/latency stats")
+    p.add_argument("--stream_clients", type=int, default=8)
+    p.add_argument("--stream_wait_ms", type=float, default=5.0)
     args = p.parse_args(argv)
 
     from nngp_tpu.serve import Estimator
@@ -74,6 +79,35 @@ def main(argv=None):
     print("first 5 (log2-card mean, std):")
     for m, s in list(zip(mean, std))[:5]:
         print(f"  {m:.3f}  {s:.3f}   (card ~ {2**float(m):.1f})")
+
+    if args.streaming:
+        import threading
+        from nngp_tpu.serve import StreamingBatcher
+        print(f"\nstreaming load: {args.stream_clients} concurrent clients, "
+              f"coalescing window {args.stream_wait_ms} ms")
+        with StreamingBatcher(est.predict,
+                              max_wait_ms=args.stream_wait_ms) as server:
+            results = {}
+
+            def client(cid):
+                ms, ss = server.predict(lines)
+                results[cid] = (ms, ss)
+
+            threads = [threading.Thread(target=client, args=(c,))
+                       for c in range(args.stream_clients)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            st = server.stats()
+        total = args.stream_clients * len(lines)
+        print(f"streamed {total} requests in {dt:.3f}s "
+              f"({total/dt:.1f} q/s) over {st['batches']} device batches "
+              f"(mean batch {st['mean_batch']:.0f})")
+        print(f"latency p50 {st['p50_latency_ms']:.1f} ms  "
+              f"p95 {st['p95_latency_ms']:.1f} ms")
 
 
 if __name__ == "__main__":

@@ -1,4 +1,5 @@
 from nngp_tpu.serve.estimator import Estimator
 from nngp_tpu.serve.feedback import merge_query_res
+from nngp_tpu.serve.streaming import StreamingBatcher
 
-__all__ = ["Estimator", "merge_query_res"]
+__all__ = ["Estimator", "merge_query_res", "StreamingBatcher"]

@@ -1,0 +1,151 @@
+"""Streaming / continuous-batching front-end for the serving estimator.
+
+The reference's serving API is strictly synchronous batch-at-a-time
+(`/root/reference/neuroestimator/estimator/estimator.py:42-61` — the
+PostgreSQL plugin hands over one list of sub-query lines per call). On this
+image's TPU every blocking dispatch costs a ~30 ms tunnel roundtrip, so
+per-request dispatch caps a naive server at ~30 qps while one 4k-row batch
+serves 4k requests in the SAME roundtrip. This module closes that gap for
+concurrent clients: requests from any thread are enqueued, a dispatcher
+coalesces them into batches under a latency SLO (max_wait_ms) and batch-size
+cap, runs ONE device dispatch per batch, and resolves per-request futures.
+
+Generic over the request payload: `predict_fn(items) -> (mean, std)` — pass
+`Estimator.predict` for query-line items (its power-of-two bucketing keeps
+compiled-shape reuse), or any row-wise batch function.
+"""
+
+import queue
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class StreamingBatcher:
+    """Continuous batching: submit() returns a Future resolving to
+    (mean, std) for that single item; a background dispatcher coalesces
+    outstanding items into one predict_fn call per batch.
+
+    max_wait_ms is the coalescing window measured from the first queued
+    item of a batch — the latency the server is willing to trade for
+    batching; max_batch caps device memory per dispatch.
+    """
+
+    def __init__(self, predict_fn: Callable[[List], Tuple], *,
+                 max_batch: int = 4096, max_wait_ms: float = 5.0,
+                 name: str = "nngp-stream"):
+        self._predict_fn = predict_fn
+        self._max_batch = int(max_batch)
+        self._max_wait_s = float(max_wait_ms) / 1e3
+        self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._running = True
+        self._lock = threading.Lock()
+        # metrics
+        self._n_requests = 0
+        self._n_batches = 0
+        self._batch_sizes: deque = deque(maxlen=4096)
+        self._latencies: deque = deque(maxlen=65536)
+        self._started = time.monotonic()
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name=name, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, item) -> Future:
+        """Enqueue one request; resolves to (mean, std) scalars."""
+        if not self._running:
+            raise RuntimeError("StreamingBatcher is closed")
+        fut: Future = Future()
+        self._queue.put((item, fut, time.monotonic()))
+        return fut
+
+    def predict(self, items: Sequence) -> Tuple[np.ndarray, np.ndarray]:
+        """Synchronous convenience: submit all, wait for all."""
+        futs = [self.submit(it) for it in items]
+        out = [f.result() for f in futs]
+        means = np.asarray([m for m, _ in out])
+        stds = np.asarray([s for _, s in out])
+        return means, stds
+
+    # --------------------------------------------------------- dispatcher
+    def _drain_batch(self) -> Optional[List]:
+        """Block for the first item, then coalesce until the SLO window
+        closes or the batch is full."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self._max_wait_s
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                # drain whatever is already queued, but stop waiting
+                try:
+                    while len(batch) < self._max_batch:
+                        batch.append(self._queue.get_nowait())
+                except queue.Empty:
+                    pass
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _dispatch_loop(self):
+        while self._running or not self._queue.empty():
+            batch = self._drain_batch()
+            if not batch:
+                continue
+            items = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            t_enq = [b[2] for b in batch]
+            try:
+                mean, std = self._predict_fn(items)
+                mean = np.asarray(mean).ravel()
+                std = np.asarray(std).ravel()
+                done = time.monotonic()
+                with self._lock:
+                    self._n_requests += len(batch)
+                    self._n_batches += 1
+                    self._batch_sizes.append(len(batch))
+                    self._latencies.extend(done - t for t in t_enq)
+                for i, f in enumerate(futs):
+                    f.set_result((float(mean[i]), float(std[i])))
+            except Exception as e:  # propagate to every waiter in the batch
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+
+    # -------------------------------------------------------------- admin
+    def stats(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self._latencies, dtype=np.float64)
+            sizes = np.asarray(self._batch_sizes, dtype=np.float64)
+            elapsed = time.monotonic() - self._started
+            return {
+                "requests": self._n_requests,
+                "batches": self._n_batches,
+                "qps": self._n_requests / elapsed if elapsed > 0 else 0.0,
+                "mean_batch": float(sizes.mean()) if sizes.size else 0.0,
+                "p50_latency_ms": (float(np.quantile(lat, 0.5)) * 1e3
+                                   if lat.size else 0.0),
+                "p95_latency_ms": (float(np.quantile(lat, 0.95)) * 1e3
+                                   if lat.size else 0.0),
+            }
+
+    def close(self, timeout: float = 10.0):
+        """Stop accepting requests, drain the queue, join the dispatcher."""
+        self._running = False
+        self._thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,129 @@
+"""Continuous-batching serving front-end (nngp_tpu/serve/streaming.py):
+per-request results must match direct batch predict, requests must coalesce
+into far fewer device batches, and errors must propagate to waiters."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from nngp_tpu.featurize.stats import ColumnStats, TableStats
+from nngp_tpu.serve.estimator import Estimator
+from nngp_tpu.serve.streaming import StreamingBatcher
+
+
+def _toy_estimator(tmp_path):
+    ta = TableStats("ta", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("x", "numerical", -10, 10),
+    ), chunk_size=8)
+    tb = TableStats("tb", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("y", "numerical", 0, 1),
+    ), chunk_size=8)
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(60):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        card = max(1, int(1000 * (xu - xl)))
+        lines.append(f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id@{card}")
+    (qdir / "join_query_2.txt").write_text("\n".join(lines) + "\n")
+    return Estimator("toy", None, str(qdir), stats=[ta, tb],
+                     dtype=np.float64, verbose=False)
+
+
+def _request_lines(n, seed=1):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        out.append(f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id")
+    return out
+
+
+def test_streaming_matches_direct_predict(tmp_path):
+    est = _toy_estimator(tmp_path)
+    lines = _request_lines(50)
+    want_mean, want_std = est.predict(lines)
+    with StreamingBatcher(est.predict, max_wait_ms=20.0) as server:
+        futs = [server.submit(l) for l in lines]
+        got = [f.result(timeout=30) for f in futs]
+        st = server.stats()
+    got_mean = np.asarray([m for m, _ in got])
+    got_std = np.asarray([s for _, s in got])
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-10)
+    np.testing.assert_allclose(got_std, want_std, rtol=1e-10, atol=1e-12)
+    # coalescing: 50 requests must not take 50 device batches
+    assert st["batches"] < 10
+    assert st["requests"] == 50
+
+
+def test_streaming_concurrent_clients(tmp_path):
+    est = _toy_estimator(tmp_path)
+    lines = _request_lines(20, seed=2)
+    want_mean, _ = est.predict(lines)
+    results = {}
+    with StreamingBatcher(est.predict, max_wait_ms=10.0) as server:
+        def client(cid):
+            m, s = server.predict(lines)
+            results[cid] = m
+
+        threads = [threading.Thread(target=client, args=(c,))
+                   for c in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        st = server.stats()
+    for cid in range(6):
+        np.testing.assert_allclose(results[cid], want_mean, rtol=1e-10)
+    assert st["requests"] == 6 * 20
+    assert st["batches"] < 6 * 20  # genuinely coalesced across clients
+    assert st["p95_latency_ms"] >= st["p50_latency_ms"] >= 0.0
+
+
+def test_streaming_max_batch_and_error_propagation():
+    calls = []
+
+    def ok_fn(items):
+        calls.append(len(items))
+        v = np.arange(len(items), dtype=float)
+        return v, v + 0.5
+
+    with StreamingBatcher(ok_fn, max_batch=8, max_wait_ms=50.0) as server:
+        futs = [server.submit(i) for i in range(20)]
+        out = [f.result(timeout=30) for f in futs]
+    assert all(b <= 8 for b in calls)
+    assert out[0] == (0.0, 0.5)
+
+    def boom(items):
+        raise RuntimeError("device on fire")
+
+    server = StreamingBatcher(boom, max_wait_ms=1.0)
+    fut = server.submit("q")
+    with pytest.raises(RuntimeError, match="device on fire"):
+        fut.result(timeout=30)
+    server.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        server.submit("q2")
+
+
+def test_streaming_drains_queue_on_close():
+    seen = []
+
+    def slow_fn(items):
+        time.sleep(0.05)
+        seen.extend(items)
+        v = np.zeros(len(items))
+        return v, v
+
+    server = StreamingBatcher(slow_fn, max_wait_ms=1.0)
+    futs = [server.submit(i) for i in range(30)]
+    server.close(timeout=30)
+    assert all(f.done() for f in futs)
+    assert sorted(seen) == list(range(30))
