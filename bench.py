@@ -1,11 +1,20 @@
 """Headline benchmark: end-to-end NNGP fit on the forest workload.
 
-Measures the warm wall-clock of the full fit — train-Gram assembly
-(dual-activation recursion on the MXU) + Cholesky of K + rI + alpha solve —
-on 10,800 forest training queries (60% of the committed 18,000-query
-workload, seed-10 split identical to `/root/reference/util.py:271-293`),
-plus the warm batched posterior (mean + std) throughput on the 3,600-query
-test split.
+Measures the warm wall-clock of the full fit — fused Gram-panel assembly +
+left-looking blocked Cholesky of K + rI + alpha solve — on 10,800 forest
+training queries (60% of the committed 18,000-query workload, seed-10 split
+identical to `/root/reference/util.py:271-293`), plus the warm batched
+posterior (mean + std) throughput on the 3,600-query test split.
+
+Extras in the same JSON line (driver-captured each round):
+  posterior_qps / posterior_batch_s   warm batched predict
+  median_qerror / p95_qerror          parity gate vs the fp64 oracle
+  extend_1000_s                       incremental block-Cholesky append of
+                                      1,000 rows (vs refitting ~ fit value)
+  streaming_qps                       continuous-batching front-end under
+                                      concurrent single-query load
+  fit_21600_s                         scale row (2x train set), skipped when
+                                      NNGP_BENCH_FAST=1
 
 North star (BASELINE.json): fit < 1 s on a v5e-8. The reference publishes no
 numbers (`BASELINE.md`), so vs_baseline is north_star_seconds / measured —
@@ -16,6 +25,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 
 import numpy as np
 
@@ -34,7 +44,7 @@ def main():
     x, y, infos, _ = load_single_table_workload(
         "workloads/forest_data", dtype=np.float32
     )
-    x_tr, y_tr, _, x_te, y_te, _, _, _, _ = train_test_val_split(
+    x_tr, y_tr, _, x_te, y_te, _, x_val, y_val, _ = train_test_val_split(
         x, y, train_frac=0.6, test_frac=0.2, all_query_infos=infos
     )
     spec = reference_kernel()
@@ -43,8 +53,7 @@ def main():
     x_te_d = jax.device_put(jnp.asarray(x_te))
 
     def fit():
-        post = fit_gp(spec, x_tr_d, y_tr_d, diag_reg=1e-3, get="nngp")
-        return post
+        return fit_gp(spec, x_tr_d, y_tr_d, diag_reg=1e-3, get="nngp")
 
     # Warm-up (compile), then measure.
     post = fit()
@@ -66,6 +75,61 @@ def main():
     errors = np.asarray(mean).ravel() - np.asarray(y_te).ravel()
     q = symmetric_qerror(errors)
 
+    extras = {}
+    fast = os.environ.get("NNGP_BENCH_FAST") == "1"
+
+    # Incremental active-learning append: 1,000 labeled rows folded into the
+    # factor in O(n^2 k) (the reference refits from scratch each round).
+    x_new = jax.device_put(jnp.asarray(x_val[:1000]))
+    y_new = jax.device_put(jnp.asarray(y_val[:1000]))
+    ext = post.extend(x_new, y_new)
+    sync((ext.l, ext.alpha))
+    _, ext_s = timed(
+        lambda: (lambda p: (p.l, p.alpha))(post.extend(x_new, y_new)),
+        repeats=3)
+    extras["extend_1000_s"] = round(ext_s, 6)
+
+    # Streaming continuous batching: concurrent single-query submitters,
+    # one device dispatch per coalesced batch (fixed 4096 bucket).
+    from nngp_tpu.serve.streaming import StreamingBatcher
+    import time as _time
+    bucket = 4096
+
+    def predict_rows(rows):
+        xb = np.stack(rows)
+        nrows = xb.shape[0]
+        if nrows < bucket:
+            xb = np.concatenate(
+                [xb, np.tile(xb[-1:], (bucket - nrows, 1))], axis=0)
+        m, s = post.predict_mean_std(jnp.asarray(xb))
+        return np.asarray(m).ravel()[:nrows], np.asarray(s).ravel()[:nrows]
+
+    predict_rows([np.asarray(x_te[0])])  # compile the bucket shape
+    with StreamingBatcher(predict_rows, max_batch=bucket,
+                          max_wait_ms=5.0) as server:
+        t0 = _time.perf_counter()
+        futs = [server.submit(np.asarray(r)) for r in x_te]
+        for f in futs:
+            f.result(timeout=120)
+        stream_s = _time.perf_counter() - t0
+        st = server.stats()
+    extras["streaming_qps"] = round(x_te.shape[0] / stream_s, 1)
+    extras["streaming_batches"] = st["batches"]
+    extras["streaming_p95_latency_ms"] = round(st["p95_latency_ms"], 2)
+
+    if not fast:
+        # Scale row: 2x train set (random features — wall-clock only).
+        rng = np.random.default_rng(0)
+        x2 = jax.device_put(jnp.asarray(
+            rng.uniform(0, 1000, (21600, x_tr.shape[1])), jnp.float32))
+        y2 = jax.device_put(jnp.asarray(
+            rng.standard_normal((21600, 1)), jnp.float32))
+        p2 = fit_gp(spec, x2, y2, diag_reg=1e-3)
+        sync((p2.l, p2.alpha))
+        _, s2 = timed(lambda: (lambda p: (p.l, p.alpha))(
+            fit_gp(spec, x2, y2, diag_reg=1e-3)), repeats=3)
+        extras["fit_21600_s"] = round(s2, 6)
+
     north_star_s = 1.0  # BASELINE.json: fit < 1 s on TPU
     print(json.dumps({
         "metric": "nngp_fit_forest_10k8_gram_cholesky_warm",
@@ -80,6 +144,7 @@ def main():
         "n_test": int(x_te.shape[0]),
         "dispatch_floor_s": round(floor_s, 6),
         "backend": jax.default_backend(),
+        **extras,
     }))
 
 

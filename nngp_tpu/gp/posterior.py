@@ -37,10 +37,81 @@ import jax.numpy as jnp
 
 from nngp_tpu.models.kernel_spec import KernelSpec
 from nngp_tpu.ops.linalg import (
+    blocked_cholesky,
     cholesky_append_rows,
     cholesky_with_ridge,
-    tri_solve_lower,
 )
+
+# Above this size the fit fuses Gram assembly into a left-looking blocked
+# Cholesky (`ops.linalg.fused_panel_cholesky`): K + rI never materializes,
+# so peak memory is ONE n^2 buffer (the factor) instead of ~3 — and the
+# trailing updates are FLOP-optimal static MXU matmuls instead of XLA's
+# full-width masked expander loop. Below it, plain XLA wins on compile time.
+_FUSED_FIT_MIN_N = 4096
+
+
+def _cholesky(solve_k):
+    n = solve_k.shape[0]
+    if n >= _FUSED_FIT_MIN_N:
+        return blocked_cholesky(
+            solve_k, block_size=512 if n < 16384 else 1024)
+    return jax.lax.linalg.cholesky(solve_k)
+
+
+def _tri_solve(l, b, transpose=False):
+    """Lower-triangular solve, routed to the statically-blocked version at
+    large n (XLA's solve expander is latency-bound on wide right-hand
+    sides — the predict path's O(n^2 m) hot op)."""
+    from nngp_tpu.ops.linalg import (
+        blocked_tri_solve_lower,
+        blocked_tri_solve_lower_t,
+    )
+    if l.shape[0] >= _FUSED_FIT_MIN_N:
+        fn = blocked_tri_solve_lower_t if transpose else blocked_tri_solve_lower
+        return fn(l, b, block_size=1024)
+    return jax.lax.linalg.triangular_solve(
+        l, b, left_side=True, lower=True, transpose_a=transpose)
+
+
+def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
+                      precision=jax.lax.Precision.HIGHEST):
+    """L = chol(K_get + reg I) with Gram panels generated on the fly —
+    the single-chip large-n fit path (see _FUSED_FIT_MIN_N)."""
+    from nngp_tpu.models.kernel_spec import (
+        apply_diag_recursion,
+        apply_recursion,
+    )
+    from nngp_tpu.ops.gram import input_diag, input_gram
+    from nngp_tpu.ops.linalg import fused_panel_cholesky
+
+    n = x.shape[0]
+    dvec = input_diag(x)
+    diag_nngp, diag_ntk = apply_diag_recursion(dvec, spec.layers)
+    diag_solve = diag_nngp if get == "nngp" else diag_ntk
+
+    def panel_fn(s, e):
+        k0 = input_gram(x[s:], x[s:e])
+        d1 = dvec[s:][:, None]
+        d2 = dvec[s:e][None, :]
+        nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1, d2,
+                                    spec.layers)
+        col = nngp if get == "nngp" else ntk
+        idx = jnp.arange(e - s)
+        # Exact diagonal from the O(n) recursion + fused ridge (the computed
+        # diagonal carries sqrt(eps) acos(rho=1) noise, worst for NTK).
+        return col.at[idx, idx].set(diag_solve[s:e] + reg)
+
+    if n < 28000:
+        # fastest form; its ~2-3 n^2 peak fits comfortably here
+        return fused_panel_cholesky(
+            panel_fn, n, x.dtype, layout="inplace",
+            block_size=block_size if n < 16384 else 2 * block_size,
+            precision=precision)
+    # memory-lean column blocks; large panels keep the unrolled op count
+    # small enough for the compiler
+    return fused_panel_cholesky(
+        panel_fn, n, x.dtype, layout="columns", block_size=2048,
+        precision=precision)
 
 
 @jax.tree_util.register_dataclass
@@ -77,7 +148,7 @@ class GPPosterior:
             mean = cross @ self.alpha
             if compute_cov is False:
                 return mean
-            v = tri_solve_lower(self.l, cross.T)  # (n, m)
+            v = _tri_solve(self.l, cross.T)  # (n, m)
             if compute_cov == "diag":
                 var = self.spec.diag_fn(x_test, "nngp") - jnp.sum(v * v, axis=0)
                 return mean, jnp.maximum(var, 0.0)
@@ -92,10 +163,8 @@ class GPPosterior:
         if compute_cov is False:
             return mean
         # w = (T + rI)^-1 T_t*  via two triangular solves, shape (n, m)
-        u = tri_solve_lower(self.l, ntk_cross.T)
-        w = jax.lax.linalg.triangular_solve(
-            self.l, u, left_side=True, lower=True, transpose_a=True
-        )
+        u = _tri_solve(self.l, ntk_cross.T)
+        w = _tri_solve(self.l, u, transpose=True)
         kw = self.k_tt_nngp @ w                      # K_tt T^-1 T_t*, (n, m)
         if compute_cov == "diag":
             var = (
@@ -193,6 +262,15 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute):
         diag_vec = diag_nngp if get == "nngp" else diag_ntk
         reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
 
+    if get == "nngp" and n >= _FUSED_FIT_MIN_N:
+        # Large-n fast path: Gram fused into the factorization, one live
+        # n^2 buffer total. Blocked solves for alpha: XLA's triangular
+        # expander allocates an extra n^2 workspace that busts HBM at the
+        # sizes this path exists for.
+        l = _fused_fit_factor(spec, x, reg, "nngp")
+        alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
+        return l, alpha, reg, None
+
     idx = jnp.arange(n)
     if get == "nngp":
         k = spec.kernel_fn(x, x, "nngp")
@@ -203,7 +281,7 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute):
         k_tt, theta_tt = spec.kernel_fn(x, x, ("nngp", "ntk"))
         solve_k = theta_tt.at[idx, idx].add(reg)
         keep_nngp = k_tt
-    l = jax.lax.linalg.cholesky(solve_k)
+    l = _cholesky(solve_k)
     alpha = jax.scipy.linalg.cho_solve((l, True), y)
     return l, alpha, reg, keep_nngp
 

@@ -8,13 +8,17 @@ from nngp_tpu.ops.dual_activations import (
 )
 from nngp_tpu.ops.gram import input_gram, input_diag
 from nngp_tpu.ops.linalg import (
+    blocked_cholesky,
     cholesky_with_ridge,
     cho_solve,
+    fused_panel_cholesky,
     tri_solve_lower,
     cholesky_append_rows,
 )
 
 __all__ = [
+    "blocked_cholesky",
+    "fused_panel_cholesky",
     "relu_nngp",
     "relu_ntk_mult",
     "relu_diag",

@@ -16,6 +16,210 @@ import jax
 import jax.numpy as jnp
 
 
+def blocked_cholesky(a, block_size: int = 512,
+                     precision=jax.lax.Precision.HIGHEST,
+                     zero_upper: bool = True):
+    """Right-looking blocked Cholesky, statically unrolled — the TPU fast
+    path for the O(n^3) step behind `/root/reference/train.py:171-172`.
+
+    Why not `lax.linalg.cholesky`: XLA expands Cholesky into a while-loop
+    with dynamic slices and FULL-WIDTH masked trailing updates — about 2x
+    the minimal flops and poor MXU utilization (~16 TF/s measured at
+    n=10.8k fp32). This version unrolls n/block_size panels with static
+    shrinking shapes, so every trailing update is a plain MXU matmul on
+    exactly the blocks that need it (sum = n^3/3 flops), and all updates
+    chain in-place on one n^2 buffer (XLA reuses the storage — peak live
+    memory is ONE n x n array + an O(n b) panel).
+
+    Per panel k: factor the (b, b) diagonal block (tiny — XLA's own
+    cholesky), form L_kk^{-1} by a (b, b) triangular solve, produce the
+    panel below as one matmul, then subtract panel outer products from the
+    remaining lower-triangular block columns.
+
+    zero_upper=False skips the final O(n^2) tril pass — valid when the
+    result only feeds triangular solves (they ignore the other triangle).
+    """
+    n = a.shape[0]
+    b = int(block_size)
+    nb = -(-n // b)
+    if nb <= 1:
+        return jax.lax.linalg.cholesky(a)
+    for k in range(nb):
+        s, e = k * b, min((k + 1) * b, n)
+        lkk = jax.lax.linalg.cholesky(a[s:e, s:e])
+        a = a.at[s:e, s:e].set(lkk)
+        if e == n:
+            break
+        linv = jax.lax.linalg.triangular_solve(
+            lkk, jnp.eye(e - s, dtype=a.dtype),
+            left_side=True, lower=True)
+        # P = A[e:, s:e] L_kk^{-T}: one tall matmul instead of XLA's
+        # serialized triangular solve.
+        panel = jax.lax.dot_general(
+            a[e:, s:e], linv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision)
+        a = a.at[e:, s:e].set(panel)
+        # Trailing update, lower-triangular block columns only.
+        for j in range(k + 1, nb):
+            js, je = j * b, min((j + 1) * b, n)
+            upd = jax.lax.dot_general(
+                panel[js - e:, :], panel[js - e:je - e, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=precision)
+            a = a.at[js:, js:je].add(-upd)
+    if zero_upper:
+        a = jnp.tril(a)
+    return a
+
+
+def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
+                         precision=jax.lax.Precision.HIGHEST,
+                         layout: str = "inplace"):
+    """LEFT-looking blocked Cholesky where the matrix is never materialized:
+    each panel of K is produced on demand by `panel_fn(s, e) -> K[s:, s:e]`
+    (ridge included), updated by the already-finished factor columns, and
+    factored. For the GP fit this fuses Gram assembly INTO the
+    factorization: K + r I never exists. Statically unrolled with static
+    shrinking shapes; per-panel updates are plain MXU matmuls summing to
+    the minimal n^3/3 flops.
+
+    layout='inplace': one n x n buffer updated through an `.at` chain with
+    the panel update as ONE tall matmul L[s:, :s] @ L[s:e, :s]^T — fastest
+    (fewest HLO ops), but XLA does not reliably alias the chain, so peak
+    live memory is ~2-3 n^2 (measured fine through n=21.6k on a 16 GB
+    chip, OOM at 32.4k).
+
+    layout='columns': the factor is built as TRIANGULAR COLUMN BLOCKS —
+    block k a separate (n - k*b, b) array — so no op ever touches a full
+    n x n operand; peak is ~n^2/2 for the blocks plus ~1.5 n^2 transiently
+    in the final assembly. Use with a LARGE block_size (e.g. 2048): the
+    O((n/b)^2) unrolled matmul count is what killed the remote compiler at
+    n=32.4k with b=1024.
+    """
+    b = int(block_size)
+    nb = -(-n // b)
+
+    if layout == "inplace":
+        l = jnp.zeros((n, n), dtype)
+        for k in range(nb):
+            s, e = k * b, min((k + 1) * b, n)
+            col = panel_fn(s, e)                   # (n - s, e - s)
+            if s:
+                col = col - jax.lax.dot_general(
+                    l[s:, :s], l[s:e, :s],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=precision)
+            lkk = jax.lax.linalg.cholesky(col[:e - s])
+            l = l.at[s:e, s:e].set(lkk)
+            if e < n:
+                linv = jax.lax.linalg.triangular_solve(
+                    lkk, jnp.eye(e - s, dtype=dtype),
+                    left_side=True, lower=True)
+                panel = jax.lax.dot_general(
+                    col[e - s:], linv,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=precision)
+                l = l.at[e:, s:e].set(panel)
+        return l
+
+    if layout != "columns":
+        raise ValueError(f"layout must be 'inplace' or 'columns', got {layout!r}")
+    cols = []                       # cols[j]: (n - j*b, bj) = L[j*b:, j-block]
+    for k in range(nb):
+        s, e = k * b, min((k + 1) * b, n)
+        col = panel_fn(s, e)                       # (n - s, e - s)
+        for j, cj in enumerate(cols):
+            js = j * b
+            col = col - jax.lax.dot_general(
+                cj[s - js:], cj[s - js:e - js],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=precision)
+        lkk = jax.lax.linalg.cholesky(col[:e - s])
+        if e < n:
+            linv = jax.lax.linalg.triangular_solve(
+                lkk, jnp.eye(e - s, dtype=dtype),
+                left_side=True, lower=True)
+            panel = jax.lax.dot_general(
+                col[e - s:], linv,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=precision)
+            cols.append(jnp.concatenate([lkk, panel], axis=0))
+        else:
+            cols.append(lkk)
+    # Assemble via a write-only dynamic_update_slice chain (disjoint
+    # regions, no interleaved reads — XLA updates the one output buffer in
+    # place; a pad+concat here transiently doubled peak memory and OOMed
+    # at n=32.4k).
+    l = jnp.zeros((n, n), dtype)
+    for k, c in enumerate(cols):
+        l = jax.lax.dynamic_update_slice(l, c, (k * b, k * b))
+    return l
+
+
+def blocked_tri_solve_lower(l, b, block_size: int = 1024,
+                            precision=jax.lax.Precision.HIGHEST):
+    """Solve L x = b (L lower-triangular) as a statically-unrolled blocked
+    forward substitution: per panel one small (bk, bk) triangular inverse +
+    two MXU matmuls, instead of XLA's serialized expander. Same O(n^2 m)
+    flops, MXU-bound instead of latency-bound — the predict-path analog of
+    `blocked_cholesky`."""
+    n = l.shape[0]
+    bs = int(block_size)
+    nb = -(-n // bs)
+    if nb <= 1:
+        return jax.lax.linalg.triangular_solve(
+            l, b, left_side=True, lower=True)
+    xs = []
+    for k in range(nb):
+        s, e = k * bs, min((k + 1) * bs, n)
+        rhs = b[s:e]
+        if s:
+            x_done = jnp.concatenate(xs, axis=0)
+            rhs = rhs - jax.lax.dot_general(
+                l[s:e, :s], x_done,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision)
+        # Invert the small diagonal block once, then one MXU matmul — the
+        # wide rhs never goes through XLA's serialized solve expander.
+        linv = jax.lax.linalg.triangular_solve(
+            l[s:e, s:e], jnp.eye(e - s, dtype=l.dtype),
+            left_side=True, lower=True)
+        xs.append(jax.lax.dot_general(
+            linv, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision))
+    return jnp.concatenate(xs, axis=0)
+
+
+def blocked_tri_solve_lower_t(l, b, block_size: int = 1024,
+                              precision=jax.lax.Precision.HIGHEST):
+    """Solve L^T x = b (backward substitution), blocked like
+    `blocked_tri_solve_lower`."""
+    n = l.shape[0]
+    bs = int(block_size)
+    nb = -(-n // bs)
+    if nb <= 1:
+        return jax.lax.linalg.triangular_solve(
+            l, b, left_side=True, lower=True, transpose_a=True)
+    xs = [None] * nb
+    for k in reversed(range(nb)):
+        s, e = k * bs, min((k + 1) * bs, n)
+        rhs = b[s:e]
+        if e < n:
+            x_done = jnp.concatenate(xs[k + 1:], axis=0)   # rows e..n
+            rhs = rhs - jax.lax.dot_general(
+                l[e:, s:e], x_done,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=precision)
+        linv = jax.lax.linalg.triangular_solve(
+            l[s:e, s:e], jnp.eye(e - s, dtype=l.dtype),
+            left_side=True, lower=True)
+        xs[k] = jax.lax.dot_general(
+            linv, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision)
+    return jnp.concatenate(xs, axis=0)
+
+
 def cholesky_with_ridge(k, diag_reg=1e-3, diag_reg_absolute_scale=False):
     """Cholesky of K + reg*I with reg = diag_reg * mean(diag K) (relative).
 

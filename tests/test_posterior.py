@@ -127,3 +127,51 @@ def test_extend_equals_full_refit(get):
     np.testing.assert_allclose(np.asarray(m_ext), np.asarray(m_full), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(v_ext), np.asarray(v_full),
                                rtol=1e-6, atol=1e-10)
+
+
+def test_fused_fit_factor_matches_dense():
+    """Left-looking fused Gram+Cholesky (the large-n single-chip fit path)
+    must reproduce the dense factor for both gets (fp64 CPU oracle)."""
+    import jax
+    from nngp_tpu.gp.posterior import _fused_fit_factor
+    from nngp_tpu.models.kernel_spec import (
+        apply_diag_recursion,
+        reference_kernel,
+    )
+    from nngp_tpu.ops.gram import input_diag
+
+    spec = reference_kernel()
+    rng = np.random.default_rng(11)
+    n = 600
+    x = jnp.asarray(rng.uniform(0, 1000, (n, 14)))
+    dn, dt = apply_diag_recursion(input_diag(x), spec.layers)
+    for get, dvec in (("nngp", dn), ("ntk", dt)):
+        reg = 1e-3 * jnp.mean(dvec)
+        l = _fused_fit_factor(spec, x, reg, get, block_size=128)
+        k = spec.kernel_fn(x, x, get)
+        idx = jnp.arange(n)
+        k = k.at[idx, idx].set(dvec + reg)
+        want = jax.lax.linalg.cholesky(k)
+        np.testing.assert_allclose(np.asarray(l), np.asarray(want),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_fused_fit_factor_columns_layout():
+    """layout='columns' (memory-lean large-n form) must match 'inplace'."""
+    import jax
+    from nngp_tpu.ops.linalg import fused_panel_cholesky
+    rng = np.random.default_rng(12)
+    n = 500
+    a = rng.standard_normal((n, n))
+    k = a @ a.T + n * np.eye(n)
+
+    def panel_fn(s, e):
+        return jnp.asarray(k[s:, s:e])
+
+    l_in = fused_panel_cholesky(panel_fn, n, jnp.float64, block_size=128,
+                                layout="inplace")
+    l_co = fused_panel_cholesky(panel_fn, n, jnp.float64, block_size=128,
+                                layout="columns")
+    want = np.linalg.cholesky(k)
+    np.testing.assert_allclose(np.asarray(l_in), want, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(l_co), want, rtol=1e-9, atol=1e-9)
