@@ -152,6 +152,7 @@ class DistributedPosterior:
     """
 
     x_storage: jax.Array                  # (n, d) permuted train inputs
+    y_storage: jax.Array                  # (n, 1) permuted train labels
     l: jax.Array                          # (n, n) sharded cyclic factor
     alpha: jax.Array                      # (n, 1) sharded, storage order
     reg: jax.Array                        # scalar ridge actually added
@@ -170,8 +171,17 @@ class DistributedPosterior:
 
     def alpha_natural(self):
         """alpha in natural train-row order (replicated; O(n))."""
+        return self._unpermute(self.alpha)
+
+    def x_natural(self):
+        return self._unpermute(self.x_storage)
+
+    def y_natural(self):
+        return self._unpermute(self.y_storage)
+
+    def _unpermute(self, arr):
         e2s = np.argsort(np.asarray(self.g2e))
-        return jnp.take(self.alpha, jnp.asarray(e2s), axis=0)
+        return jnp.take(arr, jnp.asarray(e2s), axis=0)
 
     def _cross_grams(self, x_test):
         """(nngp, ntk) cross Grams of shape (n, n_te), TRAIN-row sharded in
@@ -233,6 +243,10 @@ def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,
     n = x.shape[0]
     p = mesh.devices.size
     b = n // p if block_size is None else int(block_size)
+    if n % p or n % b or (n // b) % p:
+        raise ValueError(
+            f"n={n} must split into panels of block_size={b} with a "
+            f"multiple of p={p} panels (n % (p*block_size) == 0)")
     g2e = cyclic_storage_order(n, b, p)
 
     # Relative ridge from the O(n) diagonal recursion (exact match of
@@ -253,8 +267,8 @@ def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,
     l = distributed_cholesky(solve_k, mesh, axis_name, block_size=b)
     alpha = distributed_cho_solve(l, y_storage, mesh, axis_name, block_size=b)
     return DistributedPosterior(
-        x_storage=x_storage, l=l, alpha=alpha, reg=reg, k_tt=k_tt,
-        spec=spec, get=get, mesh=mesh, axis_name=axis_name,
+        x_storage=x_storage, y_storage=y_storage, l=l, alpha=alpha, reg=reg,
+        k_tt=k_tt, spec=spec, get=get, mesh=mesh, axis_name=axis_name,
         block_size=b, g2e=tuple(int(i) for i in g2e),
     )
 

@@ -83,12 +83,19 @@ class Estimator:
                  spec: Optional[KernelSpec] = None,
                  stats: Optional[Sequence[TableStats]] = None,
                  stats_dir: Optional[str] = None,
-                 dtype=np.float32, verbose: bool = True):
+                 dtype=np.float32, verbose: bool = True,
+                 mesh=None, dist_block_size: Optional[int] = None):
+        """mesh: optional jax.sharding.Mesh — fit and serve with the
+        row-sharded distributed posterior (parallel.distributed_fit), for
+        training sets whose n^2 Gram/factor exceed one chip's HBM. The
+        train-set size must divide the mesh size."""
         self.schema_name = schema_name
         self.chunk_size = chunk_size
         self.kernel_type = kernel_type
         self.diag_reg = diag_reg
         self.dtype = dtype
+        self.mesh = mesh
+        self.dist_block_size = dist_block_size
         self.spec = spec if spec is not None else reference_kernel()
 
         if stats is None:
@@ -108,10 +115,23 @@ class Estimator:
         x, y = self.encoder.transform_to_arrays(queries, cards, dtype=dtype)
         if verbose:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
-        self.posterior: GPPosterior = fit_gp(
-            self.spec, jnp.asarray(x), jnp.asarray(y),
-            diag_reg=diag_reg, get=kernel_type)
+        self.posterior = self._fit(jnp.asarray(x), jnp.asarray(y))
         self._validate_fit()
+
+    def _fit(self, x, y):
+        if self.mesh is None:
+            return fit_gp(self.spec, x, y, diag_reg=self.diag_reg,
+                          get=self.kernel_type)
+        from nngp_tpu.parallel import distributed_fit
+        p = self.mesh.devices.size
+        if x.shape[0] % p:
+            raise ValueError(
+                f"distributed serving needs n_train ({x.shape[0]}) divisible "
+                f"by the mesh size ({p}); drop {x.shape[0] % p} queries or "
+                "use a smaller mesh")
+        return distributed_fit(self.spec, x, y, self.mesh,
+                               diag_reg=self.diag_reg, get=self.kernel_type,
+                               block_size=self.dist_block_size)
 
     def _validate_fit(self):
         """Fail loudly at construction if the factorization degenerated
@@ -130,7 +150,8 @@ class Estimator:
 
     # Alternate constructor: restore from checkpoint (no CSVs, no refit).
     @classmethod
-    def restore(cls, ckpt_dir: str, spec: Optional[KernelSpec] = None):
+    def restore(cls, ckpt_dir: str, spec: Optional[KernelSpec] = None,
+                mesh=None):
         self = cls.__new__(cls)
         with open(os.path.join(ckpt_dir, "meta.json")) as f:
             meta = json.load(f)
@@ -149,6 +170,36 @@ class Estimator:
         self.encoder = MultiJoinEncoder(self.stats)
         self._fast = self._try_fast_encoder()
         arrs = np.load(os.path.join(ckpt_dir, "posterior.npz"))
+        if "distributed" in meta:
+            if mesh is None:
+                raise ValueError(
+                    "checkpoint holds a distributed (row-sharded) posterior;"
+                    " pass mesh= to restore it over a device mesh")
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from nngp_tpu.parallel import DistributedPosterior
+            from nngp_tpu.parallel.cholesky import cyclic_storage_order
+            d = meta["distributed"]
+            ax, b = d["axis_name"], int(d["block_size"])
+            ns = NamedSharding(mesh, P(ax, None))
+            n = arrs["l"].shape[0]
+            g2e = cyclic_storage_order(n, b, mesh.devices.size)
+            k_tt = (jax.device_put(arrs["k_tt"], ns)
+                    if "k_tt" in arrs else None)
+            self.posterior = DistributedPosterior(
+                x_storage=jax.device_put(arrs["x_storage"], ns),
+                y_storage=jax.device_put(arrs["y_storage"], ns),
+                l=jax.device_put(arrs["l"], ns),
+                alpha=jax.device_put(arrs["alpha"], ns),
+                reg=jnp.asarray(arrs["reg"]), k_tt=k_tt,
+                spec=self.spec, get=self.kernel_type, mesh=mesh,
+                axis_name=ax, block_size=b,
+                g2e=tuple(int(i) for i in g2e))
+            self.mesh = mesh
+            self.dist_block_size = b
+            return self
+        self.mesh = None
+        self.dist_block_size = None
         k_tt = jnp.asarray(arrs["k_tt_nngp"]) if "k_tt_nngp" in arrs else None
         self.posterior = GPPosterior(
             x_train=jnp.asarray(arrs["x_train"]),
@@ -161,7 +212,9 @@ class Estimator:
         return self
 
     def save(self, ckpt_dir: str):
-        """Persist Cholesky factor + alpha + encoder stats — the 'model'."""
+        """Persist Cholesky factor + alpha + encoder stats — the 'model'.
+        (A distributed posterior is gathered to host for the npz; restore
+        re-shards it over the mesh passed to `restore`.)"""
         os.makedirs(ckpt_dir, exist_ok=True)
         meta = {
             "schema_name": self.schema_name,
@@ -172,22 +225,37 @@ class Estimator:
             "spec": _spec_to_json(self.spec),
             "stats": [s.to_json() for s in self.stats],
         }
+        p = self.posterior
+        if self.mesh is not None:
+            meta["distributed"] = {"block_size": int(p.block_size),
+                                   "axis_name": p.axis_name}
+            arrs = dict(
+                x_storage=np.asarray(p.x_storage),
+                y_storage=np.asarray(p.y_storage),
+                l=np.asarray(p.l), alpha=np.asarray(p.alpha),
+                reg=np.asarray(p.reg),
+            )
+            if p.k_tt is not None:
+                arrs["k_tt"] = np.asarray(p.k_tt)
+        else:
+            arrs = dict(
+                x_train=np.asarray(p.x_train), y_train=np.asarray(p.y_train),
+                l=np.asarray(p.l), alpha=np.asarray(p.alpha),
+                reg=np.asarray(p.reg),
+            )
+            if p.k_tt_nngp is not None:
+                arrs["k_tt_nngp"] = np.asarray(p.k_tt_nngp)
         with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
-        p = self.posterior
-        arrs = dict(
-            x_train=np.asarray(p.x_train), y_train=np.asarray(p.y_train),
-            l=np.asarray(p.l), alpha=np.asarray(p.alpha),
-            reg=np.asarray(p.reg),
-        )
-        if p.k_tt_nngp is not None:
-            arrs["k_tt_nngp"] = np.asarray(p.k_tt_nngp)
         np.savez(os.path.join(ckpt_dir, "posterior.npz"), **arrs)
 
     def load_model(self, verbose: bool = True):
         """Warm-up prediction on the train set (compiles the predict program;
         mirrors `/root/reference/neuroestimator/estimator/estimator.py:37-40`)."""
-        mean, std = self.posterior.predict_mean_std(self.posterior.x_train)
+        x_warm = getattr(self.posterior, "x_train", None)
+        if x_warm is None:
+            x_warm = self.posterior.x_storage
+        mean, std = self.posterior.predict_mean_std(x_warm)
         if verbose:
             print(mean.shape, std.shape)
             print("Model construction complete.")
@@ -236,7 +304,17 @@ class Estimator:
             raise ValueError("extend_with_lines requires card >= 1 on every "
                              "labeled line (log2 of 0 is -inf)")
         y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
-        candidate = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
+        if self.mesh is not None:
+            # Distributed posterior: refit over the mesh with the extended
+            # set (the block-cyclic factor has no cheap append; the refit is
+            # O(n^3/p) and re-derives the relative ridge).
+            x_all = jnp.concatenate(
+                [self.posterior.x_natural(), jnp.asarray(x)], axis=0)
+            y_all = jnp.concatenate(
+                [self.posterior.y_natural(), jnp.asarray(y)], axis=0)
+            candidate = self._fit(x_all, y_all)
+        else:
+            candidate = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
         # validate BEFORE installing so a bad batch cannot corrupt a live
         # server (the old posterior stays authoritative on failure)
         old = self.posterior

@@ -170,3 +170,68 @@ def test_extend_with_lines_rejects_bad_cards(tmp_path):
     with pytest.raises(ValueError, match="card >= 1"):
         est.extend_with_lines(["ta,tb@x,3.0,1.0@@ta,tb,id@0"])
     assert est.posterior is before  # live model untouched
+
+
+def test_estimator_distributed_mesh(tmp_path):
+    """Estimator(mesh=...) serves from the row-sharded distributed posterior:
+    predictions match the single-device estimator, checkpoints roundtrip
+    through re-sharding, and extend_with_lines refits over the mesh."""
+    from nngp_tpu.parallel import DistributedPosterior, make_mesh
+
+    ta = TableStats("ta", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("x", "numerical", -10, 10),
+    ), chunk_size=8)
+    tb = TableStats("tb", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("y", "numerical", 0, 1),
+    ), chunk_size=8)
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    rng = np.random.default_rng(3)
+    lines = []
+    for _ in range(64):  # divisible by the 8-device mesh
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        card = max(1, int(1000 * (xu - xl)))
+        lines.append(f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id@{card}")
+    (qdir / "join_query_2.txt").write_text("\n".join(lines) + "\n")
+
+    mesh = make_mesh()
+    est_d = Estimator("toy", None, str(qdir), stats=[ta, tb],
+                      dtype=np.float64, verbose=False, mesh=mesh,
+                      dist_block_size=4)
+    est_s = Estimator("toy", None, str(qdir), stats=[ta, tb],
+                      dtype=np.float64, verbose=False)
+    assert isinstance(est_d.posterior, DistributedPosterior)
+
+    test_lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+                  "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    mean_d, std_d = est_d.predict(test_lines)
+    mean_s, std_s = est_s.predict(test_lines)
+    np.testing.assert_allclose(mean_d, mean_s, rtol=1e-8)
+    np.testing.assert_allclose(std_d, std_s, rtol=1e-6, atol=1e-10)
+
+    # checkpoint roundtrip re-shards over the mesh
+    ckpt = tmp_path / "ckpt_dist"
+    est_d.save(str(ckpt))
+    with pytest.raises(ValueError, match="mesh"):
+        Estimator.restore(str(ckpt))
+    est_r = Estimator.restore(str(ckpt), mesh=mesh)
+    mean_r, std_r = est_r.predict(test_lines)
+    np.testing.assert_allclose(mean_r, mean_d, rtol=1e-12)
+    np.testing.assert_allclose(std_r, std_d, rtol=1e-12)
+
+    # online labeled feedback: distributed refit (32 new rows keeps
+    # n % (p * block_size) == 0 for b=4, p=8)
+    new_lines = []
+    for _ in range(32):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        card = max(1, int(1000 * (xu - xl)))
+        new_lines.append(f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id@{card}")
+    added = est_d.extend_with_lines(new_lines)
+    assert added == 32
+    assert est_d.posterior.num_train == 96
+    mean_e, std_e = est_d.predict(test_lines)
+    assert np.all(np.isfinite(mean_e)) and np.all(std_e >= 0)
