@@ -117,6 +117,20 @@ def main():
     extras["streaming_batches"] = st["batches"]
     extras["streaming_p95_latency_ms"] = round(st["p95_latency_ms"], 2)
 
+    # Multi-join end-to-end: featurize + fit + q-error on the committed
+    # synthetic 3-table star-schema workload (2,400 labeled join queries).
+    from nngp_tpu.data.workload import load_multi_join_workload
+    xj, yj, infos_j, _enc = load_multi_join_workload(
+        "workloads/synth_join_data", schema_name="synth")
+    xj_tr, yj_tr, _, xj_te, yj_te, _, _, _, _ = train_test_val_split(
+        xj, yj, train_frac=0.6, test_frac=0.2, all_query_infos=infos_j)
+    pj = fit_gp(spec, jnp.asarray(np.asarray(xj_tr, np.float32)),
+                jnp.asarray(np.asarray(yj_tr, np.float32)), diag_reg=1e-3)
+    mj, _sj = pj.predict_mean_std(jnp.asarray(np.asarray(xj_te, np.float32)))
+    qj = symmetric_qerror(np.asarray(mj).ravel() - np.asarray(yj_te).ravel())
+    extras["join_median_qerror"] = round(float(np.median(qj)), 4)
+    extras["join_p95_qerror"] = round(float(np.quantile(qj, 0.95)), 4)
+
     if not fast:
         # Scale row: 2x train set (random features — wall-clock only).
         rng = np.random.default_rng(0)

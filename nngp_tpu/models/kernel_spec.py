@@ -193,6 +193,9 @@ class KernelSpec:
                     d = layer.width
             return params
 
+        acts = {"relu": jax.nn.relu, "erf": jax.lax.erf,
+                "sin": jnp.sin, "abs": jnp.abs}
+
         def apply(params, x):
             h = x
             it = iter(params)
@@ -200,10 +203,8 @@ class KernelSpec:
                 if isinstance(layer, Dense):
                     w, b, fan_in = next(it)
                     h = h @ w / jnp.sqrt(fan_in) + b
-                elif layer.name == "relu":
-                    h = jax.nn.relu(h)
-                elif layer.name == "erf":
-                    h = jax.lax.erf(h)
+                else:
+                    h = acts[layer.name](h)
             return h
 
         return init, apply

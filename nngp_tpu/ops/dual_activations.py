@@ -87,6 +87,55 @@ def erf_diag(k):
     return (2.0 / _PI) * _arcsin(2.0 * k / (1.0 + 2.0 * k))
 
 
+def sin_nngp(k12, k11, k22):
+    """NNGP dual of sin: E[sin u sin v] = e^{-(k11+k22)/2} sinh(k12)
+    (from E[cos w] = e^{-Var w / 2} applied to w = u -+ v). Computed as a
+    difference of exps with non-positive arguments (|k12| <= (k11+k22)/2 by
+    AM-GM), so it never overflows even for huge covariances."""
+    a = -0.5 * (k11 + k22)
+    return 0.5 * (jnp.exp(a + k12) - jnp.exp(a - k12))
+
+
+def sin_ntk_mult(k12, k11, k22):
+    """Derivative dual of sin: E[cos u cos v] = e^{-(k11+k22)/2} cosh(k12)."""
+    a = -0.5 * (k11 + k22)
+    return 0.5 * (jnp.exp(a + k12) + jnp.exp(a - k12))
+
+
+def sin_diag(k):
+    """T(k; k, k) = e^{-k} sinh(k) = (1 - e^{-2k}) / 2."""
+    return 0.5 * (1.0 - jnp.exp(-2.0 * k))
+
+
+def sin_ntk_mult_diag(k):
+    """Tdot(k; k, k) = e^{-k} cosh(k) = (1 + e^{-2k}) / 2."""
+    return 0.5 * (1.0 + jnp.exp(-2.0 * k))
+
+
+def abs_nngp(k12, k11, k22):
+    """NNGP dual of |x| via |x| = relu(x) + relu(-x): the four cross terms
+    pair into 2 T_relu(k12) + 2 T_relu(-k12) (negating one variable negates
+    the cross covariance). Diag sanity: 2*(k/2) + 0 = k = E[|u|^2]."""
+    return 2.0 * (relu_nngp(k12, k11, k22) + relu_nngp(-k12, k11, k22))
+
+
+def abs_ntk_mult(k12, k11, k22):
+    """Derivative dual of |x|: E[sign(u) sign(v)] = (pi - 2 theta)/pi
+    = 2 Tdot_relu(k12) - 2 Tdot_relu(-k12)."""
+    return 2.0 * (relu_ntk_mult(k12, k11, k22)
+                  - relu_ntk_mult(-k12, k11, k22))
+
+
+def abs_diag(k):
+    """T(k; k, k) = E[|u|^2] = k exactly."""
+    return k
+
+
+def abs_ntk_mult_diag(k):
+    """Tdot(k; k, k) = E[sign(u)^2] = 1 exactly."""
+    return jnp.ones_like(k)
+
+
 def relu_ntk_mult_diag(k):
     """Tdot(k; k, k) = (pi - acos(1)) / (2 pi) = 1/2 exactly. The generic
     formula computes acos(k * rsqrt(k*k)) whose sqrt(eps) sensitivity at
@@ -105,12 +154,16 @@ def erf_ntk_mult_diag(k):
 DUALS = {
     "relu": (relu_nngp, relu_ntk_mult, relu_diag),
     "erf": (erf_nngp, erf_ntk_mult, erf_diag),
+    "sin": (sin_nngp, sin_ntk_mult, sin_diag),
+    "abs": (abs_nngp, abs_ntk_mult, abs_diag),
 }
 
 # Exact on-diagonal NTK multipliers (apply_diag_recursion).
 DUALS_NTK_DIAG = {
     "relu": relu_ntk_mult_diag,
     "erf": erf_ntk_mult_diag,
+    "sin": sin_ntk_mult_diag,
+    "abs": abs_ntk_mult_diag,
 }
 
 
@@ -138,9 +191,19 @@ def _make_fast_duals():
     def erf_diag_f(k):
         return (2.0 / _PI) * asin_fast(2.0 * k / (1.0 + 2.0 * k))
 
+    def abs_nngp_f(k12, k11, k22):
+        return 2.0 * (relu_nngp_f(k12, k11, k22)
+                      + relu_nngp_f(-k12, k11, k22))
+
+    def abs_ntk_mult_f(k12, k11, k22):
+        return 2.0 * (relu_ntk_mult_f(k12, k11, k22)
+                      - relu_ntk_mult_f(-k12, k11, k22))
+
     return {
         "relu": (relu_nngp_f, relu_ntk_mult_f, relu_diag),
         "erf": (erf_nngp_f, erf_ntk_mult, erf_diag_f),
+        "sin": (sin_nngp, sin_ntk_mult, sin_diag),   # no arccos to speed up
+        "abs": (abs_nngp_f, abs_ntk_mult_f, abs_diag),
     }
 
 

@@ -91,3 +91,75 @@ def test_relu_clipping_robust_to_fp32_overshoot():
     out = float(da.relu_nngp(k, np.float32(1.0), np.float32(1.0)))
     assert np.isfinite(out)
     assert out == pytest.approx(0.5, rel=1e-5)
+
+
+@pytest.mark.parametrize("k11,k12,k22", [
+    (1.0, 0.5, 1.0),
+    (2.0, -0.3, 0.7),
+    (0.5, 0.2, 0.8),
+])
+def test_sin_duals_match_monte_carlo(k11, k12, k22):
+    mc = _mc_dual(np.sin, k11, k12, k22)
+    got = float(da.sin_nngp(np.float64(k12), np.float64(k11), np.float64(k22)))
+    assert abs(got - mc) < 5e-3
+    mc_dot = _mc_dual(np.cos, k11, k12, k22)
+    got_dot = float(da.sin_ntk_mult(np.float64(k12), np.float64(k11),
+                                    np.float64(k22)))
+    assert abs(got_dot - mc_dot) < 5e-3
+
+
+def test_sin_dual_no_overflow_at_feature_scale():
+    # [0,1000]-scaled features give covariances ~1e5: the stable form must
+    # return 0 (fully decorrelated), not inf*0 = NaN.
+    out = float(da.sin_nngp(np.float64(9e4), np.float64(1e5), np.float64(1e5)))
+    assert np.isfinite(out)
+    assert float(da.sin_diag(np.float64(1e5))) == pytest.approx(0.5)
+
+
+@pytest.mark.parametrize("k11,k12,k22", [
+    (1.0, 0.5, 1.0),
+    (2.0, -0.3, 0.7),
+    (5.0, 2.0, 3.0),
+])
+def test_abs_duals_match_monte_carlo(k11, k12, k22):
+    mc = _mc_dual(np.abs, k11, k12, k22)
+    got = float(da.abs_nngp(np.float64(k12), np.float64(k11), np.float64(k22)))
+    assert abs(got - mc) < 5e-3 * max(1.0, abs(mc))
+    mc_dot = _mc_dual(np.sign, k11, k12, k22)
+    got_dot = float(da.abs_ntk_mult(np.float64(k12), np.float64(k11),
+                                    np.float64(k22)))
+    assert abs(got_dot - mc_dot) < 5e-3
+
+
+def test_sin_abs_diag_consistency():
+    k = np.float64(0.7)
+    assert float(da.sin_diag(k)) == pytest.approx(
+        float(da.sin_nngp(k, k, k)), rel=1e-12)
+    assert float(da.abs_diag(k)) == pytest.approx(
+        float(da.abs_nngp(k, k, k)), rel=1e-10)
+    assert float(da.abs_ntk_mult_diag(k)) == pytest.approx(1.0)
+    assert float(da.sin_ntk_mult_diag(k)) == pytest.approx(
+        float(da.sin_ntk_mult(k, k, k)), rel=1e-12)
+
+
+def test_new_activations_work_in_kernel_spec():
+    """End-to-end: finite-width MC kernel of a sin / abs MLP must approach
+    the closed-form NNGP (architecture grammar accepts the new names)."""
+    import jax
+    import jax.numpy as jnp
+    from nngp_tpu.models.kernel_spec import KernelSpec, mlp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((6, 4)))
+    for name in ("sin", "abs"):
+        spec = KernelSpec(mlp(1, width=4096, activation=name))
+        k = np.asarray(spec.kernel_fn(x, x, "nngp"))
+        init, apply = spec.init_apply()
+        outs = []
+        for s in range(200):
+            params = init(jax.random.PRNGKey(s), 4)
+            outs.append(np.asarray(apply(params, x)).ravel())
+        emp = np.cov(np.stack(outs, axis=1), bias=True) \
+            + np.outer(np.mean(outs, 0), np.mean(outs, 0))
+        scale = np.abs(k).max()
+        assert np.abs(emp - k).max() < 0.2 * scale
