@@ -39,7 +39,6 @@ from nngp_tpu.models.kernel_spec import KernelSpec
 from nngp_tpu.ops.linalg import (
     blocked_cholesky,
     cholesky_append_rows,
-    cholesky_with_ridge,
 )
 
 # Above this size the fit fuses Gram assembly into a left-looking blocked

@@ -42,11 +42,15 @@ def blocked_cholesky(a, block_size: int = 512,
     n = a.shape[0]
     b = int(block_size)
     nb = -(-n // b)
+    # symmetrize_input=False throughout: the algorithm only reads the lower
+    # triangle, and callers legitimately pass Grams whose strictly-upper
+    # tiles are garbage (gram_pallas mirror='lower'); XLA's default
+    # (a+a^T)/2 symmetrization would fold that garbage into the factor.
     if nb <= 1:
-        return jax.lax.linalg.cholesky(a)
+        return jax.lax.linalg.cholesky(a, symmetrize_input=False)
     for k in range(nb):
         s, e = k * b, min((k + 1) * b, n)
-        lkk = jax.lax.linalg.cholesky(a[s:e, s:e])
+        lkk = jax.lax.linalg.cholesky(a[s:e, s:e], symmetrize_input=False)
         a = a.at[s:e, s:e].set(lkk)
         if e == n:
             break
@@ -110,7 +114,8 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
                     l[s:, :s], l[s:e, :s],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     precision=precision)
-            lkk = jax.lax.linalg.cholesky(col[:e - s])
+            lkk = jax.lax.linalg.cholesky(col[:e - s],
+                                      symmetrize_input=False)
             l = l.at[s:e, s:e].set(lkk)
             if e < n:
                 linv = jax.lax.linalg.triangular_solve(
@@ -135,7 +140,8 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
                 cj[s - js:], cj[s - js:e - js],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 precision=precision)
-        lkk = jax.lax.linalg.cholesky(col[:e - s])
+        lkk = jax.lax.linalg.cholesky(col[:e - s],
+                                      symmetrize_input=False)
         if e < n:
             linv = jax.lax.linalg.triangular_solve(
                 lkk, jnp.eye(e - s, dtype=dtype),

@@ -25,6 +25,7 @@ with compute.
 """
 
 import dataclasses
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -180,8 +181,7 @@ class DistributedPosterior:
         return self._unpermute(self.y_storage)
 
     def _unpermute(self, arr):
-        e2s = np.argsort(np.asarray(self.g2e))
-        return jnp.take(arr, jnp.asarray(e2s), axis=0)
+        return jnp.take(arr, _e2s_device(self.g2e), axis=0)
 
     def _cross_grams(self, x_test):
         """(nngp, ntk) cross Grams of shape (n, n_te), TRAIN-row sharded in
@@ -214,12 +214,19 @@ class DistributedPosterior:
         w = distributed_cho_solve(self.l, ntk_cross, mesh, ax, block_size=bs)
         # K_tt columns are in natural order -> contract against w in natural
         # row order (an O(n*te) gather, the one resharding this path needs).
-        e2s = jnp.asarray(np.argsort(np.asarray(self.g2e)))
-        w_natural = jnp.take(w, e2s, axis=0)
+        w_natural = jnp.take(w, _e2s_device(self.g2e), axis=0)
         kw = self.k_tt @ w_natural                          # (n, te) sharded
         var = (diag_ss + jnp.sum(w * kw, axis=0)
                - 2.0 * jnp.sum(nngp_cross * w, axis=0))
         return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+@lru_cache(maxsize=16)
+def _e2s_device(g2e: tuple):
+    """Inverse storage permutation as a device array, cached per layout —
+    recomputing the O(n log n) argsort on every serving call would sit on
+    the latency path (predict/_unpermute are called per batch)."""
+    return jnp.asarray(np.argsort(np.asarray(g2e, dtype=np.int64)))
 
 
 def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,

@@ -137,9 +137,19 @@ class Estimator:
         """Fail loudly at construction if the factorization degenerated
         (non-SPD Gram from corrupt inputs shows up as NaNs in L/alpha) —
         the reference has no failure detection at all (SURVEY.md section 5)."""
+        p = self.posterior
+        g2e = getattr(p, "g2e", None)
+        if g2e is not None:
+            # Block-cyclic storage: storage row s holds elimination row
+            # g2e[s], so the factor's pivots live at l[s, g2e[s]] — the
+            # plain array diagonal is an arbitrary (often zero) entry.
+            n = p.l.shape[0]
+            diag = p.l[jnp.arange(n), jnp.asarray(g2e)]
+        else:
+            diag = jnp.diagonal(p.l)
         probes = jnp.stack([
-            jnp.isfinite(self.posterior.alpha).all(),
-            jnp.isfinite(jnp.diagonal(self.posterior.l)).all(),
+            jnp.isfinite(p.alpha).all(),
+            jnp.isfinite(diag).all(),
         ])
         ok_alpha, ok_l = np.asarray(probes)
         if not (ok_alpha and ok_l):
@@ -181,6 +191,14 @@ class Estimator:
             from nngp_tpu.parallel.cholesky import cyclic_storage_order
             d = meta["distributed"]
             ax, b = d["axis_name"], int(d["block_size"])
+            saved_p = int(d.get("mesh_size", 0))
+            if saved_p and mesh.devices.size != saved_p:
+                # The block-cyclic storage permutation is a function of the
+                # fit-time mesh size; a different p would silently
+                # mispermute every row.
+                raise ValueError(
+                    f"checkpoint was fit on a {saved_p}-device mesh; "
+                    f"restore mesh has {mesh.devices.size} devices")
             ns = NamedSharding(mesh, P(ax, None))
             n = arrs["l"].shape[0]
             g2e = cyclic_storage_order(n, b, mesh.devices.size)
@@ -228,7 +246,8 @@ class Estimator:
         p = self.posterior
         if self.mesh is not None:
             meta["distributed"] = {"block_size": int(p.block_size),
-                                   "axis_name": p.axis_name}
+                                   "axis_name": p.axis_name,
+                                   "mesh_size": int(self.mesh.devices.size)}
             arrs = dict(
                 x_storage=np.asarray(p.x_storage),
                 y_storage=np.asarray(p.y_storage),

@@ -44,6 +44,7 @@ class StreamingBatcher:
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._running = True
         self._lock = threading.Lock()
+        self._submit_lock = threading.Lock()
         # metrics
         self._n_requests = 0
         self._n_batches = 0
@@ -57,10 +58,13 @@ class StreamingBatcher:
     # ------------------------------------------------------------- client
     def submit(self, item) -> Future:
         """Enqueue one request; resolves to (mean, std) scalars."""
-        if not self._running:
-            raise RuntimeError("StreamingBatcher is closed")
         fut: Future = Future()
-        self._queue.put((item, fut, time.monotonic()))
+        # _submit_lock pairs with close(): no request can slip past the
+        # _running check after close() decided the final drain.
+        with self._submit_lock:
+            if not self._running:
+                raise RuntimeError("StreamingBatcher is closed")
+            self._queue.put((item, fut, time.monotonic()))
         return fut
 
     def predict(self, items: Sequence) -> Tuple[np.ndarray, np.ndarray]:
@@ -109,6 +113,13 @@ class StreamingBatcher:
                 mean, std = self._predict_fn(items)
                 mean = np.asarray(mean).ravel()
                 std = np.asarray(std).ravel()
+                if mean.shape[0] != len(batch):
+                    # e.g. Estimator.predict silently drops blank lines —
+                    # resolving positionally would hand each later client
+                    # its neighbor's prediction. Fail the batch loudly.
+                    raise ValueError(
+                        f"predict_fn returned {mean.shape[0]} results for "
+                        f"{len(batch)} requests (did it drop empty items?)")
                 done = time.monotonic()
                 with self._lock:
                     self._n_requests += len(batch)
@@ -140,9 +151,22 @@ class StreamingBatcher:
             }
 
     def close(self, timeout: float = 10.0):
-        """Stop accepting requests, drain the queue, join the dispatcher."""
-        self._running = False
+        """Stop accepting requests, drain the queue, join the dispatcher.
+        Anything still unresolved afterwards (dispatcher hung past the
+        timeout) gets its future failed rather than left hanging."""
+        with self._submit_lock:
+            self._running = False
         self._thread.join(timeout=timeout)
+        # Fail any leftovers so no client blocks forever on fut.result().
+        try:
+            while True:
+                _, fut, _ = self._queue.get_nowait()
+                if not fut.done():
+                    fut.set_exception(
+                        RuntimeError("StreamingBatcher closed before this "
+                                     "request was dispatched"))
+        except queue.Empty:
+            pass
 
     def __enter__(self):
         return self

@@ -175,3 +175,17 @@ def test_fused_fit_factor_columns_layout():
     want = np.linalg.cholesky(k)
     np.testing.assert_allclose(np.asarray(l_in), want, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(l_co), want, rtol=1e-9, atol=1e-9)
+
+
+def test_blocked_cholesky_ignores_garbage_upper_triangle():
+    """The documented pairing with gram_pallas(mirror='lower'): strictly-
+    upper garbage must not leak into the factor (no input symmetrization)."""
+    from nngp_tpu.ops.linalg import blocked_cholesky
+    rng = np.random.default_rng(13)
+    n = 300
+    a = rng.standard_normal((n, n))
+    k = a @ a.T + n * np.eye(n)
+    dirty = np.tril(k) + np.triu(np.full((n, n), np.nan), 1)
+    l = blocked_cholesky(jnp.asarray(dirty), block_size=128)
+    np.testing.assert_allclose(np.asarray(l), np.linalg.cholesky(k),
+                               rtol=1e-9, atol=1e-9)

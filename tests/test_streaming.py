@@ -127,3 +127,18 @@ def test_streaming_drains_queue_on_close():
     server.close(timeout=30)
     assert all(f.done() for f in futs)
     assert sorted(seen) == list(range(30))
+
+
+def test_streaming_rejects_length_mismatch():
+    """predict_fn that silently drops items (e.g. blank query lines) must
+    fail the batch loudly, not hand clients their neighbors' predictions."""
+    def dropping_fn(items):
+        kept = [i for i in items if i != "blank"]
+        v = np.arange(len(kept), dtype=float)
+        return v, v
+
+    with StreamingBatcher(dropping_fn, max_wait_ms=20.0) as server:
+        futs = [server.submit(x) for x in ["a", "blank", "b"]]
+        for f in futs:
+            with pytest.raises(ValueError, match="results for"):
+                f.result(timeout=30)
