@@ -48,6 +48,13 @@ from nngp_tpu.ops.linalg import (
 # full-width masked expander loop. Below it, plain XLA wins on compile time.
 _FUSED_FIT_MIN_N = 4096
 
+# Above this size the fused fit keeps the factor as triangular COLUMN BLOCKS
+# (`BlockLowerTriangular`) end to end — factor, solves, predict, extend all
+# read the blocks — so peak memory is ~n^2/2 and the dense assembly's
+# ~1.5 n^2 transient (the round-2 43.2k OOM) never happens. Below it the
+# dense in-place layout compiles to fewer HLOs and wins on wall-clock.
+_BLOCK_LAYOUT_MIN_N = 28000
+
 
 def _cholesky(solve_k):
     n = solve_k.shape[0]
@@ -60,11 +67,18 @@ def _cholesky(solve_k):
 def _tri_solve(l, b, transpose=False):
     """Lower-triangular solve, routed to the statically-blocked version at
     large n (XLA's solve expander is latency-bound on wide right-hand
-    sides — the predict path's O(n^2 m) hot op)."""
+    sides — the predict path's O(n^2 m) hot op). Accepts either a dense
+    factor or a `BlockLowerTriangular` (the >28k single-chip form)."""
     from nngp_tpu.ops.linalg import (
+        BlockLowerTriangular,
+        block_tri_solve_lower,
+        block_tri_solve_lower_t,
         blocked_tri_solve_lower,
         blocked_tri_solve_lower_t,
     )
+    if isinstance(l, BlockLowerTriangular):
+        fn = block_tri_solve_lower_t if transpose else block_tri_solve_lower
+        return fn(l, b)
     if l.shape[0] >= _FUSED_FIT_MIN_N:
         fn = blocked_tri_solve_lower_t if transpose else blocked_tri_solve_lower
         return fn(l, b, block_size=1024)
@@ -100,16 +114,29 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
         # diagonal carries sqrt(eps) acos(rho=1) noise, worst for NTK).
         return col.at[idx, idx].set(diag_solve[s:e] + reg)
 
-    if n < 28000:
+    if n < _BLOCK_LAYOUT_MIN_N:
         # fastest form; its ~2-3 n^2 peak fits comfortably here
         return fused_panel_cholesky(
             panel_fn, n, x.dtype, layout="inplace",
             block_size=block_size if n < 16384 else 2 * block_size,
             precision=precision)
-    # memory-lean column blocks; large panels keep the unrolled op count
-    # small enough for the compiler
+    # memory-lean column blocks kept AS the factor (BlockLowerTriangular):
+    # peak stays ~n^2/2 — the dense assembly's 1.5 n^2 transient is what
+    # OOMed 43.2k. Large panels keep the unrolled op count small enough
+    # for the remote compiler. (The n < 28000 guard only fails in tests,
+    # which shrink _BLOCK_LAYOUT_MIN_N — keep their block_size small so the
+    # multi-block paths are exercised.)
+    # Panel width scales with n to hold the unrolled update-matmul count
+    # (~(n/b)^2/2) under the remote compiler's limit (~500 big matmul HLOs
+    # got the compile helper SIGKILLed at 32.4k/b=1024).
+    if n >= 48000:
+        bs = 4096
+    elif n >= 28000:
+        bs = 2048
+    else:
+        bs = block_size   # tests shrink _BLOCK_LAYOUT_MIN_N
     return fused_panel_cholesky(
-        panel_fn, n, x.dtype, layout="columns", block_size=2048,
+        panel_fn, n, x.dtype, layout="blocks", block_size=bs,
         precision=precision)
 
 
@@ -121,7 +148,8 @@ class GPPosterior:
 
     x_train: jax.Array          # (n, d)
     y_train: jax.Array          # (n, 1)
-    l: jax.Array                # (n, n) lower Cholesky of solve-kernel + r I
+    l: jax.Array                # (n, n) lower Cholesky of solve-kernel + r I;
+                                # a BlockLowerTriangular above n ~ 28k
     alpha: jax.Array            # (n, 1) (solve-kernel + r I)^-1 Y
     reg: jax.Array              # scalar ridge actually added
     k_tt_nngp: Optional[jax.Array]  # (n, n) train NNGP Gram; None unless get='ntk'
@@ -225,9 +253,20 @@ class GPPosterior:
         # Gram; re-deriving it from the extended Gram would silently change
         # the model the factor represents).
         k22 = k22 + self.reg * jnp.eye(m, dtype=k22.dtype)
-        l_ext = cholesky_append_rows(self.l, k21, k22)
+        from nngp_tpu.ops.linalg import (
+            BlockLowerTriangular,
+            block_cholesky_append_rows,
+        )
         y_ext = jnp.concatenate([self.y_train, y_new], axis=0)
-        alpha = jax.scipy.linalg.cho_solve((l_ext, True), y_ext)
+        if isinstance(self.l, BlockLowerTriangular):
+            # >28k fits keep the factor as column blocks; the append extends
+            # each block in place of a dense O((n+m)^2) rebuild.
+            l_ext = block_cholesky_append_rows(self.l, k21, k22)
+            alpha = _tri_solve(l_ext, _tri_solve(l_ext, y_ext),
+                               transpose=True)
+        else:
+            l_ext = cholesky_append_rows(self.l, k21, k22)
+            alpha = jax.scipy.linalg.cho_solve((l_ext, True), y_ext)
         k_tt = None
         if self.get == "ntk":
             k_tt = jnp.block([[self.k_tt_nngp, n21.T], [n21, n22]])
@@ -241,8 +280,10 @@ class GPPosterior:
         )
 
 
-@partial(jax.jit, static_argnames=("spec", "get", "diag_reg", "absolute"))
-def _fit_impl(x, y, spec, get, diag_reg, absolute):
+@partial(jax.jit, static_argnames=("spec", "get", "diag_reg", "absolute",
+                                   "fused_min_n"))
+def _fit_impl(x, y, spec, get, diag_reg, absolute,
+              fused_min_n=_FUSED_FIT_MIN_N):
     """Top-level cached jit — one compilation per (spec, get, shapes), so
     repeated fits (active-learning refits, serving restarts) don't retrace.
 
@@ -261,14 +302,19 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute):
         diag_vec = diag_nngp if get == "nngp" else diag_ntk
         reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
 
-    if get == "nngp" and n >= _FUSED_FIT_MIN_N:
+    if n >= fused_min_n:
         # Large-n fast path: Gram fused into the factorization, one live
-        # n^2 buffer total. Blocked solves for alpha: XLA's triangular
-        # expander allocates an extra n^2 workspace that busts HBM at the
-        # sizes this path exists for.
-        l = _fused_fit_factor(spec, x, reg, "nngp")
+        # n^2 buffer for the factor (column blocks = n^2/2 above 28k).
+        # Blocked solves for alpha: XLA's triangular expander allocates an
+        # extra n^2 workspace that busts HBM at the sizes this path exists
+        # for. For get='ntk' the NNGP train Gram (needed by the posterior
+        # covariance) is one extra XLA-fused Gram pass — O(n^2 d) is ~1% of
+        # the O(n^3/3) factorization — so the NTK fit holds 2 live n^2
+        # buffers (k_tt + factor) instead of round 1's 3 (k_tt + theta + L).
+        keep_nngp = spec.kernel_fn(x, x, "nngp") if get == "ntk" else None
+        l = _fused_fit_factor(spec, x, reg, get)
         alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
-        return l, alpha, reg, None
+        return l, alpha, reg, keep_nngp
 
     idx = jnp.arange(n)
     if get == "nngp":
@@ -301,7 +347,11 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         y_train = y_train[:, None]
     x_train = jnp.asarray(x_train)
     l, alpha, reg, k_tt_nngp = _fit_impl(
-        x_train, y_train, spec, get, float(diag_reg), bool(diag_reg_absolute_scale)
+        x_train, y_train, spec, get, float(diag_reg),
+        bool(diag_reg_absolute_scale),
+        # read at call time (not trace time) so the threshold is part of the
+        # jit cache key — tests shrink it to force the block-factor path
+        fused_min_n=_FUSED_FIT_MIN_N,
     )
     return GPPosterior(
         x_train=x_train,

@@ -8,6 +8,10 @@ from nngp_tpu.ops.dual_activations import (
 )
 from nngp_tpu.ops.gram import input_gram, input_diag
 from nngp_tpu.ops.linalg import (
+    BlockLowerTriangular,
+    block_cholesky_append_rows,
+    block_tri_solve_lower,
+    block_tri_solve_lower_t,
     blocked_cholesky,
     cholesky_with_ridge,
     cho_solve,
@@ -17,6 +21,10 @@ from nngp_tpu.ops.linalg import (
 )
 
 __all__ = [
+    "BlockLowerTriangular",
+    "block_cholesky_append_rows",
+    "block_tri_solve_lower",
+    "block_tri_solve_lower_t",
     "blocked_cholesky",
     "fused_panel_cholesky",
     "relu_nngp",

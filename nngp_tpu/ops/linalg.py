@@ -16,6 +16,54 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
+class BlockLowerTriangular:
+    """Lower-triangular factor stored as triangular COLUMN BLOCKS: block k
+    is the (n - starts[k], widths[k]) array L[starts[k]:, starts[k]:starts[k+1]]
+    — the dense n x n array never exists. This is the memory form that breaks
+    the single-chip fit ceiling: total storage is ~n^2/2 and no op (factor,
+    solve, extend) ever touches a full n x n operand, vs the ~2-3 live n^2
+    buffers of the dense layouts (see `fused_panel_cholesky`).
+
+    A pytree (blocks are leaves; starts/n are static aux data), so it drops
+    into `GPPosterior.l` and flows through jit/donation/checkpointing like a
+    plain array. Solves: `block_tri_solve_lower(_t)`; appending rows (active
+    learning): `block_cholesky_append_rows`.
+    """
+
+    def __init__(self, blocks, starts, n):
+        self.blocks = tuple(blocks)
+        self.starts = tuple(int(s) for s in starts)   # len nb+1; [0, ..., n]
+        self.n = int(n)
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.blocks[0].dtype
+
+    def diagonal(self):
+        return jnp.concatenate(
+            [jnp.diagonal(b[: b.shape[1]]) for b in self.blocks])
+
+    def to_dense(self):
+        """Assemble the full lower-triangular array (write-only
+        dynamic_update_slice chain — XLA builds it in one buffer)."""
+        l = jnp.zeros((self.n, self.n), self.dtype)
+        for s, b in zip(self.starts, self.blocks):
+            l = jax.lax.dynamic_update_slice(l, b, (s, s))
+        return l
+
+    def tree_flatten(self):
+        return self.blocks, (self.starts, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, blocks):
+        return cls(blocks, aux[0], aux[1])
+
+
 def blocked_cholesky(a, block_size: int = 512,
                      precision=jax.lax.Precision.HIGHEST,
                      zero_upper: bool = True):
@@ -100,6 +148,11 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
     in the final assembly. Use with a LARGE block_size (e.g. 2048): the
     O((n/b)^2) unrolled matmul count is what killed the remote compiler at
     n=32.4k with b=1024.
+
+    layout='blocks': same factorization but the column blocks are returned
+    AS the factor (a `BlockLowerTriangular`) — the final n x n assembly and
+    its ~1.5 n^2 transient never happen, peak stays ~n^2/2. The form that
+    fits n=43.2k on one 16 GB chip.
     """
     b = int(block_size)
     nb = -(-n // b)
@@ -128,8 +181,9 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
                 l = l.at[e:, s:e].set(panel)
         return l
 
-    if layout != "columns":
-        raise ValueError(f"layout must be 'inplace' or 'columns', got {layout!r}")
+    if layout not in ("columns", "blocks"):
+        raise ValueError(
+            f"layout must be 'inplace', 'columns' or 'blocks', got {layout!r}")
     cols = []                       # cols[j]: (n - j*b, bj) = L[j*b:, j-block]
     for k in range(nb):
         s, e = k * b, min((k + 1) * b, n)
@@ -153,14 +207,15 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
             cols.append(jnp.concatenate([lkk, panel], axis=0))
         else:
             cols.append(lkk)
-    # Assemble via a write-only dynamic_update_slice chain (disjoint
-    # regions, no interleaved reads — XLA updates the one output buffer in
-    # place; a pad+concat here transiently doubled peak memory and OOMed
-    # at n=32.4k).
-    l = jnp.zeros((n, n), dtype)
-    for k, c in enumerate(cols):
-        l = jax.lax.dynamic_update_slice(l, c, (k * b, k * b))
-    return l
+    starts = [min(k * b, n) for k in range(nb + 1)]
+    bf = BlockLowerTriangular(cols, starts, n)
+    if layout == "blocks":
+        return bf
+    # 'columns': assemble via a write-only dynamic_update_slice chain
+    # (disjoint regions, no interleaved reads — XLA updates the one output
+    # buffer in place; a pad+concat here transiently doubled peak memory
+    # and OOMed at n=32.4k).
+    return bf.to_dense()
 
 
 def blocked_tri_solve_lower(l, b, block_size: int = 1024,
@@ -257,6 +312,81 @@ def tri_solve_lower_t(l, b):
 def cho_solve(l, b):
     """Solve (L L^T) x = b."""
     return tri_solve_lower_t(l, tri_solve_lower(l, b))
+
+
+def block_tri_solve_lower(bf: BlockLowerTriangular, b,
+                          precision=jax.lax.Precision.HIGHEST):
+    """Solve L x = b with L stored as column blocks — right-looking forward
+    substitution reading ONLY the stored blocks (no dense L anywhere). Per
+    block: one small (w, w) triangular inverse + two MXU matmuls; total
+    n^2 m / 2 flops like the dense version."""
+    xs = []
+    tail = b                                 # residual rhs rows starts[k]..n
+    for k, blk in enumerate(bf.blocks):
+        w = bf.starts[k + 1] - bf.starts[k]
+        head, tail = tail[:w], tail[w:]
+        linv = jax.lax.linalg.triangular_solve(
+            blk[:w], jnp.eye(w, dtype=blk.dtype), left_side=True, lower=True)
+        xk = jax.lax.dot_general(
+            linv, head, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision)
+        xs.append(xk)
+        if bf.starts[k + 1] < bf.n:
+            tail = tail - jax.lax.dot_general(
+                blk[w:], xk, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=precision)
+    return jnp.concatenate(xs, axis=0)
+
+
+def block_tri_solve_lower_t(bf: BlockLowerTriangular, b,
+                            precision=jax.lax.Precision.HIGHEST):
+    """Solve L^T x = b (backward substitution) on the column-block factor:
+    block k's below-diagonal panel IS the L^T row chunk the update needs, so
+    no transposed dense view is ever formed."""
+    nb = len(bf.blocks)
+    xs = [None] * nb
+    x_below = None                            # rows starts[k+1]..n of x
+    for k in reversed(range(nb)):
+        blk = bf.blocks[k]
+        s, e = bf.starts[k], bf.starts[k + 1]
+        w = e - s
+        rhs = b[s:e]
+        if e < bf.n:
+            rhs = rhs - jax.lax.dot_general(
+                blk[w:], x_below, dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=precision)
+        linv = jax.lax.linalg.triangular_solve(
+            blk[:w], jnp.eye(w, dtype=blk.dtype), left_side=True, lower=True)
+        # x_k = L_kk^{-T} rhs = (L_kk^{-1})^T rhs
+        xk = jax.lax.dot_general(
+            linv, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision)
+        xs[k] = xk
+        x_below = xk if x_below is None else jnp.concatenate(
+            [xk, x_below], axis=0)
+    return jnp.concatenate(xs, axis=0)
+
+
+def block_cholesky_append_rows(bf: BlockLowerTriangular, k21, k22,
+                               precision=jax.lax.Precision.HIGHEST):
+    """`cholesky_append_rows` for a column-block factor: appending m rows
+    extends every existing block by its m new rows (L21 columns) and adds one
+    new (m, m) diagonal block — still no dense n x n. K22 must include its
+    ridge. O(n^2 m) like the dense append."""
+    l21t = block_tri_solve_lower(bf, k21.T, precision=precision)   # (n, m)
+    l21 = l21t.T                                                   # (m, n)
+    schur = k22 - jax.lax.dot_general(
+        l21, l21, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision)
+    l22 = jax.lax.linalg.cholesky(schur)
+    new_blocks = [
+        jnp.concatenate([blk, l21[:, bf.starts[k]:bf.starts[k + 1]]], axis=0)
+        for k, blk in enumerate(bf.blocks)
+    ]
+    new_blocks.append(l22)
+    m = k22.shape[0]
+    return BlockLowerTriangular(
+        new_blocks, bf.starts + (bf.n + m,), bf.n + m)
 
 
 def cholesky_append_rows(l11, k21, k22):

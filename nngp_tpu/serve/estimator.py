@@ -145,6 +145,8 @@ class Estimator:
             # plain array diagonal is an arbitrary (often zero) entry.
             n = p.l.shape[0]
             diag = p.l[jnp.arange(n), jnp.asarray(g2e)]
+        elif hasattr(p.l, "blocks"):
+            diag = p.l.diagonal()       # BlockLowerTriangular (>28k fits)
         else:
             diag = jnp.diagonal(p.l)
         probes = jnp.stack([
@@ -219,10 +221,18 @@ class Estimator:
         self.mesh = None
         self.dist_block_size = None
         k_tt = jnp.asarray(arrs["k_tt_nngp"]) if "k_tt_nngp" in arrs else None
+        if "l_block_starts" in meta:
+            from nngp_tpu.ops.linalg import BlockLowerTriangular
+            starts = [int(s) for s in meta["l_block_starts"]]
+            blocks = [jnp.asarray(arrs[f"l_block_{i}"])
+                      for i in range(len(starts) - 1)]
+            l = BlockLowerTriangular(blocks, starts, starts[-1])
+        else:
+            l = jnp.asarray(arrs["l"])
         self.posterior = GPPosterior(
             x_train=jnp.asarray(arrs["x_train"]),
             y_train=jnp.asarray(arrs["y_train"]),
-            l=jnp.asarray(arrs["l"]),
+            l=l,
             alpha=jnp.asarray(arrs["alpha"]),
             reg=jnp.asarray(arrs["reg"]),
             k_tt_nngp=k_tt,
@@ -259,9 +269,17 @@ class Estimator:
         else:
             arrs = dict(
                 x_train=np.asarray(p.x_train), y_train=np.asarray(p.y_train),
-                l=np.asarray(p.l), alpha=np.asarray(p.alpha),
-                reg=np.asarray(p.reg),
+                alpha=np.asarray(p.alpha), reg=np.asarray(p.reg),
             )
+            if hasattr(p.l, "blocks"):
+                # Column-block factor (>28k fits): persist the blocks as-is —
+                # assembling a dense n x n for the npz would reintroduce the
+                # very buffer the layout exists to avoid.
+                meta["l_block_starts"] = list(p.l.starts)
+                for i, blk in enumerate(p.l.blocks):
+                    arrs[f"l_block_{i}"] = np.asarray(blk)
+            else:
+                arrs["l"] = np.asarray(p.l)
             if p.k_tt_nngp is not None:
                 arrs["k_tt_nngp"] = np.asarray(p.k_tt_nngp)
         with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:

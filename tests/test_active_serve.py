@@ -235,3 +235,34 @@ def test_estimator_distributed_mesh(tmp_path):
     assert est_d.posterior.num_train == 96
     mean_e, std_e = est_d.predict(test_lines)
     assert np.all(np.isfinite(mean_e)) and np.all(std_e >= 0)
+
+
+def test_estimator_block_factor_checkpoint_and_extend(tmp_path, monkeypatch):
+    """>28k fits hold the factor as BlockLowerTriangular column blocks;
+    force that path at toy scale and check validate/save/restore/extend all
+    speak the block form (the dense n x n never exists on disk either)."""
+    import nngp_tpu.gp.posterior as P
+    from nngp_tpu.ops.linalg import BlockLowerTriangular
+
+    monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 16)
+    monkeypatch.setattr(P, "_BLOCK_LAYOUT_MIN_N", 16)
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    assert isinstance(est.posterior.l, BlockLowerTriangular)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    mean, std = est.predict(lines)
+
+    ckpt = tmp_path / "ckpt_blocks"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert isinstance(est2.posterior.l, BlockLowerTriangular)
+    mean2, std2 = est2.predict(lines)
+    np.testing.assert_allclose(mean2, mean, rtol=1e-12)
+    np.testing.assert_allclose(std2, std, rtol=1e-12)
+
+    added = est2.extend_with_lines(["ta,tb@x,3.0,1.0@@ta,tb,id@2000"])
+    assert added == 1
+    assert isinstance(est2.posterior.l, BlockLowerTriangular)
+    m3, _ = est2.predict(["ta,tb@x,3.0,1.0@@ta,tb,id"])
+    assert abs(float(m3[0]) - np.log2(2000)) < 1.0

@@ -189,3 +189,127 @@ def test_blocked_cholesky_ignores_garbage_upper_triangle():
     l = blocked_cholesky(jnp.asarray(dirty), block_size=128)
     np.testing.assert_allclose(np.asarray(l), np.linalg.cholesky(k),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_block_factor_solves_and_append_match_dense():
+    """BlockLowerTriangular (layout='blocks') must reproduce the dense
+    factor, both triangular solves, and the append-rows extension."""
+    from nngp_tpu.ops.linalg import (
+        BlockLowerTriangular,
+        block_cholesky_append_rows,
+        block_tri_solve_lower,
+        block_tri_solve_lower_t,
+        fused_panel_cholesky,
+    )
+    rng = np.random.default_rng(14)
+    n, m, r = 500, 70, 9
+    a = rng.standard_normal((n + m, n + m))
+    k = a @ a.T + (n + m) * np.eye(n + m)
+
+    def panel_fn(s, e):
+        return jnp.asarray(k[s:n, s:e])
+
+    bf = fused_panel_cholesky(panel_fn, n, jnp.float64, block_size=128,
+                              layout="blocks")
+    assert isinstance(bf, BlockLowerTriangular)
+    assert bf.shape == (n, n)
+    want = np.linalg.cholesky(k[:n, :n])
+    np.testing.assert_allclose(np.asarray(bf.to_dense()), want,
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(bf.diagonal()), np.diag(want),
+                               rtol=1e-9, atol=1e-9)
+
+    rhs = rng.standard_normal((n, r))
+    np.testing.assert_allclose(
+        np.asarray(block_tri_solve_lower(bf, jnp.asarray(rhs))),
+        np.linalg.solve(want, rhs), rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(block_tri_solve_lower_t(bf, jnp.asarray(rhs))),
+        np.linalg.solve(want.T, rhs), rtol=1e-8, atol=1e-9)
+
+    ext = block_cholesky_append_rows(
+        bf, jnp.asarray(k[n:, :n]), jnp.asarray(k[n:, n:]))
+    assert ext.shape == (n + m, n + m)
+    np.testing.assert_allclose(np.asarray(ext.to_dense()),
+                               np.linalg.cholesky(k),
+                               rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_posterior_block_factor_end_to_end(get, monkeypatch):
+    """Force the block-factor fit path at tiny n: fit/predict/extend through
+    a BlockLowerTriangular must match the plain dense-path posterior.
+
+    Tolerances are ~1e-5 relative, not 1e-9: the fused path pins the solve
+    kernel's diagonal to the exact O(n) recursion values while the dense
+    path keeps the computed diagonal's acos(rho=1) sqrt(eps) noise — the two
+    fits differ by ~1e-8 in the Gram diagonal by design."""
+    import nngp_tpu.gp.posterior as P
+    from nngp_tpu.ops.linalg import BlockLowerTriangular
+
+    spec = reference_kernel()
+    rng = np.random.default_rng(15)
+    # distinctive shapes so the monkeypatched trace can't hit a stale
+    # _fit_impl jit cache entry
+    x = rng.uniform(0, 1000, (700, 7))
+    y = rng.standard_normal((700, 1))
+    x2, y2 = rng.uniform(0, 1000, (12, 7)), rng.standard_normal((12, 1))
+    x_te = rng.uniform(0, 1000, (17, 7))
+
+    dense = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
+    monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)
+    monkeypatch.setattr(P, "_BLOCK_LAYOUT_MIN_N", 64)
+    post = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
+    assert isinstance(post.l, BlockLowerTriangular)
+    assert len(post.l.blocks) > 1
+
+    np.testing.assert_allclose(np.asarray(post.alpha),
+                               np.asarray(dense.alpha), rtol=2e-5, atol=1e-7)
+    m_b, v_b = post.predict(jnp.asarray(x_te), compute_cov="diag")
+    m_d, v_d = dense.predict(jnp.asarray(x_te), compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_d),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_d),
+                               rtol=2e-5, atol=1e-7)
+
+    ext_b = post.extend(jnp.asarray(x2), jnp.asarray(y2))
+    ext_d = dense.extend(jnp.asarray(x2), jnp.asarray(y2))
+    assert isinstance(ext_b.l, BlockLowerTriangular)
+    m_b, v_b = ext_b.predict(jnp.asarray(x_te), compute_cov="diag")
+    m_d, v_d = ext_d.predict(jnp.asarray(x_te), compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_d),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_d),
+                               rtol=2e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_fused_fit_dense_inplace_tier_matches_plain(get, monkeypatch):
+    """The fused-fit fast path at the dense-inplace tier (4096 <= n < 28k;
+    for NTK it now holds 2 live n^2 buffers instead of 3) must reproduce the
+    plain small-n fit."""
+    import nngp_tpu.gp.posterior as P
+
+    spec = reference_kernel()
+    rng = np.random.default_rng(16)
+    x = rng.uniform(0, 1000, (410, 6))
+    y = rng.standard_normal((410, 1))
+    x_te = rng.uniform(0, 1000, (13, 6))
+
+    plain = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
+    monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)   # block layout stays 28k
+    fused = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
+    assert not hasattr(fused.l, "blocks")            # dense in-place tier
+    if get == "ntk":
+        assert fused.k_tt_nngp is not None
+        np.testing.assert_allclose(np.asarray(fused.k_tt_nngp),
+                                   np.asarray(plain.k_tt_nngp),
+                                   rtol=1e-10, atol=1e-10)
+    m_f, v_f = fused.predict(jnp.asarray(x_te), compute_cov="diag")
+    m_p, v_p = plain.predict(jnp.asarray(x_te), compute_cov="diag")
+    # ~1e-5 tolerance: the fused path pins the exact recursion diagonal
+    # (see test_posterior_block_factor_end_to_end).
+    np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_p),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_p),
+                               rtol=2e-5, atol=1e-7)
