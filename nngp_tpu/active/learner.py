@@ -11,7 +11,12 @@ TPU-native differences:
   - the refit uses `GPPosterior.extend` — an O(n^2 k) block-Cholesky append —
     instead of the reference's full O(n^3) refit per round (SURVEY.md
     section 3.2 "nothing incremental"). `refit='full'` restores the exact
-    reference behavior (fresh relative ridge each round).
+    reference behavior (fresh relative ridge each round);
+  - `mesh=` runs the whole loop over a device mesh with the row-sharded
+    posterior (`parallel.distributed_fit`) — active learning keeps working
+    when the train Gram outgrows one chip. Each round is a full O(n^3/p)
+    refit (the block-cyclic factor has no cheap append), which is the
+    reference's own behavior anyway.
 """
 
 import numpy as np
@@ -28,9 +33,20 @@ class ActiveLearner:
     def __init__(self, spec: KernelSpec, budget: int = 1000,
                  active_iters: int = 3, kernel_type: str = "nngp",
                  biased_sample: bool = True, diag_reg: float = 1e-3,
-                 refit: str = "incremental", seed: int = 10):
+                 refit: str = None, seed: int = 10,
+                 mesh=None, dist_block_size=None):
+        """mesh: optional jax.sharding.Mesh — fit/predict with the
+        row-sharded distributed posterior; train-set and selection sizes are
+        kept divisible by the mesh size. refit defaults to 'incremental'
+        single-chip and 'full' over a mesh (the only option there)."""
+        if refit is None:
+            refit = "full" if mesh is not None else "incremental"
         if refit not in ("incremental", "full"):
             raise ValueError("refit must be 'incremental' or 'full'")
+        if mesh is not None and refit == "incremental":
+            raise ValueError(
+                "refit='incremental' is single-chip only: the block-cyclic "
+                "distributed factor has no cheap append — use refit='full'")
         self.spec = spec
         self.budget = budget
         self.active_iters = active_iters
@@ -38,10 +54,23 @@ class ActiveLearner:
         self.biased_sample = biased_sample
         self.diag_reg = diag_reg
         self.refit = refit
+        self.mesh = mesh
+        self.dist_block_size = dist_block_size
         self.key = jax.random.PRNGKey(seed)
         self.pred_stat = PredictionStatistics()
 
     def train(self, x_train, y_train) -> GPPosterior:
+        if self.mesh is not None:
+            from nngp_tpu.parallel import distributed_fit
+            p = self.mesh.devices.size
+            if x_train.shape[0] % p:
+                raise ValueError(
+                    f"mesh active learning needs n_train ({x_train.shape[0]})"
+                    f" divisible by the mesh size ({p})")
+            return distributed_fit(self.spec, x_train, y_train, self.mesh,
+                                   diag_reg=self.diag_reg,
+                                   get=self.kernel_type,
+                                   block_size=self.dist_block_size)
         return fit_gp(self.spec, x_train, y_train, diag_reg=self.diag_reg,
                       get=self.kernel_type)
 
@@ -64,6 +93,9 @@ class ActiveLearner:
         std = std / jnp.max(mean)
         num_pool = x_pool.shape[0]
         num_select = min(self.budget, num_pool)
+        if self.mesh is not None:
+            # keep the merged train size divisible by the mesh
+            num_select -= num_select % self.mesh.devices.size
         if self.biased_sample:
             std_prob = std / jnp.sum(std)
             self.key, sub = jax.random.split(self.key)
@@ -96,6 +128,8 @@ class ActiveLearner:
             if x_pool.shape[0] == 0:
                 break
             select = self.select(post, x_pool)
+            if select.shape[0] == 0:
+                break
             if printer:
                 printer(f"Active Iteration {i}: Selection {select.shape[0]}")
             (x_train, y_train, x_pool, y_pool,

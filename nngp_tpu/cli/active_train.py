@@ -42,6 +42,10 @@ def build_parser():
                    choices=["relu", "erf"])
     p.add_argument("--diag_reg", type=float, default=1e-3)
     p.add_argument("--x64", action="store_true")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="run over an n-device mesh with the row-sharded "
+                        "distributed posterior (0 = single chip); train and "
+                        "budget sizes are snapped to multiples of the mesh")
     return p
 
 
@@ -62,10 +66,19 @@ def main(argv=None):
     print(f"train {x_tr.shape}  pool {x_pool.shape}  val {x_val.shape}")
 
     spec = KernelSpec(mlp(args.depth, args.width, args.activation))
+    mesh = None
+    refit = args.refit
+    if args.mesh_devices:
+        from nngp_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh_devices)
+        refit = "full"           # block-cyclic factor has no cheap append
+        p_sz = args.mesh_devices
+        keep = x_tr.shape[0] - x_tr.shape[0] % p_sz
+        x_tr, y_tr = x_tr[:keep], y_tr[:keep]
     learner = ActiveLearner(
         spec, budget=args.budget, active_iters=args.active_iters,
         kernel_type=args.kernel_type, biased_sample=args.biased_sample,
-        diag_reg=args.diag_reg, refit=args.refit)
+        diag_reg=args.diag_reg, refit=refit, mesh=mesh)
     post, history = learner.active_train(x_tr, y_tr, x_pool, y_pool,
                                          x_val, y_val, infos_val)
     return history

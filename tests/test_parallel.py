@@ -146,3 +146,41 @@ def test_distributed_fit_under_jit_stays_sharded_at_scale():
     post = fit_gp(spec, x, y, diag_reg=1e-3)
     np.testing.assert_allclose(np.asarray(dist.alpha_natural()),
                                np.asarray(post.alpha), rtol=1e-6, atol=1e-8)
+
+
+def test_active_learner_over_mesh_matches_single_chip():
+    """ActiveLearner(mesh=...) — the >HBM active-learning tier — must track
+    the single-chip full-refit learner (top-k selection, same seed)."""
+    from nngp_tpu.active import ActiveLearner
+
+    rng = np.random.default_rng(3)
+    d = 6
+    x_tr = rng.uniform(0, 100, (32, d))
+    y_tr = rng.standard_normal((32, 1))
+    x_pool = rng.uniform(0, 100, (64, d))
+    y_pool = rng.standard_normal((64, 1))
+    x_val = rng.uniform(0, 100, (16, d))
+    y_val = rng.standard_normal((16, 1))
+
+    spec = reference_kernel()
+    mesh = make_mesh()
+    mesh_learner = ActiveLearner(spec, budget=16, active_iters=1,
+                                 biased_sample=False, mesh=mesh)
+    assert mesh_learner.refit == "full"
+    post_m, hist_m = mesh_learner.active_train(
+        x_tr, y_tr, x_pool, y_pool, x_val, y_val, printer=None)
+
+    dense_learner = ActiveLearner(spec, budget=16, active_iters=1,
+                                  biased_sample=False, refit="full")
+    post_d, hist_d = dense_learner.active_train(
+        x_tr, y_tr, x_pool, y_pool, x_val, y_val, printer=None)
+
+    assert [h["num_train"] for h in hist_m] == [h["num_train"] for h in hist_d]
+    for hm, hd in zip(hist_m, hist_d):
+        assert hm["val_mse"] == pytest.approx(hd["val_mse"], rel=1e-6)
+    # the final posterior stays row-sharded (no replicated n x n factor)
+    from nngp_tpu.parallel import DistributedPosterior
+    assert isinstance(post_m, DistributedPosterior)
+
+    with pytest.raises(ValueError):
+        ActiveLearner(spec, mesh=mesh, refit="incremental")
