@@ -132,17 +132,26 @@ def main():
     extras["join_p95_qerror"] = round(float(np.quantile(qj, 0.95)), 4)
 
     if not fast:
-        # Scale row: 2x train set (random features — wall-clock only).
+        # Scale rows: 2x and 3x train set (random features — wall-clock
+        # only). 32,400 runs on the block-factor path (column blocks end to
+        # end); guarded so a compile hiccup can't sink the whole bench line.
         rng = np.random.default_rng(0)
-        x2 = jax.device_put(jnp.asarray(
-            rng.uniform(0, 1000, (21600, x_tr.shape[1])), jnp.float32))
-        y2 = jax.device_put(jnp.asarray(
-            rng.standard_normal((21600, 1)), jnp.float32))
-        p2 = fit_gp(spec, x2, y2, diag_reg=1e-3)
-        sync((p2.l, p2.alpha))
-        _, s2 = timed(lambda: (lambda p: (p.l, p.alpha))(
-            fit_gp(spec, x2, y2, diag_reg=1e-3)), repeats=3)
-        extras["fit_21600_s"] = round(s2, 6)
+        for n_scale in (21600, 32400):
+            try:
+                x2 = jax.device_put(jnp.asarray(
+                    rng.uniform(0, 1000, (n_scale, x_tr.shape[1])),
+                    jnp.float32))
+                y2 = jax.device_put(jnp.asarray(
+                    rng.standard_normal((n_scale, 1)), jnp.float32))
+                p2 = fit_gp(spec, x2, y2, diag_reg=1e-3)
+                sync((p2.l, p2.alpha))
+                del p2  # one live factor at a time (n^2/2 each)
+                _, s2 = timed(lambda: (lambda p: (p.l, p.alpha))(
+                    fit_gp(spec, x2, y2, diag_reg=1e-3)), repeats=2)
+                extras[f"fit_{n_scale}_s"] = round(s2, 6)
+                del x2, y2
+            except Exception as e:           # pragma: no cover - TPU only
+                extras[f"fit_{n_scale}_s"] = f"failed: {type(e).__name__}"
 
     north_star_s = 1.0  # BASELINE.json: fit < 1 s on TPU
     print(json.dumps({
