@@ -50,13 +50,20 @@ def main(argv=None):
                         "concurrent clients and print qps/latency stats")
     p.add_argument("--stream_clients", type=int, default=8)
     p.add_argument("--stream_wait_ms", type=float, default=5.0)
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="fit + serve row-sharded over an n-device mesh "
+                        "(0 = single chip); n_train must divide the mesh")
     args = p.parse_args(argv)
 
     from nngp_tpu.serve import Estimator
     import os
+    mesh = None
+    if args.mesh_devices:
+        from nngp_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh_devices)
     if args.ckpt and os.path.exists(os.path.join(args.ckpt, "meta.json")):
         print("restoring from checkpoint ...")
-        est = Estimator.restore(args.ckpt)
+        est = Estimator.restore(args.ckpt, mesh=mesh)
     else:
         print("loading schema and training data ... This may take seconds ...")
         est = Estimator(args.schema_name, args.data_path,
@@ -64,7 +71,7 @@ def main(argv=None):
                         use_aux=args.use_aux,
                         q_error_threshold=args.q_error_threshold,
                         coef_var_threshold=args.coef_var_threshold,
-                        stats_dir=args.stats_dir)
+                        stats_dir=args.stats_dir, mesh=mesh)
         if args.ckpt:
             est.save(args.ckpt)
     est.load_model()

@@ -51,3 +51,25 @@ def test_sample_queries_cli_requires_exactly_one_mode(tmp_path):
     from nngp_tpu.cli.sample_queries import main
     with pytest.raises(SystemExit):
         main(["--data_path", str(tmp_path)])  # neither mode
+
+
+def test_serve_demo_cli_mesh(tmp_path, capsys):
+    from nngp_tpu.cli.serve_demo import main
+    main(["--schema_name", "synth",
+          "--stats_dir", os.path.join(WORKLOAD, "synth_stats"),
+          "--train_query_path", os.path.join(WORKLOAD, "synth_join_data"),
+          "--test_query_file",
+          os.path.join(WORKLOAD, "synth_join_data", "join_query_2.txt"),
+          "--limit", "16", "--mesh_devices", "8",
+          "--ckpt", str(tmp_path / "ckpt")])
+    out = capsys.readouterr().out
+    assert "pred_mean shape" in out
+    # restore path (second run hits the checkpoint, still over the mesh)
+    main(["--schema_name", "synth",
+          "--stats_dir", os.path.join(WORKLOAD, "synth_stats"),
+          "--train_query_path", os.path.join(WORKLOAD, "synth_join_data"),
+          "--test_query_file",
+          os.path.join(WORKLOAD, "synth_join_data", "join_query_2.txt"),
+          "--limit", "16", "--mesh_devices", "8",
+          "--ckpt", str(tmp_path / "ckpt")])
+    assert "restoring from checkpoint" in capsys.readouterr().out
