@@ -94,8 +94,14 @@ class ActiveLearner:
         num_pool = x_pool.shape[0]
         num_select = min(self.budget, num_pool)
         if self.mesh is not None:
-            # keep the merged train size divisible by the mesh
-            num_select -= num_select % self.mesh.devices.size
+            # keep the merged train size a valid distributed layout: n % p,
+            # and with an explicit panel width also n % (p * block_size)
+            quantum = self.mesh.devices.size * (self.dist_block_size or 1)
+            num_select -= num_select % quantum
+        if num_select <= 0:
+            # explicit empty selection — argsort(std)[-0:] would silently
+            # return the WHOLE pool (slice [-0:] == [0:])
+            return jnp.zeros((0,), dtype=jnp.int32)
         if self.biased_sample:
             std_prob = std / jnp.sum(std)
             self.key, sub = jax.random.split(self.key)

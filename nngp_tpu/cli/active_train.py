@@ -74,6 +74,10 @@ def main(argv=None):
         refit = "full"           # block-cyclic factor has no cheap append
         p_sz = args.mesh_devices
         keep = x_tr.shape[0] - x_tr.shape[0] % p_sz
+        if keep == 0:
+            raise SystemExit(
+                f"--mesh_devices {p_sz}: train split has only "
+                f"{x_tr.shape[0]} rows — need at least one row per device")
         x_tr, y_tr = x_tr[:keep], y_tr[:keep]
     learner = ActiveLearner(
         spec, budget=args.budget, active_iters=args.active_iters,

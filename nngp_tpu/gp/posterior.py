@@ -87,7 +87,8 @@ def _tri_solve(l, b, transpose=False):
 
 
 def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
-                      precision=jax.lax.Precision.HIGHEST):
+                      precision=jax.lax.Precision.HIGHEST,
+                      block_min_n=None):
     """L = chol(K_get + reg I) with Gram panels generated on the fly —
     the single-chip large-n fit path (see _FUSED_FIT_MIN_N)."""
     from nngp_tpu.models.kernel_spec import (
@@ -114,27 +115,24 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
         # diagonal carries sqrt(eps) acos(rho=1) noise, worst for NTK).
         return col.at[idx, idx].set(diag_solve[s:e] + reg)
 
-    if n < _BLOCK_LAYOUT_MIN_N:
+    if block_min_n is None:
+        block_min_n = _BLOCK_LAYOUT_MIN_N
+    if n < block_min_n:
         # fastest form; its ~2-3 n^2 peak fits comfortably here
         return fused_panel_cholesky(
             panel_fn, n, x.dtype, layout="inplace",
             block_size=block_size if n < 16384 else 2 * block_size,
             precision=precision)
-    # memory-lean column blocks kept AS the factor (BlockLowerTriangular):
+    # Memory-lean column blocks kept AS the factor (BlockLowerTriangular):
     # peak stays ~n^2/2 — the dense assembly's 1.5 n^2 transient is what
-    # OOMed 43.2k. Large panels keep the unrolled op count small enough
-    # for the remote compiler. (The n < 28000 guard only fails in tests,
-    # which shrink _BLOCK_LAYOUT_MIN_N — keep their block_size small so the
-    # multi-block paths are exercised.)
-    # Panel width scales with n to hold the unrolled update-matmul count
-    # (~(n/b)^2/2) under the remote compiler's limit (~500 big matmul HLOs
-    # got the compile helper SIGKILLed at 32.4k/b=1024).
-    if n >= 48000:
-        bs = 4096
-    elif n >= 28000:
-        bs = 2048
-    else:
-        bs = block_size   # tests shrink _BLOCK_LAYOUT_MIN_N
+    # OOMed 43.2k. The panel width is the smallest block_size multiple that
+    # caps the panel count at ~21, holding the unrolled update-matmul count
+    # ~(n/b)^2/2 under the remote compiler's limit (~500 big matmul HLOs
+    # got the compile helper SIGKILLed at 32.4k/b=1024) at ANY n this
+    # branch sees — production sizes land on 2048+ (e.g. 2048 at 32.4k,
+    # 3072 at 54k) while tests (which shrink _BLOCK_LAYOUT_MIN_N) keep
+    # small multi-block layouts.
+    bs = block_size * -(-n // (21 * block_size))
     return fused_panel_cholesky(
         panel_fn, n, x.dtype, layout="blocks", block_size=bs,
         precision=precision)
@@ -281,9 +279,10 @@ class GPPosterior:
 
 
 @partial(jax.jit, static_argnames=("spec", "get", "diag_reg", "absolute",
-                                   "fused_min_n"))
+                                   "fused_min_n", "block_min_n"))
 def _fit_impl(x, y, spec, get, diag_reg, absolute,
-              fused_min_n=_FUSED_FIT_MIN_N):
+              fused_min_n=_FUSED_FIT_MIN_N,
+              block_min_n=_BLOCK_LAYOUT_MIN_N):
     """Top-level cached jit — one compilation per (spec, get, shapes), so
     repeated fits (active-learning refits, serving restarts) don't retrace.
 
@@ -312,7 +311,7 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         # the O(n^3/3) factorization — so the NTK fit holds 2 live n^2
         # buffers (k_tt + factor) instead of round 1's 3 (k_tt + theta + L).
         keep_nngp = spec.kernel_fn(x, x, "nngp") if get == "ntk" else None
-        l = _fused_fit_factor(spec, x, reg, get)
+        l = _fused_fit_factor(spec, x, reg, get, block_min_n=block_min_n)
         alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
         return l, alpha, reg, keep_nngp
 
@@ -349,9 +348,11 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     l, alpha, reg, k_tt_nngp = _fit_impl(
         x_train, y_train, spec, get, float(diag_reg),
         bool(diag_reg_absolute_scale),
-        # read at call time (not trace time) so the threshold is part of the
-        # jit cache key — tests shrink it to force the block-factor path
+        # read at call time (not trace time) so the thresholds are part of
+        # the jit cache key — tests shrink them to force the fused and
+        # block-factor paths without hitting a stale trace
         fused_min_n=_FUSED_FIT_MIN_N,
+        block_min_n=_BLOCK_LAYOUT_MIN_N,
     )
     return GPPosterior(
         x_train=x_train,

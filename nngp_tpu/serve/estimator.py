@@ -218,6 +218,11 @@ class Estimator:
             self.mesh = mesh
             self.dist_block_size = b
             return self
+        if mesh is not None:
+            raise ValueError(
+                "checkpoint holds a single-chip posterior but mesh= was "
+                "passed; refit with Estimator(mesh=...) to get a row-sharded "
+                "model, or restore without mesh")
         self.mesh = None
         self.dist_block_size = None
         k_tt = jnp.asarray(arrs["k_tt_nngp"]) if "k_tt_nngp" in arrs else None
@@ -291,8 +296,17 @@ class Estimator:
         mirrors `/root/reference/neuroestimator/estimator/estimator.py:37-40`)."""
         x_warm = getattr(self.posterior, "x_train", None)
         if x_warm is None:
+            # distributed posterior: the (n, n) warm-up cross Gram stays
+            # row-sharded (n^2/p per device) — full train set is fine
             x_warm = self.posterior.x_storage
-        mean, std = self.posterior.predict_mean_std(x_warm)
+            mean, std = self.posterior.predict_mean_std(x_warm)
+        elif x_warm.shape[0] > 8192:
+            # single-chip block-factor sizes: a full-train warm-up would
+            # materialize an (n, n) cross Gram + solve — the dense n^2 the
+            # block layout exists to avoid. Chunked predict caps it.
+            mean, std = self.posterior.predict_mean_std_chunked(x_warm)
+        else:
+            mean, std = self.posterior.predict_mean_std(x_warm)
         if verbose:
             print(mean.shape, std.shape)
             print("Model construction complete.")

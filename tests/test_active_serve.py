@@ -266,3 +266,16 @@ def test_estimator_block_factor_checkpoint_and_extend(tmp_path, monkeypatch):
     assert isinstance(est2.posterior.l, BlockLowerTriangular)
     m3, _ = est2.predict(["ta,tb@x,3.0,1.0@@ta,tb,id"])
     assert abs(float(m3[0]) - np.log2(2000)) < 1.0
+
+
+def test_restore_single_chip_checkpoint_rejects_mesh(tmp_path):
+    """Passing mesh= for a checkpoint holding a single-chip posterior must
+    fail loudly instead of silently serving single-chip."""
+    from nngp_tpu.parallel import make_mesh
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    ckpt = tmp_path / "ckpt_single"
+    est.save(str(ckpt))
+    with pytest.raises(ValueError, match="single-chip"):
+        Estimator.restore(str(ckpt), mesh=make_mesh())

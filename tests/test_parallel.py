@@ -184,3 +184,46 @@ def test_active_learner_over_mesh_matches_single_chip():
 
     with pytest.raises(ValueError):
         ActiveLearner(spec, mesh=mesh, refit="incremental")
+
+
+def test_active_learner_mesh_empty_selection_is_safe():
+    """Budget below the mesh quantum snaps to an EMPTY selection and the
+    loop stops — regression for argsort(std)[-0:] grabbing the whole pool."""
+    from nngp_tpu.active import ActiveLearner
+
+    rng = np.random.default_rng(4)
+    x_tr = rng.uniform(0, 100, (16, 4))
+    y_tr = rng.standard_normal((16, 1))
+    x_pool = rng.uniform(0, 100, (24, 4))
+    y_pool = rng.standard_normal((24, 1))
+    x_val = rng.uniform(0, 100, (8, 4))
+    y_val = rng.standard_normal((8, 1))
+
+    learner = ActiveLearner(reference_kernel(), budget=4, active_iters=2,
+                            biased_sample=False, mesh=make_mesh())
+    post, hist = learner.active_train(x_tr, y_tr, x_pool, y_pool,
+                                      x_val, y_val, printer=None)
+    assert hist == []                      # nothing acquirable under p=8
+    assert post.num_train == 16
+
+
+def test_active_learner_mesh_respects_block_size_quantum():
+    """With an explicit dist_block_size, selections stay multiples of
+    p * block_size so every refit keeps a valid cyclic layout."""
+    from nngp_tpu.active import ActiveLearner
+
+    rng = np.random.default_rng(5)
+    x_tr = rng.uniform(0, 100, (32, 4))     # 32 = p*b*2 with p=8, b=2
+    y_tr = rng.standard_normal((32, 1))
+    x_pool = rng.uniform(0, 100, (40, 4))
+    y_pool = rng.standard_normal((40, 1))
+    x_val = rng.uniform(0, 100, (8, 4))
+    y_val = rng.standard_normal((8, 1))
+
+    learner = ActiveLearner(reference_kernel(), budget=20, active_iters=1,
+                            biased_sample=False, mesh=make_mesh(),
+                            dist_block_size=2)
+    post, hist = learner.active_train(x_tr, y_tr, x_pool, y_pool,
+                                      x_val, y_val, printer=None)
+    # 20 snapped down to 16 (= p*b): layout stays factorizable
+    assert hist[0]["num_train"] == 48
