@@ -118,20 +118,24 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
     if block_min_n is None:
         block_min_n = _BLOCK_LAYOUT_MIN_N
     if n < block_min_n:
-        # fastest form; its ~2-3 n^2 peak fits comfortably here
+        # Fastest form; its ~2-3 n^2 peak fits comfortably here. Panel
+        # width stays small: the per-panel update contracts over the
+        # FINISHED prefix (large), so wider panels only add serial
+        # panel-factor cost (measured: b=512 beats 1024/2048 at both 10.8k
+        # and 21.6k, experiments/fit_bsweep.log).
         return fused_panel_cholesky(
-            panel_fn, n, x.dtype, layout="inplace",
-            block_size=block_size if n < 16384 else 2 * block_size,
+            panel_fn, n, x.dtype, layout="inplace", block_size=block_size,
             precision=precision)
     # Memory-lean column blocks kept AS the factor (BlockLowerTriangular):
     # peak stays ~n^2/2 — the dense assembly's 1.5 n^2 transient is what
-    # OOMed 43.2k. The panel width is the smallest block_size multiple that
-    # caps the panel count at ~21, holding the unrolled update-matmul count
-    # ~(n/b)^2/2 under the remote compiler's limit (~500 big matmul HLOs
-    # got the compile helper SIGKILLed at 32.4k/b=1024) at ANY n this
-    # branch sees — production sizes land on 2048+ (e.g. 2048 at 32.4k,
-    # 3072 at 54k) while tests (which shrink _BLOCK_LAYOUT_MIN_N) keep
-    # small multi-block layouts.
+    # OOMed 43.2k. Panel width: smallest block_size multiple giving ~<=21
+    # panels (2048 at 32.4k, 2560 at 43.2k) — measured optimal on the chip.
+    # Narrower panels lose MXU rate on the (n-s, b) x (b, b) trailing dots
+    # (fp32-HIGHEST: 21.9 TF/s at 2048 vs 3.8 at 512, mxu_panels.log);
+    # wider ones (n/14) and fat-contraction merged operands both measured
+    # SLOWER (serial panel-factor cost / concat copies — fit_tpu9.log,
+    # fit_tpu8.log). The cap also bounds the unrolled HLO count for the
+    # remote compiler (~500 big matmuls got it SIGKILLed at 32.4k/b=1024).
     bs = block_size * -(-n // (21 * block_size))
     return fused_panel_cholesky(
         panel_fn, n, x.dtype, layout="blocks", block_size=bs,

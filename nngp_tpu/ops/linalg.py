@@ -152,7 +152,11 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
     layout='blocks': same factorization but the column blocks are returned
     AS the factor (a `BlockLowerTriangular`) — the final n x n assembly and
     its ~1.5 n^2 transient never happen, peak stays ~n^2/2. The form that
-    fits n=43.2k on one 16 GB chip.
+    fits n=43.2k on one 16 GB chip. Its trailing dots are (n-s, b) x (b, b),
+    so the MXU rate is set by the PANEL width — pick it large (callers
+    target ~14 panels; see gp.posterior._fused_fit_factor). Merging
+    finished blocks into wider contraction operands was tried and measured
+    SLOWER (concat copies + the output width still caps the rate).
     """
     b = int(block_size)
     nb = -(-n // b)
@@ -319,7 +323,9 @@ def block_tri_solve_lower(bf: BlockLowerTriangular, b,
     """Solve L x = b with L stored as column blocks — right-looking forward
     substitution reading ONLY the stored blocks (no dense L anywhere). Per
     block: one small (w, w) triangular inverse + two MXU matmuls; total
-    n^2 m / 2 flops like the dense version."""
+    n^2 m / 2 flops like the dense version. (A left-looking variant with
+    per-panel operand concats measured no faster and its big concat HLOs
+    crashed the remote compiler at n=54k.)"""
     xs = []
     tail = b                                 # residual rhs rows starts[k]..n
     for k, blk in enumerate(bf.blocks):
