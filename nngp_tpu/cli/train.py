@@ -31,7 +31,10 @@ def build_parser():
         "nngp_tpu trainer", formatter_class=argparse.ArgumentDefaultsHelpFormatter
     )
     p.add_argument("--kernel_type", type=str, default="nngp",
-                   choices=["nngp", "ntk"], help="posterior semantics")
+                   choices=["nngp", "ntk", "gp"],
+                   help="posterior semantics; 'gp' = the hand-rolled RBF GP "
+                        "with 10-step MLL hyperparameter training "
+                        "(/root/reference/train.py:60-150)")
     p.add_argument("--chunk_size", type=int, default=64,
                    help="factorized-encoding chunk width")
     p.add_argument("--relations", type=str, default="forest")
@@ -63,6 +66,9 @@ def build_parser():
                    help="skew train composition by these attributes "
                         "(e.g. num_predicates)")
     p.add_argument("--skew_ratio", type=float, default=0.5)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the warm fit + "
+                        "inference here (view in TensorBoard/Perfetto)")
     return p
 
 
@@ -109,27 +115,53 @@ def main(argv=None):
     print(f"train {x_tr.shape}  test {x_te.shape}")
 
     from nngp_tpu.utils.memory import memory_usage_gb
-    spec = KernelSpec(mlp(args.depth, args.width, args.activation,
-                          args.w_std, args.b_std))
     timer = Timer()
-    print("memory:", memory_usage_gb())
-    with timer.measure("kernel construction (fit: Gram + Cholesky, cold)") as h:
-        post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
-                      diag_reg=args.diag_reg, get=args.kernel_type)
-        h["out"] = post.l
-    with timer.measure("fit (warm)") as h:
-        post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
-                      diag_reg=args.diag_reg, get=args.kernel_type)
-        h["out"] = post.l
+    if args.kernel_type == "gp":
+        # Hand-rolled RBF GP branch (`/root/reference/train.py:243-244`):
+        # MLL hyperparameter descent, then a timed posterior predict.
+        from nngp_tpu.models import gp_rbf
+        x_tr_d, y_tr_d = jnp.asarray(x_tr), jnp.asarray(y_tr).reshape(-1, 1)
+        x_te_d = jnp.asarray(x_te)
+        with timer.measure("GP hyperparameter training (10 MLL steps)") as h:
+            params = gp_rbf.train(x_tr_d, y_tr_d)
+            h["out"] = params
+        with timer.measure("GP inference (cold, incl. compile)") as h:
+            mean, cov = gp_rbf.predict(params, x_tr_d, y_tr_d, x_te_d)
+            h["out"] = (mean, cov)
+        with timer.measure("GP inference (warm)") as h:
+            mean, cov = gp_rbf.predict(params, x_tr_d, y_tr_d, x_te_d)
+            h["out"] = (mean, cov)
+        timer.report()
+        std = jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 0.0))
+    else:
+        spec = KernelSpec(mlp(args.depth, args.width, args.activation,
+                              args.w_std, args.b_std))
+        print("memory:", memory_usage_gb())
+        with timer.measure(
+                "kernel construction (fit: Gram + Cholesky, cold)") as h:
+            post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
+                          diag_reg=args.diag_reg, get=args.kernel_type)
+            h["out"] = post.l
+        from contextlib import nullcontext
+        from nngp_tpu.utils.profiling import annotate, trace
+        prof = trace(args.profile_dir) if args.profile_dir else nullcontext()
+        with prof:
+            with timer.measure("fit (warm)") as h, annotate("fit_warm"):
+                post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
+                              diag_reg=args.diag_reg, get=args.kernel_type)
+                h["out"] = post.l
 
-    with timer.measure("inference (cold, incl. compile)") as h:
-        mean, std = post.predict_mean_std(jnp.asarray(x_te))
-        h["out"] = (mean, std)
-    with timer.measure("inference (warm)") as h:
-        mean, std = post.predict_mean_std(jnp.asarray(x_te))
-        h["out"] = (mean, std)
-    timer.report()
-    print("memory:", memory_usage_gb())
+            with timer.measure("inference (cold, incl. compile)") as h:
+                mean, std = post.predict_mean_std(jnp.asarray(x_te))
+                h["out"] = (mean, std)
+            with timer.measure("inference (warm)") as h, \
+                    annotate("infer_warm"):
+                mean, std = post.predict_mean_std(jnp.asarray(x_te))
+                h["out"] = (mean, std)
+        if args.profile_dir:
+            print(f"profiler trace written to {args.profile_dir}")
+        timer.report()
+        print("memory:", memory_usage_gb())
 
     mean = np.asarray(mean).ravel()
     y_true = np.asarray(y_te).ravel()

@@ -73,3 +73,10 @@ def test_serve_demo_cli_mesh(tmp_path, capsys):
           "--limit", "16", "--mesh_devices", "8",
           "--ckpt", str(tmp_path / "ckpt")])
     assert "restoring from checkpoint" in capsys.readouterr().out
+
+
+def test_train_cli_rbf_gp():
+    from nngp_tpu.cli.train import main
+    profile = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
+                    "--max_num_train", "200", "--kernel_type", "gp"])
+    assert np.isfinite(profile["median"])
