@@ -128,10 +128,32 @@ class StreamingBatcher:
                     self._latencies.extend(done - t for t in t_enq)
                 for i, f in enumerate(futs):
                     f.set_result((float(mean[i]), float(std[i])))
-            except Exception as e:  # propagate to every waiter in the batch
-                for f in futs:
-                    if not f.done():
-                        f.set_exception(e)
+            except Exception as e:
+                if len(batch) == 1:
+                    if not futs[0].done():
+                        futs[0].set_exception(e)
+                    continue
+                # One malformed request must not poison the whole coalesced
+                # batch: retry each item individually (error path only —
+                # healthy traffic never pays the per-item dispatch cost) so
+                # only the genuinely bad requests fail.
+                for item, fut in zip(items, futs):
+                    if fut.done():
+                        continue
+                    try:
+                        m1, s1 = self._predict_fn([item])
+                        m1 = np.asarray(m1).ravel()
+                        s1 = np.asarray(s1).ravel()
+                        if m1.shape[0] != 1:
+                            raise ValueError(
+                                "predict_fn returned no result for this item")
+                        with self._lock:
+                            self._n_requests += 1
+                            self._n_batches += 1
+                            self._batch_sizes.append(1)
+                        fut.set_result((float(m1[0]), float(s1[0])))
+                    except Exception as e1:
+                        fut.set_exception(e1)
 
     # -------------------------------------------------------------- admin
     def stats(self) -> dict:

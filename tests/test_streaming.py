@@ -130,8 +130,9 @@ def test_streaming_drains_queue_on_close():
 
 
 def test_streaming_rejects_length_mismatch():
-    """predict_fn that silently drops items (e.g. blank query lines) must
-    fail the batch loudly, not hand clients their neighbors' predictions."""
+    """predict_fn silently dropping items (e.g. blank lines) must not
+    mis-align results: the dropped item fails, the others are recovered by
+    the per-item retry instead of inheriting a neighbor's prediction."""
     def dropping_fn(items):
         kept = [i for i in items if i != "blank"]
         v = np.arange(len(kept), dtype=float)
@@ -139,6 +140,28 @@ def test_streaming_rejects_length_mismatch():
 
     with StreamingBatcher(dropping_fn, max_wait_ms=20.0) as server:
         futs = [server.submit(x) for x in ["a", "blank", "b"]]
+        assert futs[0].result(timeout=30) == (0.0, 0.0)
+        assert futs[2].result(timeout=30) == (0.0, 0.0)
+        with pytest.raises(ValueError, match="no result"):
+            futs[1].result(timeout=30)
+
+
+def test_bad_request_does_not_poison_batch():
+    """A malformed item in a coalesced batch fails ONLY its own future;
+    the rest of the batch is retried individually and succeeds."""
+    def predict(items):
+        if any(it == "bad" for it in items):
+            raise ValueError("malformed query line")
+        vals = np.arange(len(items), dtype=float)
+        return vals, vals + 0.5
+
+    with StreamingBatcher(predict, max_batch=16, max_wait_ms=30.0) as srv:
+        futs = [srv.submit("ok1"), srv.submit("bad"), srv.submit("ok2")]
+        results = []
         for f in futs:
-            with pytest.raises(ValueError, match="results for"):
-                f.result(timeout=30)
+            try:
+                results.append(f.result(timeout=30))
+            except ValueError as e:
+                results.append(e)
+    assert isinstance(results[1], ValueError)
+    assert results[0] == (0.0, 0.5) and results[2] == (0.0, 0.5)
