@@ -154,7 +154,7 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
     its ~1.5 n^2 transient never happen, peak stays ~n^2/2. The form that
     fits n=43.2k on one 16 GB chip. Its trailing dots are (n-s, b) x (b, b),
     so the MXU rate is set by the PANEL width — pick it large (callers
-    target ~14 panels; see gp.posterior._fused_fit_factor). Merging
+    target ~21 panels; see gp.posterior._fused_fit_factor). Merging
     finished blocks into wider contraction operands was tried and measured
     SLOWER (concat copies + the output width still caps the rate).
     """

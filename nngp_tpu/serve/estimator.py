@@ -300,13 +300,12 @@ class Estimator:
             # row-sharded (n^2/p per device) — full train set is fine
             x_warm = self.posterior.x_storage
             mean, std = self.posterior.predict_mean_std(x_warm)
-        elif x_warm.shape[0] > 8192:
-            # single-chip block-factor sizes: a full-train warm-up would
-            # materialize an (n, n) cross Gram + solve — the dense n^2 the
-            # block layout exists to avoid. Chunked predict caps it.
-            mean, std = self.posterior.predict_mean_std_chunked(x_warm)
         else:
-            mean, std = self.posterior.predict_mean_std(x_warm)
+            # chunked predict caps the warm-up cross Gram at chunk x n —
+            # a full-train (n, n) pass would reintroduce the dense n^2 the
+            # >28k block-factor layout exists to avoid (below one chunk
+            # this is identical to the direct call)
+            mean, std = self.posterior.predict_mean_std_chunked(x_warm)
         if verbose:
             print(mean.shape, std.shape)
             print("Model construction complete.")
