@@ -152,7 +152,7 @@ def fused_panel_cholesky(panel_fn, n: int, dtype, block_size: int = 512,
     layout='blocks': same factorization but the column blocks are returned
     AS the factor (a `BlockLowerTriangular`) — the final n x n assembly and
     its ~1.5 n^2 transient never happen, peak stays ~n^2/2. The form that
-    fits n=43.2k on one 16 GB chip. Its trailing dots are (n-s, b) x (b, b),
+    fits n=70k on one 16 GB chip. Its trailing dots are (n-s, b) x (b, b),
     so the MXU rate is set by the PANEL width — pick it large (callers
     target ~21 panels; see gp.posterior._fused_fit_factor). Merging
     finished blocks into wider contraction operands was tried and measured
