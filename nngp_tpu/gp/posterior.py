@@ -311,10 +311,16 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         # Blocked solves for alpha: XLA's triangular expander allocates an
         # extra n^2 workspace that busts HBM at the sizes this path exists
         # for. For get='ntk' the NNGP train Gram (needed by the posterior
-        # covariance) is one extra XLA-fused Gram pass — O(n^2 d) is ~1% of
-        # the O(n^3/3) factorization — so the NTK fit holds 2 live n^2
-        # buffers (k_tt + factor) instead of round 1's 3 (k_tt + theta + L).
-        keep_nngp = spec.kernel_fn(x, x, "nngp") if get == "ntk" else None
+        # covariance) is one extra Gram pass — O(n^2 d) is ~1% of the
+        # O(n^3/3) factorization — so the NTK fit holds 2 live n^2 buffers
+        # (k_tt + factor) instead of round 1's 3 (k_tt + theta + L). Built
+        # panel-wise: the monolithic kernel_fn's per-layer n^2 elementwise
+        # temps are what capped the NTK single-chip size (ops.gram.panel_gram).
+        if get == "ntk":
+            from nngp_tpu.ops.gram import panel_gram
+            keep_nngp = panel_gram(spec.layers, x, "nngp")
+        else:
+            keep_nngp = None
         l = _fused_fit_factor(spec, x, reg, get, block_min_n=block_min_n)
         alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
         return l, alpha, reg, keep_nngp

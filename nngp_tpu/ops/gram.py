@@ -33,3 +33,35 @@ def input_diag(x):
     """diag(x @ x.T) / d = row squared norms / d, shape (n,)."""
     d = x.shape[-1]
     return jnp.sum(x * x, axis=-1) / d
+
+
+def panel_gram(spec_layers, x, get="nngp", block_size: int = 4096):
+    """Full symmetric kernel Gram built COLUMN-PANEL-WISE into one output
+    buffer via a write-only dynamic_update_slice chain.
+
+    Why not one `kernel_fn(x, x)` call: XLA materializes several n^2
+    elementwise temporaries per activation layer for the monolithic
+    recursion (a depth-8 kernel's 21.6k Gram wants 52 GB of HLO temps and
+    refuses to compile — experiments/gram_depth.log). Panel-wise, the
+    recursion temps are (n, b) and the only n^2 object is the output, so
+    peak memory is ~n^2 + O(n b) at ANY depth. Same flops, same numerics.
+    """
+    from nngp_tpu.models.kernel_spec import apply_recursion
+
+    n = x.shape[0]
+    if n <= block_size:
+        k0 = input_gram(x, x)
+        d = input_diag(x)
+        nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d[:, None],
+                                    d[None, :], spec_layers)
+        return nngp if get == "nngp" else ntk
+    dvec = input_diag(x)
+    out = jnp.zeros((n, n), x.dtype)
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        k0 = input_gram(x, x[s:e])
+        nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), dvec[:, None],
+                                    dvec[s:e][None, :], spec_layers)
+        sel = nngp if get == "nngp" else ntk
+        out = jax.lax.dynamic_update_slice(out, sel, (0, s))
+    return out

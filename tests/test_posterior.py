@@ -313,3 +313,20 @@ def test_fused_fit_dense_inplace_tier_matches_plain(get, monkeypatch):
                                rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_p),
                                rtol=2e-5, atol=1e-7)
+
+
+def test_panel_gram_matches_kernel_fn():
+    """panel_gram (bounded-temps full Gram; the NTK large-n k_tt builder)
+    must equal the monolithic kernel_fn Gram for both gets, ragged panels
+    included."""
+    from nngp_tpu.ops.gram import panel_gram
+    spec = KernelSpec(mlp(3, activation="erf"))
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.uniform(0, 1000, (130, 9)))
+    for get in ("nngp", "ntk"):
+        want = spec.kernel_fn(x, x, get)
+        got = panel_gram(spec.layers, x, get, block_size=48)
+        # ~1e-10 relative: the panel matmuls tile differently from the
+        # monolithic dot, so fp64 rounding differs in the last bits
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-9, atol=1e-7)
