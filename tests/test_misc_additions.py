@@ -48,3 +48,64 @@ def test_chunked_predict_matches_full():
     np.testing.assert_allclose(m_c.ravel(), np.asarray(m_full).ravel(),
                                rtol=1e-10)
     np.testing.assert_allclose(s_c, np.asarray(s_full), rtol=1e-8)
+
+
+def test_build_aux_file_end_to_end(tmp_path):
+    """File-level aux pipeline (`/root/reference/neuroestimator/
+    merge_subquery_card.py`): card.csv + sub-query file -> aux lines on
+    disk, header skipped and nngp_card<=0 rows dropped."""
+    from nngp_tpu.serve.feedback import build_aux_file
+
+    card = tmp_path / "card.csv"
+    card.write_text(
+        "query;nngp_card;nngp_std;pg_card;mix_card;true_card\n"
+        "q1;200.0;2.0;1.0;1.0;100.0\n"
+        "q_dropped;0.0;1.0;1.0;1.0;50.0\n"
+        "q2;50.0;1.0;1.0;1.0;-1\n")
+    sub = tmp_path / "sub.txt"
+    sub.write_text("ta,tb@x,1,0@@ta,tb,id@100\n"
+                   "ta,tb@x,2,0@@ta,tb,id@400\n")
+    out = tmp_path / "join_query_aux.txt"
+    lines = build_aux_file(str(card), str(sub), str(out))
+    assert len(lines) == 2
+    on_disk = out.read_text().strip().split("\n")
+    assert on_disk == lines
+    q1 = lines[0].split("@")
+    assert float(q1[-2]) == 2.0          # q_error = 200/100
+    # second csv row (nngp_card=0) was dropped, so line 2 pairs with q2
+    assert float(lines[1].split("@")[-2]) == 8.0
+
+
+def test_gp_rbf_mll_decreases_and_interpolates():
+    """Hand-rolled RBF GP (`/root/reference/train.py:60-150`): the 10-step
+    MLL descent lowers the objective and the posterior interpolates."""
+    import jax.numpy as jnp
+    from nngp_tpu.models import gp_rbf
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (40, 3)))
+    y = jnp.asarray(np.sin(np.asarray(x).sum(axis=1, keepdims=True)))
+    p0 = gp_rbf.init_params(x.dtype)
+    mll0 = float(gp_rbf.neg_marginal_likelihood(p0, x, y))
+    params = gp_rbf.train(x, y, num_steps=10, verbose=None)
+    mll1 = float(gp_rbf.neg_marginal_likelihood(params, x, y))
+    assert mll1 < mll0
+    mean, cov = gp_rbf.predict(params, x, y, x)
+    assert np.allclose(np.asarray(mean), np.asarray(y), atol=0.2)
+    assert np.all(np.isfinite(np.asarray(cov)))
+
+
+def test_sklearn_mlp_regressor_wrapper():
+    from nngp_tpu.baselines.trainer import train_mlp_regressor
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, (120, 4))
+    y = x.sum(axis=1)
+    reg = train_mlp_regressor(x, y, num_hid=32, epochs=200, batch_size=32)
+    pred = reg.predict(x)
+    assert np.corrcoef(pred, y)[0, 1] > 0.8
+
+
+def test_memory_probe_returns_host_rss():
+    from nngp_tpu.utils.memory import memory_usage_gb
+    out = memory_usage_gb()
+    assert out.get("host_rss_gb", 0) > 0
