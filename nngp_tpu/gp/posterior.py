@@ -36,10 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from nngp_tpu.models.kernel_spec import KernelSpec
-from nngp_tpu.ops.linalg import (
-    blocked_cholesky,
-    cholesky_append_rows,
-)
+from nngp_tpu.ops.linalg import cholesky_append_rows
 
 # Above this size the fit fuses Gram assembly into a left-looking blocked
 # Cholesky (`ops.linalg.fused_panel_cholesky`): K + rI never materializes,
@@ -57,10 +54,10 @@ _BLOCK_LAYOUT_MIN_N = 28000
 
 
 def _cholesky(solve_k):
-    n = solve_k.shape[0]
-    if n >= _FUSED_FIT_MIN_N:
-        return blocked_cholesky(
-            solve_k, block_size=512 if n < 16384 else 1024)
+    # Only reached below _FUSED_FIT_MIN_N (larger fits factorize through
+    # the fused panel path); XLA's expander is fine at these sizes.
+    # `ops.linalg.blocked_cholesky` remains the dense fast path for
+    # externally-supplied Grams (e.g. gram_pallas lower-triangle output).
     return jax.lax.linalg.cholesky(solve_k)
 
 
