@@ -226,13 +226,41 @@ class DistributedPosterior:
                - 2.0 * jnp.sum(nngp_cross * w, axis=0))
         return mean, jnp.sqrt(jnp.maximum(var, 0.0))
 
+    def predict_mean_std_chunked(self, x_test, chunk: int = 8192):
+        """(mean, std) over arbitrarily large test sets, `chunk` rows per
+        dispatch — caps the sharded cross Gram at n*chunk/p per device and
+        reuses one compiled program for every full chunk (mirror of
+        GPPosterior.predict_mean_std_chunked)."""
+        import numpy as np
+        m = x_test.shape[0]
+        means, stds = [], []
+        for s in range(0, m, chunk):
+            block = jnp.asarray(x_test[s:s + chunk])
+            pad = 0
+            if block.shape[0] < chunk and s > 0:
+                pad = chunk - block.shape[0]
+                block = jnp.concatenate(
+                    [block, jnp.tile(block[-1:], (pad, 1))], axis=0)
+            mean, std = self.predict_mean_std(block)
+            n_keep = chunk - pad if pad else block.shape[0]
+            means.append(np.asarray(mean)[:n_keep])
+            stds.append(np.asarray(std)[:n_keep])
+        return np.concatenate(means), np.concatenate(stds)
+
 
 @lru_cache(maxsize=16)
+def _e2s_np(g2e: tuple):
+    """Inverse storage permutation, cached per layout — recomputing the
+    O(n log n) argsort on every serving call would sit on the latency path
+    (predict/_unpermute are called per batch)."""
+    return np.argsort(np.asarray(g2e, dtype=np.int64))
+
+
 def _e2s_device(g2e: tuple):
-    """Inverse storage permutation as a device array, cached per layout —
-    recomputing the O(n log n) argsort on every serving call would sit on
-    the latency path (predict/_unpermute are called per batch)."""
-    return jnp.asarray(np.argsort(np.asarray(g2e, dtype=np.int64)))
+    # Only the NUMPY permutation is cached: memoizing the jnp array would
+    # capture a tracer when the first call happens inside a jit trace
+    # (predict_mean_std is jitted) and poison every later trace/eager use.
+    return jnp.asarray(_e2s_np(g2e))
 
 
 def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,

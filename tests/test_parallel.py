@@ -227,3 +227,16 @@ def test_active_learner_mesh_respects_block_size_quantum():
                                       x_val, y_val, printer=None)
     # 20 snapped down to 16 (= p*b): layout stays factorizable
     assert hist[0]["num_train"] == 48
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_distributed_chunked_predict_matches_direct(get):
+    x_tr, y_tr, x_te = _data(n=64, m=40)
+    mesh = make_mesh()
+    from nngp_tpu.parallel import distributed_fit
+    post = distributed_fit(reference_kernel(), x_tr, y_tr, mesh, get=get)
+    m_d, s_d = post.predict_mean_std(jnp.asarray(x_te))
+    m_c, s_c = post.predict_mean_std_chunked(np.asarray(x_te), chunk=16)
+    np.testing.assert_allclose(m_c.ravel(), np.asarray(m_d).ravel(),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(s_c, np.asarray(s_d), rtol=1e-8, atol=1e-10)
