@@ -109,3 +109,29 @@ def test_memory_probe_returns_host_rss():
     from nngp_tpu.utils.memory import memory_usage_gb
     out = memory_usage_gb()
     assert out.get("host_rss_gb", 0) > 0
+
+
+def test_examples_run_headless(tmp_path, monkeypatch):
+    """The two standalone demos (`/root/reference/draw.py`,
+    `/root/reference/active/DeepEnsemble.py` re-imaginings) run end to end
+    headless."""
+    import importlib.util
+    import os
+
+    monkeypatch.chdir(tmp_path)
+
+    def load(name):
+        path = os.path.join(os.path.dirname(__file__), os.pardir,
+                            "examples", f"{name}.py")
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    gp_demo = load("sklearn_gp_demo")
+    out = tmp_path / "gp_demo.png"
+    gp_demo.main(str(out))
+    assert out.exists()
+
+    ens_demo = load("deep_ensemble_demo")
+    ens_demo.main()     # asserts internally: std grows off-support
