@@ -165,3 +165,44 @@ def test_bad_request_does_not_poison_batch():
                 results.append(e)
     assert isinstance(results[1], ValueError)
     assert results[0] == (0.0, 0.5) and results[2] == (0.0, 0.5)
+
+
+def test_concurrent_soak_with_random_failures():
+    """Many client threads, randomly interleaved malformed requests: every
+    future resolves, good requests get exactly their own prediction (value
+    encodes the item), bad ones get the error."""
+    import threading
+
+    def predict(items):
+        if any(it < 0 for it in items):
+            raise ValueError("bad item")
+        vals = np.asarray([float(it) for it in items])
+        return vals, vals * 0.1
+
+    rng = np.random.default_rng(0)
+    requests = [int(v) if ok else -1
+                for v, ok in zip(rng.integers(1, 1000, 400),
+                                 rng.random(400) > 0.1)]
+    results = [None] * len(requests)
+
+    with StreamingBatcher(predict, max_batch=32, max_wait_ms=2.0) as srv:
+        def client(lo, hi):
+            futs = [(i, srv.submit(requests[i])) for i in range(lo, hi)]
+            for i, f in futs:
+                try:
+                    results[i] = f.result(timeout=60)
+                except ValueError:
+                    results[i] = "error"
+
+        threads = [threading.Thread(target=client, args=(i * 50, (i + 1) * 50))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    for req, res in zip(requests, results):
+        if req < 0:
+            assert res == "error"
+        else:
+            assert res == (float(req), float(req) * 0.1)
