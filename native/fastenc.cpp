@@ -16,8 +16,8 @@
 //   joins          -> one-hot 3 slots per (t1,t2,col) triple, '=' bit set
 //
 // Schema wire format (built by Python, parsed once into a Schema handle):
-//   line 1: ntables chunk_size
-//   per table: "T <name> <ncols>" then per column:
+//   line 1: ntables default_chunk_size
+//   per table: "T <name> <ncols> <chunk_width>" then per column:
 //       "C <name> <kind 0|1> <addr_start> <min> <denom> <num_cat>"
 //     (addr_start is the GLOBAL feature offset of the column)
 //   then: "J <njoins>" and per join triple: "<t1name> <t2name> <colname>"
@@ -43,6 +43,10 @@ struct Column {
 };
 
 struct Table {
+  int chunk = 64;    // factorized-encoding chunk width (PER TABLE —
+                     // TableStats carries one per table; packing with a
+                     // global width silently corrupts categorical slots
+                     // when tables differ)
   std::unordered_map<std::string, int> col_index;
   std::vector<Column> cols;
 };
@@ -96,8 +100,8 @@ int encode_preds(const Schema* s, int tid, const char* b, const char* e,
         ++f;  // skip ','
         const char* fe = find_char(f, q, ',');
         long code = strtol(std::string(f, fe).c_str(), nullptr, 10);
-        int slot = col.start + (int)(code / s->chunk_size);
-        int bit = s->chunk_size - 1 - (int)(code % s->chunk_size);
+        int slot = col.start + (int)(code / t.chunk);
+        int bit = t.chunk - 1 - (int)(code % t.chunk);
         row[slot] += std::pow(2.0, (double)bit);
         f = fe;
       }
@@ -123,6 +127,7 @@ void* fastenc_schema_new(const char* desc) {
     int ncols;
     in >> tag >> name >> ncols;
     if (tag != "T") { delete s; return nullptr; }
+    in >> s->tables[i].chunk;
     s->table_index[name] = i;
     Table& t = s->tables[i];
     t.cols.resize(ncols);

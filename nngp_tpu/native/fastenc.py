@@ -85,7 +85,7 @@ def _schema_desc(tables: Sequence[TableStats],
     lines = [f"{len(tables)} {chunk_size}"]
     offset = 0
     for t in tables:
-        lines.append(f"T {t.table_name} {t.num_cols}")
+        lines.append(f"T {t.table_name} {t.num_cols} {t.chunk_size}")
         for col, addr in zip(t.columns, t.addresses):
             kind = 1 if col.kind == CATEGORICAL else 0
             lines.append(

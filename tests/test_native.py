@@ -120,3 +120,64 @@ def test_native_speedup():
     assert t_c < t_py  # must actually be faster
     print(f"native {t_c*1000:.1f} ms vs python {t_py*1000:.1f} ms "
           f"({t_py/t_c:.1f}x)")
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_multi_join_native_fuzz_random_schemas(seed):
+    """Bit-exact parity on RANDOMIZED schemas (table/column counts, ranges,
+    vocab sizes, chunk sizes) and randomized queries — edge cases the fixed
+    fixture can't reach (wide cat chunks, negative ranges, 1-column
+    tables, all-tables queries)."""
+    rng = np.random.default_rng(seed)
+    n_tables = int(rng.integers(2, 5))
+    tables = []
+    for t in range(n_tables):
+        cols = [ColumnStats("id", "numerical", 0, 50)]
+        for c in range(int(rng.integers(1, 4))):
+            if rng.random() < 0.5:
+                lo = float(rng.uniform(-100, 50))
+                hi = lo + float(rng.uniform(1e-3, 200))
+                cols.append(ColumnStats(f"n{t}_{c}", "numerical", lo, hi))
+            else:
+                vocab = int(rng.integers(2, 23))
+                cols.append(ColumnStats(
+                    f"c{t}_{c}", "categorical",
+                    categories=tuple(range(vocab))))
+        tables.append(TableStats(f"t{t}", tuple(cols),
+                                 chunk_size=int(rng.integers(3, 9))))
+
+    names = [t.table_name for t in tables]
+    lines = []
+    for i in range(120):
+        k = int(rng.integers(1, n_tables + 1))
+        used = sorted(rng.choice(n_tables, size=k, replace=False))
+        tnames = ",".join(names[u] for u in used)
+        preds = []
+        for u in used:
+            st = tables[u]
+            parts = []
+            for col in st.columns[1:]:
+                if rng.random() < 0.5:
+                    continue                     # unconstrained column
+                if col.kind == "numerical":
+                    hi = float(rng.uniform(col.min, col.max))
+                    lo = float(rng.uniform(col.min, hi))
+                    parts.append(f"{col.name},{hi:.6f},{lo:.6f}")
+                else:
+                    m = int(rng.integers(1, min(4, col.num_cat) + 1))
+                    cats = ",".join(str(v) for v in sorted(
+                        rng.choice(col.num_cat, size=m, replace=False)))
+                    parts.append(f"{col.name},{cats}")
+            preds.append("#".join(parts))
+        joins = "#".join(
+            f"{names[a]},{names[b]},id"
+            for a, b in zip(used[:-1], used[1:])) if k > 1 else ""
+        lines.append("@".join([tnames, *preds, joins, str(i + 1)]))
+
+    enc_py = MultiJoinEncoder(tables)
+    enc_c = native.FastEncoder(tables)
+    x_c, cards_c, *_ = enc_c.encode_multi("\n".join(lines))
+    parsed = [enc_py.parse_line(l) for l in lines]
+    x_py = enc_py.encode_batch([(t, p, j) for (t, p, j, _) in parsed])
+    np.testing.assert_array_equal(x_c, x_py)
+    np.testing.assert_array_equal(cards_c, [c for (_, _, _, c) in parsed])
