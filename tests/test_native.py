@@ -181,3 +181,50 @@ def test_multi_join_native_fuzz_random_schemas(seed):
     x_py = enc_py.encode_batch([(t, p, j) for (t, p, j, _) in parsed])
     np.testing.assert_array_equal(x_c, x_py)
     np.testing.assert_array_equal(cards_c, [c for (_, _, _, c) in parsed])
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_single_table_native_fuzz_random_schemas(seed):
+    """Single-table parity on randomized schemas: random column mixes,
+    ranges, vocab sizes, chunk widths, multi-category IN-sets."""
+    rng = np.random.default_rng(seed)
+    cols = []
+    for c in range(int(rng.integers(2, 6))):
+        if rng.random() < 0.5:
+            lo = float(rng.uniform(-100, 50))
+            hi = lo + float(rng.uniform(1e-3, 200))
+            cols.append(ColumnStats(f"n{c}", "numerical", lo, hi))
+        else:
+            vocab = int(rng.integers(2, 23))
+            cols.append(ColumnStats(f"c{c}", "categorical",
+                                    categories=tuple(range(vocab))))
+    st = TableStats("t0", tuple(cols), chunk_size=int(rng.integers(3, 9)))
+
+    lines = []
+    for i in range(80):
+        parts = []
+        for col in st.columns:
+            if rng.random() < 0.4:
+                continue
+            if col.kind == "numerical":
+                hi = float(rng.uniform(col.min, col.max))
+                lo = float(rng.uniform(col.min, hi))
+                parts.append(f"{col.name},{hi:.6f},{lo:.6f}")
+            else:
+                m = int(rng.integers(1, min(5, col.num_cat) + 1))
+                cats = ",".join(str(v) for v in sorted(
+                    rng.choice(col.num_cat, size=m, replace=False)))
+                parts.append(f"{col.name},{cats}")
+        if not parts:
+            parts = [f"{st.columns[0].name}," + (
+                f"{st.columns[0].max},{st.columns[0].min}"
+                if st.columns[0].kind == "numerical" else "0")]
+        lines.append("#".join(parts) + f"@{i + 1}")
+
+    enc_c = native.FastEncoder([st])
+    enc_py = SingleTableEncoder(st)
+    x_c, cards, npd = enc_c.encode_single("\n".join(lines))
+    parsed = [parse_single_table_line(l, st) for l in lines]
+    x_py = enc_py.encode_batch([p for p, _ in parsed])
+    np.testing.assert_array_equal(x_c, x_py)
+    np.testing.assert_array_equal(cards, [c for _, c in parsed])
