@@ -34,10 +34,8 @@ def main():
         dn, _ = apply_diag_recursion(input_diag(x), spec.layers)
         reg = (1e-3 * jnp.mean(dn)).astype(jnp.float32)
         for bs in bs_list:
-            # _fused_fit_factor doubles block_size at n >= 16384
-            arg = bs // 2 if n >= 16384 else bs
             try:
-                fn = jax.jit(lambda x, reg, a=arg: _fused_fit_factor(
+                fn = jax.jit(lambda x, reg, a=bs: _fused_fit_factor(
                     spec, x, reg, "nngp", block_size=a))
                 sync(fn(x, reg))
                 ts = []

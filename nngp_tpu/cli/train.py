@@ -116,21 +116,29 @@ def main(argv=None):
 
     from nngp_tpu.utils.memory import memory_usage_gb
     timer = Timer()
+    from contextlib import nullcontext
+    from nngp_tpu.utils.profiling import annotate, trace
+    prof = trace(args.profile_dir) if args.profile_dir else nullcontext()
     if args.kernel_type == "gp":
         # Hand-rolled RBF GP branch (`/root/reference/train.py:243-244`):
         # MLL hyperparameter descent, then a timed posterior predict.
         from nngp_tpu.models import gp_rbf
         x_tr_d, y_tr_d = jnp.asarray(x_tr), jnp.asarray(y_tr).reshape(-1, 1)
         x_te_d = jnp.asarray(x_te)
-        with timer.measure("GP hyperparameter training (10 MLL steps)") as h:
-            params = gp_rbf.train(x_tr_d, y_tr_d)
-            h["out"] = params
-        with timer.measure("GP inference (cold, incl. compile)") as h:
-            mean, cov = gp_rbf.predict(params, x_tr_d, y_tr_d, x_te_d)
-            h["out"] = (mean, cov)
-        with timer.measure("GP inference (warm)") as h:
-            mean, cov = gp_rbf.predict(params, x_tr_d, y_tr_d, x_te_d)
-            h["out"] = (mean, cov)
+        with prof:
+            with timer.measure("GP hyperparameter training (10 MLL steps)") \
+                    as h, annotate("gp_mll_train"):
+                params = gp_rbf.train(x_tr_d, y_tr_d)
+                h["out"] = params
+            with timer.measure("GP inference (cold, incl. compile)") as h:
+                mean, cov = gp_rbf.predict(params, x_tr_d, y_tr_d, x_te_d)
+                h["out"] = (mean, cov)
+            with timer.measure("GP inference (warm)") as h, \
+                    annotate("gp_infer_warm"):
+                mean, cov = gp_rbf.predict(params, x_tr_d, y_tr_d, x_te_d)
+                h["out"] = (mean, cov)
+        if args.profile_dir:
+            print(f"profiler trace written to {args.profile_dir}")
         timer.report()
         std = jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 0.0))
     else:
@@ -142,9 +150,6 @@ def main(argv=None):
             post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
                           diag_reg=args.diag_reg, get=args.kernel_type)
             h["out"] = post.l
-        from contextlib import nullcontext
-        from nngp_tpu.utils.profiling import annotate, trace
-        prof = trace(args.profile_dir) if args.profile_dir else nullcontext()
         with prof:
             with timer.measure("fit (warm)") as h, annotate("fit_warm"):
                 post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),

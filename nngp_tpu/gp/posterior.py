@@ -139,6 +139,29 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
         precision=precision)
 
 
+def chunked_predict(predict_fn, x_test, chunk: int = 8192):
+    """Run a (mean, std) batch-predict callable over arbitrarily large test
+    sets, `chunk` rows per device dispatch. Tail blocks are padded to the
+    chunk shape so every full chunk reuses ONE compiled program (compiles
+    cost seconds-to-minutes behind a remote-TPU tunnel). Shared by
+    `GPPosterior` and `parallel.DistributedPosterior`."""
+    import numpy as np
+    m = x_test.shape[0]
+    means, stds = [], []
+    for s in range(0, m, chunk):
+        block = jnp.asarray(x_test[s:s + chunk])
+        pad = 0
+        if block.shape[0] < chunk and s > 0:
+            pad = chunk - block.shape[0]
+            block = jnp.concatenate(
+                [block, jnp.tile(block[-1:], (pad, 1))], axis=0)
+        mean, std = predict_fn(block)
+        n_keep = chunk - pad if pad else block.shape[0]
+        means.append(np.asarray(mean)[:n_keep])
+        stds.append(np.asarray(std)[:n_keep])
+    return np.concatenate(means), np.concatenate(stds)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GPPosterior:
@@ -216,22 +239,7 @@ class GPPosterior:
         rows per device dispatch so the (m, n) cross Gram never exceeds
         chunk x n (the reference materializes the full test covariance,
         capping m; this path is O(chunk * n) memory)."""
-        import numpy as np
-        m = x_test.shape[0]
-        means, stds = [], []
-        for s in range(0, m, chunk):
-            block = jnp.asarray(x_test[s:s + chunk])
-            pad = 0
-            if block.shape[0] < chunk and s > 0:
-                # reuse the compiled chunk-shaped program for the tail
-                pad = chunk - block.shape[0]
-                block = jnp.concatenate(
-                    [block, jnp.tile(block[-1:], (pad, 1))], axis=0)
-            mean, std = self.predict_mean_std(block)
-            n_keep = chunk - pad if pad else block.shape[0]
-            means.append(np.asarray(mean)[:n_keep])
-            stds.append(np.asarray(std)[:n_keep])
-        return np.concatenate(means), np.concatenate(stds)
+        return chunked_predict(self.predict_mean_std, x_test, chunk)
 
     # --------------------------------------------------------------- extend
     @jax.jit

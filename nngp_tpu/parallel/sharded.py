@@ -228,24 +228,9 @@ class DistributedPosterior:
 
     def predict_mean_std_chunked(self, x_test, chunk: int = 8192):
         """(mean, std) over arbitrarily large test sets, `chunk` rows per
-        dispatch — caps the sharded cross Gram at n*chunk/p per device and
-        reuses one compiled program for every full chunk (mirror of
-        GPPosterior.predict_mean_std_chunked)."""
-        import numpy as np
-        m = x_test.shape[0]
-        means, stds = [], []
-        for s in range(0, m, chunk):
-            block = jnp.asarray(x_test[s:s + chunk])
-            pad = 0
-            if block.shape[0] < chunk and s > 0:
-                pad = chunk - block.shape[0]
-                block = jnp.concatenate(
-                    [block, jnp.tile(block[-1:], (pad, 1))], axis=0)
-            mean, std = self.predict_mean_std(block)
-            n_keep = chunk - pad if pad else block.shape[0]
-            means.append(np.asarray(mean)[:n_keep])
-            stds.append(np.asarray(std)[:n_keep])
-        return np.concatenate(means), np.concatenate(stds)
+        dispatch — caps the sharded cross Gram at n*chunk/p per device."""
+        from nngp_tpu.gp.posterior import chunked_predict
+        return chunked_predict(self.predict_mean_std, x_test, chunk)
 
 
 @lru_cache(maxsize=16)

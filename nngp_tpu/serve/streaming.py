@@ -109,51 +109,53 @@ class StreamingBatcher:
             items = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             t_enq = [b[2] for b in batch]
-            try:
-                mean, std = self._predict_fn(items)
-                mean = np.asarray(mean).ravel()
-                std = np.asarray(std).ravel()
-                if mean.shape[0] != len(batch):
-                    # e.g. Estimator.predict silently drops blank lines —
-                    # resolving positionally would hand each later client
-                    # its neighbor's prediction. Fail the batch loudly.
-                    raise ValueError(
-                        f"predict_fn returned {mean.shape[0]} results for "
-                        f"{len(batch)} requests (did it drop empty items?)")
-                done = time.monotonic()
-                with self._lock:
-                    self._n_requests += len(batch)
-                    self._n_batches += 1
-                    self._batch_sizes.append(len(batch))
-                    self._latencies.extend(done - t for t in t_enq)
-                for i, f in enumerate(futs):
-                    f.set_result((float(mean[i]), float(std[i])))
-            except Exception as e:
-                if len(batch) == 1:
-                    if not futs[0].done():
-                        futs[0].set_exception(e)
-                    continue
-                # One malformed request must not poison the whole coalesced
-                # batch: retry each item individually (error path only —
-                # healthy traffic never pays the per-item dispatch cost) so
-                # only the genuinely bad requests fail.
-                for item, fut in zip(items, futs):
-                    if fut.done():
-                        continue
-                    try:
-                        m1, s1 = self._predict_fn([item])
-                        m1 = np.asarray(m1).ravel()
-                        s1 = np.asarray(s1).ravel()
-                        if m1.shape[0] != 1:
-                            raise ValueError(
-                                "predict_fn returned no result for this item")
-                        with self._lock:
-                            self._n_requests += 1
-                            self._n_batches += 1
-                            self._batch_sizes.append(1)
-                        fut.set_result((float(m1[0]), float(s1[0])))
-                    except Exception as e1:
-                        fut.set_exception(e1)
+            self._resolve(items, futs, t_enq)
+
+    # A client may cancel its Future at any moment; an unguarded
+    # set_result/set_exception on a cancelled future raises
+    # InvalidStateError OUT of the dispatcher loop and kills the daemon
+    # thread — every later request would then hang forever.
+    @staticmethod
+    def _safe_set(fut: Future, result=None, exc=None):
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+        except Exception:
+            pass
+
+    def _resolve(self, items, futs, t_enq):
+        """Predict a batch and resolve its futures. On failure, BISECT:
+        the bad requests are isolated in O(k log n) sub-dispatches instead
+        of n serial per-item retries (one malformed line in a 4k batch
+        would otherwise stall coalescing for ~n tunnel roundtrips)."""
+        try:
+            mean, std = self._predict_fn(items)
+            mean = np.asarray(mean).ravel()
+            std = np.asarray(std).ravel()
+            if mean.shape[0] != len(items):
+                # e.g. Estimator.predict silently drops blank lines —
+                # resolving positionally would hand each later client
+                # its neighbor's prediction. Fail the batch loudly.
+                raise ValueError(
+                    f"predict_fn returned {mean.shape[0]} results for "
+                    f"{len(items)} requests (did it drop empty items?)")
+            done = time.monotonic()
+            with self._lock:
+                self._n_requests += len(items)
+                self._n_batches += 1
+                self._batch_sizes.append(len(items))
+                self._latencies.extend(done - t for t in t_enq)
+            for i, f in enumerate(futs):
+                self._safe_set(f, result=(float(mean[i]), float(std[i])))
+        except Exception as e:
+            if len(items) == 1:
+                self._safe_set(futs[0], exc=e)
+                return
+            mid = len(items) // 2
+            self._resolve(items[:mid], futs[:mid], t_enq[:mid])
+            self._resolve(items[mid:], futs[mid:], t_enq[mid:])
 
     # -------------------------------------------------------------- admin
     def stats(self) -> dict:

@@ -142,7 +142,7 @@ def test_streaming_rejects_length_mismatch():
         futs = [server.submit(x) for x in ["a", "blank", "b"]]
         assert futs[0].result(timeout=30) == (0.0, 0.0)
         assert futs[2].result(timeout=30) == (0.0, 0.0)
-        with pytest.raises(ValueError, match="no result"):
+        with pytest.raises(ValueError, match="0 results"):
             futs[1].result(timeout=30)
 
 
@@ -206,3 +206,29 @@ def test_concurrent_soak_with_random_failures():
             assert res == "error"
         else:
             assert res == (float(req), float(req) * 0.1)
+
+
+def test_cancelled_future_does_not_kill_dispatcher():
+    """A client cancelling its Future mid-flight must not raise
+    InvalidStateError out of the dispatcher thread — later requests would
+    hang forever on a dead daemon."""
+    import time as _t
+
+    def predict(items):
+        if any(it == "bad" for it in items):
+            raise ValueError("boom")
+        _t.sleep(0.05)                       # window for the cancel
+        v = np.asarray([float(i) for i in items])
+        return v, v
+
+    with StreamingBatcher(predict, max_batch=8, max_wait_ms=2.0) as srv:
+        f1 = srv.submit(1.0)
+        f2 = srv.submit("bad")
+        f3 = srv.submit(3.0)
+        f1.cancel()                           # may or may not win the race
+        # dispatcher must survive and still serve fresh requests
+        for _ in range(3):
+            assert srv.submit(7.0).result(timeout=30) == (7.0, 7.0)
+        with pytest.raises(ValueError):
+            f2.result(timeout=30)
+        assert f3.result(timeout=30) == (3.0, 3.0)
