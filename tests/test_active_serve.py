@@ -279,3 +279,27 @@ def test_restore_single_chip_checkpoint_rejects_mesh(tmp_path):
     est.save(str(ckpt))
     with pytest.raises(ValueError, match="single-chip"):
         Estimator.restore(str(ckpt), mesh=make_mesh())
+
+
+def test_estimator_ntk_kernel_type(tmp_path):
+    """Serving with get='ntk' end to end: fit, predict, checkpoint
+    round-trip (k_tt travels with the model), online extend."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    kernel_type="ntk", verbose=False)
+    assert est.posterior.k_tt_nngp is not None
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    mean, std = est.predict(lines)
+    assert np.isfinite(mean).all() and (std >= 0).all()
+
+    ckpt = tmp_path / "ckpt_ntk"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.kernel_type == "ntk"
+    m2, s2 = est2.predict(lines)
+    np.testing.assert_allclose(m2, mean, rtol=1e-12)
+    np.testing.assert_allclose(s2, std, rtol=1e-12)
+
+    est2.extend_with_lines(["ta,tb@x,3.0,1.0@@ta,tb,id@2000"])
+    m3, _ = est2.predict(["ta,tb@x,3.0,1.0@@ta,tb,id"])
+    assert abs(float(m3[0]) - np.log2(2000)) < 1.0
