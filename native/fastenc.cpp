@@ -11,7 +11,7 @@
 // to the reference):
 //   numerical col  -> 2 slots (upper, lower), scaled (v - min)/denom*1000,
 //                     default (0, 1000)
-//   categorical col-> factorized chunks, bit 2^(chunk-1 - code%chunk) summed
+//   categorical col-> factorized chunks, bit 2^(chunk-1 - code%chunk) OR'd
 //                     into slot code/chunk
 //   joins          -> one-hot 3 slots per (t1,t2,col) triple, '=' bit set
 //
@@ -102,7 +102,9 @@ int encode_preds(const Schema* s, int tid, const char* b, const char* e,
         long code = strtol(std::string(f, fe).c_str(), nullptr, 10);
         int slot = col.start + (int)(code / t.chunk);
         int bit = t.chunk - 1 - (int)(code % t.chunk);
-        row[slot] += std::pow(2.0, (double)bit);
+        // OR, not +=: the reference sets each one-hot bit idempotently,
+        // so a duplicate code in the IN-list must not double the value
+        row[slot] = (double)(((long)row[slot]) | (1L << bit));
         f = fe;
       }
     }

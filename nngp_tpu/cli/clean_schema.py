@@ -20,8 +20,9 @@ def build_parser():
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--out_dir", type=str, required=True)
     p.add_argument("--nrows", type=int, default=None)
-    p.add_argument("--no_int_cast", action="store_true",
-                   help="keep float columns (the reference int-casts for IMDB)")
+    p.add_argument("--int_cast", action="store_true",
+                   help="apply the reference's trailing astype(int) "
+                        "(IMDB-specific: truncates float columns)")
     return p
 
 
@@ -38,7 +39,7 @@ def main(argv=None):
         col_types_list.append(col_types)
         pks.append(pk)
     clean_schema(dfs, col_types_list, table_names, pks, out_dir=args.out_dir,
-                 cast_int=not args.no_int_cast)
+                 cast_int=args.int_cast)
     print(f"wrote {len(dfs)} cleaned tables to {args.out_dir}")
 
 

@@ -48,8 +48,11 @@ def build_parser():
 
 def _load_stats(args):
     if args.stats_dir:
-        return [TableStats.load(os.path.join(args.stats_dir, f))
-                for f in sorted(os.listdir(args.stats_dir))]
+        from nngp_tpu.data.loaders import SCHEMAS
+        from nngp_tpu.featurize.stats import load_stats_dir
+        names = (SCHEMAS[args.schema_name][1]
+                 if args.schema_name in SCHEMAS else None)
+        return load_stats_dir(args.stats_dir, table_names=names)
     if args.data_path and args.schema_name:
         from nngp_tpu.data.loaders import SCHEMAS
         from nngp_tpu.featurize.schema import DBSchema

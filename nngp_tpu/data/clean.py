@@ -24,10 +24,15 @@ def clean_schema(
     table_names: Sequence[str],
     primary_keys: Sequence[str],
     out_dir: Optional[str] = None,
-    cast_int: bool = True,
+    cast_int: bool = False,
 ) -> List[pd.DataFrame]:
     """Returns the cleaned dataframes; writes `<out_dir>/<name>.csv` (sep=';',
-    no index) when out_dir is given. Input frames are not mutated."""
+    no index) when out_dir is given. Input frames are not mutated.
+
+    cast_int: the reference's trailing `astype(int)` (`schemas.py:35-39`)
+    is IMDB-specific (all-integer tables); applying it everywhere would
+    truncate float columns (e.g. yelp latitude/longitude), so it is
+    opt-in here."""
     dfs = [df.copy() for df in df_list]
 
     # PK columns -> categorical codes (`schemas.py:11-19`).

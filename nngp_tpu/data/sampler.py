@@ -32,8 +32,10 @@ import pandas as pd
 
 from nngp_tpu.featurize.stats import CATEGORICAL, TableStats
 
-NUMERICAL_JOIN_OPS = ["<", ">", "=", "<=", ">=", "<>"]
-CATEGORICAL_JOIN_OPS = ["=", "<>"]
+from nngp_tpu.featurize.join import (      # one join-op vocabulary
+    CATEGORICAL_JOIN_OPS,
+    NUMERICAL_JOIN_OPS,
+)
 
 
 def _mask_for_predicates(df: pd.DataFrame, stats: TableStats, pred_list) -> np.ndarray:

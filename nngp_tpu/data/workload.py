@@ -85,9 +85,10 @@ def load_multi_join_workload(query_path: str, schema_name: str = None,
             schema = DBSchema(dfs, col_types_list, table_names, pks, chunk_size)
             stats_list = schema.stats
         elif os.path.isdir(stats_json_dir):
-            from nngp_tpu.featurize.stats import TableStats as TS
-            stats_list = [TS.load(os.path.join(stats_json_dir, f))
-                          for f in sorted(os.listdir(stats_json_dir))]
+            from nngp_tpu.data.loaders import SCHEMAS
+            from nngp_tpu.featurize.stats import load_stats_dir
+            names = SCHEMAS[schema_name][1] if schema_name in SCHEMAS else None
+            stats_list = load_stats_dir(stats_json_dir, table_names=names)
         else:
             raise FileNotFoundError(
                 f"need --data_path or a stats dir {stats_json_dir}")

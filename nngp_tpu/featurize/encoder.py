@@ -54,7 +54,10 @@ class SingleTableEncoder:
                 col_idx = pred[0]
                 if self.stats.columns[col_idx].kind == CATEGORICAL:
                     start = self._starts[col_idx]
-                    for code in pred[1]:
+                    # set(): the reference sets each one-hot bit
+                    # idempotently (encoding_str[cat] = '1'); a duplicate
+                    # code in the IN-list must not double the chunk value
+                    for code in set(pred[1]):
                         cat_rows.append(row)
                         cat_slots.append(start + code // chunk)
                         cat_vals.append(2.0 ** (chunk - 1 - code % chunk))

@@ -53,10 +53,13 @@ def one_hot_predicate_encoding(stats: TableStats, pred_list):
     return cols_x, ops_x
 
 
-def pad_sets(sets: Sequence[np.ndarray], min_rows: int = 1):
+def pad_sets(sets: Sequence[np.ndarray], min_rows: int = 1, feat=None):
     """Zero-pad a list of (rows_i, feat) arrays -> (batch, max_rows, feat)
-    plus a boolean mask (batch, max_rows)."""
-    feat = max((s.shape[1] for s in sets if s.size), default=1)
+    plus a boolean mask (batch, max_rows). Pass `feat` explicitly when the
+    whole batch can be empty sets (e.g. join-less queries) — inferring it
+    would collapse the feature dimension to 1."""
+    if feat is None:
+        feat = max((s.shape[1] for s in sets if s.size), default=1)
     max_rows = max(max((s.shape[0] for s in sets), default=0), min_rows)
     out = np.zeros((len(sets), max_rows, feat))
     mask = np.zeros((len(sets), max_rows), dtype=bool)
@@ -108,7 +111,9 @@ class MSCNJoinEncoder:
         trip = [self.encode_query(*q) for q in queries]
         left, lm = pad_sets([t[0] for t in trip])
         right, rm = pad_sets([t[1] for t in trip])
-        join, jm = pad_sets([t[2] for t in trip])
+        # explicit feat: a batch of join-less queries must keep the join
+        # feature width instead of collapsing it to 1
+        join, jm = pad_sets([t[2] for t in trip], feat=self.join_feat_dim)
         return (left, lm), (right, rm), (join, jm)
 
 
@@ -186,7 +191,7 @@ class MSCNMultiEncoder:
         trip = [self.encode_query(*q) for q in queries]
         table, tm = pad_sets([t[0] for t in trip])
         pred, pm = pad_sets([t[1] for t in trip])
-        join, jm = pad_sets([t[2] for t in trip])
+        join, jm = pad_sets([t[2] for t in trip], feat=self.join_feat_dim)
         return (table, tm), (pred, pm), (join, jm)
 
     # ----------------------------------------------------------- TreeLSTM

@@ -22,7 +22,13 @@ class DBSchema:
         self.primary_keys = list(primary_keys)
         self.pk_code_dicts: List[Dict] = []
 
-        # PK columns -> categorical codes (`schemas.py:48-55`).
+        # PK columns -> categorical codes (`schemas.py:48-55`). Work on
+        # copies: recoding the caller's frames in place would silently
+        # break any later use of them (e.g. running a sampler for ground
+        # truth — PK codes merged against raw FK values return ~zero
+        # cardinalities). `clean_schema` documents the same no-mutation
+        # contract.
+        df_list = [df.copy() for df in df_list]
         for df, pk in zip(df_list, primary_keys):
             if not pk:
                 self.pk_code_dicts.append({})

@@ -59,8 +59,19 @@ class ColumnStats:
     def num_cat(self) -> int:
         return len(self.categories) if self.categories is not None else 0
 
+    @property
+    def _code_index(self):
+        # cached {category: code}: tuple.index is O(num_cat) per lookup,
+        # quadratic for samplers over high-cardinality id columns (the
+        # reference keeps a dict, `JoinQuerySampler.py:56`)
+        d = self.__dict__.get("_code_index_cache")
+        if d is None:
+            d = {c: i for i, c in enumerate(self.categories or ())}
+            object.__setattr__(self, "_code_index_cache", d)
+        return d
+
     def code_of(self, category) -> int:
-        return self.categories.index(category)
+        return self._code_index[category]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,8 +143,12 @@ class TableStats:
                     code_dict = fk_code_dicts[name]
                     cats = tuple(sorted(code_dict, key=code_dict.get))
                 else:
-                    # pd.Categorical orders categories sorted-unique
-                    cats = tuple(np.unique(series.to_numpy()).tolist())
+                    # pd.Categorical like the reference
+                    # (`JoinQuerySampler.py:49`): np.unique raises TypeError
+                    # on mixed-type object columns (e.g. string ids whose
+                    # NaNs the fillna(-1) above turned into int -1)
+                    import pandas as pd
+                    cats = tuple(pd.Categorical(series).categories.tolist())
                 cols.append(ColumnStats(name=name, kind=CATEGORICAL, categories=cats))
             else:
                 vals = series.to_numpy()
@@ -217,3 +232,28 @@ class TableStats:
     def load(cls, path: str) -> "TableStats":
         with open(path) as f:
             return cls.from_json(f.read())
+
+
+def load_stats_dir(stats_dir: str, table_names=None):
+    """Load every TableStats JSON in a directory, ORDERED.
+
+    The order defines the feature layout (per-table blocks + join-triple
+    vocabulary), so it must match the order the model was trained with.
+    Pass `table_names` (e.g. from `data.loaders.SCHEMAS[name][1]`) to order
+    by schema; without it, files are ordered by sorted filename — fine for
+    the committed `NN_<table>.json` convention, but a plain `<table>.json`
+    dir would silently permute the layout relative to the CSV path.
+    Non-JSON files are ignored."""
+    import os
+
+    stats = [TableStats.load(os.path.join(stats_dir, f))
+             for f in sorted(os.listdir(stats_dir)) if f.endswith(".json")]
+    if table_names is not None:
+        by_name = {t.table_name: t for t in stats}
+        missing = [n for n in table_names if n not in by_name]
+        if missing:
+            raise FileNotFoundError(
+                f"stats dir {stats_dir} lacks tables {missing} "
+                f"(has {sorted(by_name)})")
+        stats = [by_name[n] for n in table_names]
+    return stats

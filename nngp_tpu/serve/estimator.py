@@ -100,8 +100,11 @@ class Estimator:
 
         if stats is None:
             if stats_dir is not None:
-                stats = [TableStats.load(os.path.join(stats_dir, f))
-                         for f in sorted(os.listdir(stats_dir))]
+                from nngp_tpu.data.loaders import SCHEMAS
+                from nngp_tpu.featurize.stats import load_stats_dir
+                names = (SCHEMAS[schema_name][1]
+                         if schema_name in SCHEMAS else None)
+                stats = load_stats_dir(stats_dir, table_names=names)
             else:
                 stats = _build_schema_stats(schema_name, data_path, chunk_size)
         self.stats = list(stats)

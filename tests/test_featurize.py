@@ -133,3 +133,28 @@ def test_load_queries_from_fixture_dir(tmp_path):
     x, y = enc.transform_to_arrays(queries, cards)
     assert x.shape == (3, stats.feat_dim)
     np.testing.assert_allclose(y.ravel(), np.log2([10, 7, 99]))
+
+
+def test_duplicate_category_codes_encode_idempotently():
+    """A duplicate code in an IN-list must set its one-hot bit ONCE
+    (`QuerySampler.py:229-231` sets encoding_str[cat]='1' idempotently) —
+    += accumulation doubled the chunk value."""
+    from nngp_tpu.featurize.encoder import SingleTableEncoder
+    from nngp_tpu.featurize.stats import ColumnStats, TableStats
+    st = TableStats("t", (ColumnStats("c", "categorical",
+                                      categories=tuple(range(8))),),
+                    chunk_size=4)
+    enc = SingleTableEncoder(st)
+    once = enc.encode_batch([[(0, [3])]])
+    twice = enc.encode_batch([[(0, [3, 3])]])
+    np.testing.assert_array_equal(once, twice)
+    assert once[0][0] == float(int("0001", 2))
+
+
+def test_pad_sets_all_empty_keeps_feature_width():
+    """A batch of empty sets (join-less queries) must keep the declared
+    feature width, not collapse it to 1."""
+    from nngp_tpu.featurize.mscn import pad_sets
+    out, mask = pad_sets([np.zeros((0, 9)), np.zeros((0, 9))], feat=9)
+    assert out.shape == (2, 1, 9)
+    assert not mask.any()

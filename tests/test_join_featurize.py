@@ -147,3 +147,45 @@ def test_dbschema_pk_fk_recoding():
     assert detect_join_columns(schema.stats[0], schema.stats[1]) == [
         ("uid", "categorical")
     ]
+
+
+def test_dbschema_does_not_mutate_caller_frames():
+    """PK recoding must happen on copies — the caller's frames are reused
+    for sampling ground truth."""
+    import pandas as pd
+    from nngp_tpu.featurize.schema import DBSchema
+    orders = pd.DataFrame({"order_key": [101, 102, 103], "v": [1.0, 2.0, 3.0]})
+    raw = orders["order_key"].tolist()
+    DBSchema([orders], [["categorical", "numerical"]], ["orders"],
+             ["order_key"], chunk_size=4)
+    assert orders["order_key"].tolist() == raw
+
+
+def test_from_dataframe_mixed_type_categorical():
+    """String categorical columns whose NaNs became int -1 (fillna) must
+    not crash stats building (np.unique raises on mixed object arrays;
+    the reference uses pd.Categorical, `JoinQuerySampler.py:49`)."""
+    import pandas as pd
+    from nngp_tpu.featurize.stats import TableStats
+    df = pd.DataFrame({"uid": ["a", None, "b", "a"],
+                       "score": [1.0, 2.0, 3.0, 4.0]})
+    st = TableStats.from_dataframe(df, ["categorical", "numerical"], "t")
+    assert st.columns[0].num_cat == 3          # -1, 'a', 'b'
+
+
+def test_load_stats_dir_orders_by_schema(tmp_path):
+    """Stats-dir loading must follow the schema's table order, not the
+    sorted-filename order (which would silently permute the feature
+    layout)."""
+    from nngp_tpu.featurize.stats import ColumnStats, TableStats, load_stats_dir
+    names = ["zeta", "alpha"]                  # schema order != sorted order
+    for n in names:
+        TableStats(n, (ColumnStats("x", "numerical", 0, 1),),
+                   chunk_size=4).save(str(tmp_path / f"{n}.json"))
+    (tmp_path / "notes.txt").write_text("ignore me")
+    ordered = load_stats_dir(str(tmp_path), table_names=names)
+    assert [t.table_name for t in ordered] == names
+    plain = load_stats_dir(str(tmp_path))
+    assert [t.table_name for t in plain] == ["alpha", "zeta"]
+    with pytest.raises(FileNotFoundError):
+        load_stats_dir(str(tmp_path), table_names=["zeta", "missing"])
