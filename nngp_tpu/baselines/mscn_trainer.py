@@ -15,7 +15,6 @@ padded axis). The TreeLSTM trainer passes masks (its min-pool would otherwise
 be poisoned by all-padding sets).
 """
 
-import math
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -56,15 +55,11 @@ def _train_loop(model, params, inputs, y, epochs, batch_size, lr,
                                                batch_idx)
         return params, state, jnp.sum(losses)
 
+    from nngp_tpu.baselines.trainer import _epoch_perm
     rng = np.random.default_rng(seed)
-    nb = math.ceil(n / batch_size)
     for epoch in range(epochs):
-        perm = rng.permutation(n)
-        pad = nb * batch_size - n
-        if pad:
-            perm = np.concatenate([perm, perm[:pad]])
         params, state, total = epoch_fn(
-            params, state, jnp.asarray(perm.reshape(nb, batch_size)),
+            params, state, jnp.asarray(_epoch_perm(n, batch_size, rng)),
             y, *args_all)
         if verbose:
             verbose(f"{epoch}-th Epochs: Train MSE Loss={float(total):.4f}")

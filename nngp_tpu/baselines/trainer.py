@@ -63,7 +63,12 @@ def compute_uncertainty(kind: str, log_probs, reg_output, rng=None):
 def _optimizer(lr, weight_decay, decay_factor, decay_every_steps):
     sched = optax.exponential_decay(lr, transition_steps=decay_every_steps,
                                     decay_rate=decay_factor, staircase=True)
-    return optax.adamw(sched, weight_decay=weight_decay)
+    # COUPLED L2 like torch's Adam(weight_decay=...) — wd*param is added to
+    # the gradient BEFORE the Adam moment normalization
+    # (`/root/reference/dnn/train.py:278-279`); optax.adamw would decay
+    # AFTER (decoupled), a different optimizer from the reference's.
+    return optax.chain(optax.add_decayed_weights(weight_decay),
+                       optax.adam(sched))
 
 
 def _epoch_perm(n, batch_size, rng):
@@ -124,11 +129,11 @@ def train_multitask(x_train, y_train, num_hid=256, max_classes=10,
     model = MultiTaskMLP(hid_ch=num_hid, cla_out_ch=max_classes)
     params = model.init(jax.random.PRNGKey(seed), x[:1])
 
+    from nngp_tpu.models.baselines_flax import multitask_loss
+
     def loss_fn(p, xb, yb, lb):
         reg, log_probs = model.apply(p, xb)
-        mse = jnp.mean((reg - yb) ** 2)
-        nll = -jnp.mean(jnp.take_along_axis(log_probs, lb[:, None], axis=1))
-        return mse + coeff * nll
+        return multitask_loss(reg, log_probs, yb, lb, coeff=coeff)
 
     params = _fit(params, loss_fn, x, (y, labels), epochs, batch_size, lr,
                   weight_decay, decay_factor, decay_patience, seed, verbose)

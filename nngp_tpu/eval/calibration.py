@@ -20,6 +20,12 @@ def calibration_table(y_true, means, stds, num_intervals: int = 10) -> Dict[floa
     levels = np.array([i / num_intervals for i in range(num_intervals + 1)])
     # z for central coverage p: sqrt(2) * erfinv(p)
     z = np.sqrt(2.0) * special.erfinv(levels)
-    inside = np.abs(y - mu)[None, :] <= z[:, None] * sd[None, :]
+    with np.errstate(invalid="ignore"):
+        bound = z[:, None] * sd[None, :]
+    # p=1.0 gives z=inf; inf * 0 = NaN for zero-std queries, which would
+    # count as OUTSIDE an infinite interval — the central interval at p=1
+    # contains everything by definition
+    bound[np.isinf(z), :] = np.inf
+    inside = np.abs(y - mu)[None, :] <= bound
     observed = inside.mean(axis=1)
     return {float(p): float(o) for p, o in zip(levels, observed)}

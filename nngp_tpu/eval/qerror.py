@@ -8,7 +8,7 @@ same bucket-merging rule when more than 6 groups exist
 (`/root/reference/util.py:129-140`).
 
 Two metrics are exposed:
-  - `ratio_profile` — the reference's exact statistic (2^(pred - truth),
+  - `qerror_profile` — the reference's exact statistic (2^(pred - truth),
     can be < 1), used for parity checks against reference output.
   - `symmetric_qerror` — the standard q-error max(r, 1/r) the paper reports.
 """

@@ -121,8 +121,13 @@ class DeepEnsemble:
             lambda mu, s: MLPDensityRegressor.loss(y, mu, s))(mus, sigmas))
 
     def predict(self, params, x) -> Tuple[jax.Array, jax.Array]:
-        """Mixture mean/std (`/root/reference/dnn/DeepEnsemble.py:92-93`)."""
+        """Mixture mean/std (`/root/reference/dnn/DeepEnsemble.py:92-93`).
+
+        sigma_pos is a VARIANCE (the NLL is 0.5*(log s + (y-mu)^2/s)), so
+        it enters the mixture moment un-squared — squaring it (a former
+        bug) scaled every ensemble std by sqrt(sigma), corrupting the
+        acquisition ranking."""
         mus, sigmas = self.apply(params, x)
         mu_bar = jnp.mean(mus, axis=0)
-        var = jnp.mean(sigmas ** 2 + mus ** 2, axis=0) - mu_bar ** 2
+        var = jnp.mean(sigmas + mus ** 2, axis=0) - mu_bar ** 2
         return mu_bar[:, 0], jnp.sqrt(jnp.maximum(var, 0.0))[:, 0]

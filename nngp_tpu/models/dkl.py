@@ -23,12 +23,21 @@ def _softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
-def _extract(params, x):
-    h = jnp.maximum(x @ params["w1"] + params["b1"], 0.0)
-    z = h @ params["w2"] + params["b2"]          # (n, 2)
-    z = z - jnp.min(z, axis=0)
-    z = 2.0 * (z / jnp.maximum(jnp.max(z, axis=0), 1e-12)) - 1.0
-    return z
+def _extract(params, x, stats_from=None):
+    """MLP feature extractor + [-1, 1] min-max rescale. The rescale stats
+    come from `stats_from` (defaults to x itself): gpytorch's grid-interp
+    DKL rescales the CONCATENATED train+test batch jointly
+    (`/root/reference/dnn/layers.py:74-75`), so train and test must share
+    one coordinate frame — normalizing each batch independently maps
+    identical inputs to different coordinates under distribution shift."""
+    def embed(v):
+        h = jnp.maximum(v @ params["w1"] + params["b1"], 0.0)
+        return h @ params["w2"] + params["b2"]   # (n, 2)
+    z = embed(x)
+    ref = z if stats_from is None else embed(stats_from)
+    lo = jnp.min(ref, axis=0)
+    z = z - lo
+    return 2.0 * (z / jnp.maximum(jnp.max(ref - lo, axis=0), 1e-12)) - 1.0
 
 
 def _rbf_gram(z1, z2, lengthscale, amp):
@@ -78,13 +87,15 @@ def train_dkl(x_train, y_train, hid_dim=256, epochs=40, lr=0.01, seed=0,
     state = opt.init(params)
 
     @jax.jit
-    def step(params, state):
+    def step(params, state, x, y):
+        # data as ARGUMENTS, not closure constants: jit bakes captured
+        # arrays into the executable (bigger programs, slower compiles)
         loss, grads = jax.value_and_grad(neg_mll)(params, x, y)
         updates, state = opt.update(grads, state)
         return optax.apply_updates(params, updates), state, loss
 
     for i in range(epochs):
-        params, state, loss = step(params, state)
+        params, state, loss = step(params, state, x, y)
         if verbose:
             verbose(f"{i}-th Epochs: DKL Train Loss={float(loss):.4f}")
     return params
@@ -94,12 +105,13 @@ def train_dkl(x_train, y_train, hid_dim=256, epochs=40, lr=0.01, seed=0,
 def predict_dkl(params, x_train, y_train, x_test) -> Tuple[jax.Array, jax.Array]:
     """Posterior mean/std at x_test."""
     x = jnp.asarray(x_train)
-    z = _extract(params, x)
-    # project test through the SAME normalization stats is impossible exactly
-    # (the reference renormalizes per-batch, layers.py:74-75); evaluate
-    # jointly, as the reference does when it calls model(X_test) with the
-    # train data conditioned inside gpytorch.
-    zt = _extract(params, jnp.asarray(x_test))
+    xt = jnp.asarray(x_test)
+    # One joint coordinate frame for train and test (see _extract): the
+    # rescale stats come from the concatenated batch, like the reference's
+    # gpytorch evaluation of model(X_test) with train data conditioned in.
+    joint = jnp.concatenate([x, xt], axis=0)
+    z = _extract(params, x, stats_from=joint)
+    zt = _extract(params, xt, stats_from=joint)
     ls = _softplus(params["raw_lengthscale"]) + 1e-4
     amp = _softplus(params["raw_amp"]) + 1e-4
     noise = _softplus(params["raw_noise"]) + 1e-4

@@ -17,6 +17,7 @@ from nngp_tpu.ops.linalg import (
     cho_solve,
     fused_panel_cholesky,
     tri_solve_lower,
+    tri_solve_lower_t,
     cholesky_append_rows,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "cholesky_with_ridge",
     "cho_solve",
     "tri_solve_lower",
+    "tri_solve_lower_t",
     "cholesky_append_rows",
 ]

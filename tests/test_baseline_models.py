@@ -185,3 +185,42 @@ def test_deep_ensemble_mixture_stats():
     assert np.all(np.asarray(std) >= 0)
     loss = ens.loss(params, x, jnp.zeros((6, 1)))
     assert np.isfinite(float(loss))
+
+
+def test_deep_ensemble_mixture_treats_sigma_as_variance():
+    """Reference mixture: var = mean(sig_pos + mu^2) - mu_bar^2
+    (`/root/reference/dnn/DeepEnsemble.py:92-93`) — sigma_pos is a
+    VARIANCE and must not be squared again."""
+    import jax
+    import jax.numpy as jnp
+    from nngp_tpu.models.baselines_flax import DeepEnsemble
+
+    ens = DeepEnsemble(num_models=3, hid_ch=8)
+    x = jnp.ones((4, 2))
+    params = ens.init(jax.random.PRNGKey(0), x)
+    mus, sigmas = ens.apply(params, x)
+    mean, std = ens.predict(params, x)
+    want_var = (np.mean(np.asarray(sigmas) + np.asarray(mus) ** 2, axis=0)
+                - np.mean(np.asarray(mus), axis=0) ** 2)
+    np.testing.assert_allclose(np.asarray(std) ** 2,
+                               np.maximum(want_var, 0.0).ravel(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_dkl_identical_train_test_points_match_under_shift():
+    """Joint normalization: a test point equal to a training point must get
+    the same embedding even when the test batch spans a different range."""
+    import jax.numpy as jnp
+    from nngp_tpu.models import dkl
+
+    rng = np.random.default_rng(0)
+    x_tr = rng.uniform(-1, 1, (30, 4)).astype(np.float32)
+    y_tr = x_tr.sum(axis=1, keepdims=True).astype(np.float32)
+    params = dkl.train_dkl(x_tr, y_tr, epochs=3, verbose=None)
+    # narrow test batch containing an exact training point
+    x_te = np.vstack([x_tr[:1], x_tr[:1] + 1e-3]).astype(np.float32)
+    mean, std = dkl.predict_dkl(params, jnp.asarray(x_tr),
+                                jnp.asarray(y_tr), jnp.asarray(x_te))
+    # posterior at the training point ~ its label (noise-limited), which
+    # fails if train/test embeddings live in different coordinates
+    assert abs(float(mean[0]) - float(y_tr[0, 0])) < 0.5

@@ -104,3 +104,12 @@ def test_uneven_train_test_split_skews_composition():
     # 60 candidates per partition; ratios 0.2 / 0.8 -> 12 vs 48
     assert n1 == 12 and n2 == 48
     assert len(infos_te) == 80
+
+
+def test_calibration_zero_std_at_full_confidence():
+    """p=1.0 (z=inf) must contain every query, including exact-zero-std
+    ones (inf * 0 = NaN used to drop them)."""
+    from nngp_tpu.eval.calibration import calibration_table
+    table = calibration_table(
+        y_true=[1.0, 2.0], means=[1.0, 5.0], stds=[0.0, 1.0])
+    assert table[1.0] == 1.0
