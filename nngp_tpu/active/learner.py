@@ -103,7 +103,14 @@ class ActiveLearner:
             # return the WHOLE pool (slice [-0:] == [0:])
             return jnp.zeros((0,), dtype=jnp.int32)
         if self.biased_sample:
-            std_prob = std / jnp.sum(std)
+            # guard: an all-zero/underflowed std pool would give 0/0 = NaN
+            # probabilities, and jax.random.choice does no p validation on
+            # device — fall back to uniform instead of silently selecting
+            # garbage indices
+            std = jnp.nan_to_num(std)
+            total = jnp.sum(std)
+            std_prob = jnp.where(total > 0, std / total,
+                                 1.0 / std.shape[0])
             self.key, sub = jax.random.split(self.key)
             indices = jax.random.choice(sub, num_pool, shape=(num_select,),
                                         replace=False, p=std_prob)

@@ -69,11 +69,40 @@ def build_parser():
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of the warm fit + "
                         "inference here (view in TensorBoard/Perfetto)")
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON RunConfig file (utils.config) providing the "
+                        "defaults; explicit flags still override")
     return p
 
 
+def _apply_config_defaults(p, config_path):
+    """Seed the parser defaults from a RunConfig JSON — the typed-config
+    replacement for the reference's commented-out argparse preset forests
+    (`/root/reference/train.py:252-287`)."""
+    from nngp_tpu.utils.config import RunConfig
+    with open(config_path) as f:
+        cfg = RunConfig.from_json(f.read())
+    p.set_defaults(
+        kernel_type=cfg.kernel.kernel_type, depth=cfg.kernel.depth,
+        width=cfg.kernel.width, activation=cfg.kernel.activation,
+        w_std=cfg.kernel.w_std, b_std=cfg.kernel.b_std,
+        diag_reg=cfg.kernel.diag_reg,
+        relations=cfg.workload.relations, names=cfg.workload.names,
+        schema_name=cfg.workload.schema_name,
+        query_path=cfg.workload.query_path, data_path=cfg.workload.data_path,
+        chunk_size=cfg.workload.chunk_size,
+        train_frac=cfg.split.train_frac, test_frac=cfg.split.test_frac,
+        seed=cfg.split.seed, max_num_train=cfg.split.max_num_train,
+        x64=cfg.x64,
+    )
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    p = build_parser()
+    pre, _ = p.parse_known_args(argv)
+    if pre.config:
+        _apply_config_defaults(p, pre.config)
+    args = p.parse_args(argv)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.x64 else np.float32

@@ -273,7 +273,11 @@ class GPPosterior:
                                transpose=True)
         else:
             l_ext = cholesky_append_rows(self.l, k21, k22)
-            alpha = jax.scipy.linalg.cho_solve((l_ext, True), y_ext)
+            # _tri_solve, not jax.scipy.cho_solve: XLA's triangular-solve
+            # expander allocates an extra n^2 workspace at the sizes the
+            # dense incremental path serves (same routing as _fit_impl)
+            alpha = _tri_solve(l_ext, _tri_solve(l_ext, y_ext),
+                               transpose=True)
         k_tt = None
         if self.get == "ntk":
             k_tt = jnp.block([[self.k_tt_nngp, n21.T], [n21, n22]])

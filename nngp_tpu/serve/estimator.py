@@ -386,6 +386,12 @@ class Estimator:
         plans with varying sub-query counts reuse compiled programs instead
         of recompiling per shape (compiles cost seconds-to-minutes on a
         remote TPU; padding rows cost microseconds)."""
+        # One result PER LINE is the contract: both encoders silently skip
+        # blank lines, which would positionally misalign every later
+        # client's prediction — fail loudly instead.
+        for i, line in enumerate(query_lines):
+            if not line.strip():
+                raise ValueError(f"blank query line at index {i}")
         x_test = self.encode_lines(query_lines)
         n = x_test.shape[0]
         bucket = max(64, 1 << (n - 1).bit_length())

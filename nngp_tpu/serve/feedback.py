@@ -56,8 +56,15 @@ def merge_query_res(all_pred_info: List[PredInfo], all_rows: List[str],
             raise ValueError(
                 f"Inconsistent true card at line {idx}: "
                 f"{true_card} vs {csv_true_card}")
-        coef_var = info.nngp_std / math.log(info.nngp_card, 2.0)
-        q_error = max(info.nngp_card / true_card, true_card / info.nngp_card)
+        # Guards the reference lacks (`merge_subquery_card.py:57-58`
+        # crashes): log2(nngp_card)=0 when the model predicts card 1, and
+        # PG-side true cards can be 0 — treat both ratios as infinitely
+        # uncertain/wrong (kept by any threshold) instead of aborting the
+        # whole feedback build.
+        log_card = math.log(info.nngp_card, 2.0)
+        coef_var = info.nngp_std / log_card if log_card > 0 else math.inf
+        q_error = (max(info.nngp_card / true_card, true_card / info.nngp_card)
+                   if true_card > 0 else math.inf)
         merged = parts[:-1] + [str(int(true_card)), str(q_error), str(coef_var)]
         lines.append("@".join(merged))
     if out_path:

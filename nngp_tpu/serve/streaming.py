@@ -185,10 +185,9 @@ class StreamingBatcher:
         try:
             while True:
                 _, fut, _ = self._queue.get_nowait()
-                if not fut.done():
-                    fut.set_exception(
-                        RuntimeError("StreamingBatcher closed before this "
-                                     "request was dispatched"))
+                self._safe_set(fut, exc=RuntimeError(
+                    "StreamingBatcher closed before this request was "
+                    "dispatched"))
         except queue.Empty:
             pass
 

@@ -303,3 +303,29 @@ def test_estimator_ntk_kernel_type(tmp_path):
     est2.extend_with_lines(["ta,tb@x,3.0,1.0@@ta,tb,id@2000"])
     m3, _ = est2.predict(["ta,tb@x,3.0,1.0@@ta,tb,id"])
     assert abs(float(m3[0]) - np.log2(2000)) < 1.0
+
+
+def test_predict_rejects_blank_lines(tmp_path):
+    """One result PER LINE is the contract: blank lines must fail loudly
+    instead of silently shifting every later prediction."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    with pytest.raises(ValueError, match="blank query line at index 1"):
+        est.predict(["ta,tb@x,5.0,-5.0@@ta,tb,id", "   ",
+                     "ta,tb@@y,0.9,0.1@ta,tb,id"])
+
+
+def test_feedback_guards_degenerate_cards():
+    """nngp_card=1 (log2=0) and true_card=0 yield infinite coef_var /
+    q_error instead of ZeroDivisionError (the reference crashes)."""
+    infos = [
+        PredInfo("q1", nngp_card=1.0, nngp_std=2.0, pg_card=1.0,
+                 true_card=10.0),
+        PredInfo("q2", nngp_card=50.0, nngp_std=1.0, pg_card=1.0,
+                 true_card=0.0),
+    ]
+    rows = ["ta,tb@x,1,0@@ta,tb,id@10\n", "ta,tb@x,2,0@@ta,tb,id@0\n"]
+    lines = merge_query_res(infos, rows)
+    assert float(lines[0].split("@")[-1]) == np.inf     # coef_var
+    assert float(lines[1].split("@")[-2]) == np.inf     # q_error

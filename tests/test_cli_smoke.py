@@ -80,3 +80,19 @@ def test_train_cli_rbf_gp():
     profile = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
                     "--max_num_train", "200", "--kernel_type", "gp"])
     assert np.isfinite(profile["median"])
+
+
+def test_train_cli_config_file(tmp_path):
+    """--config seeds defaults from a typed RunConfig JSON; explicit flags
+    still override."""
+    from nngp_tpu.utils.config import RunConfig, SplitConfig
+    import dataclasses
+    cfg = RunConfig(split=SplitConfig(max_num_train=300))
+    path = tmp_path / "run.json"
+    path.write_text(cfg.to_json())
+    # roundtrip sanity
+    assert RunConfig.from_json(cfg.to_json()) == cfg
+    from nngp_tpu.cli.train import main
+    profile = main(["--config", str(path),
+                    "--query_path", os.path.join(WORKLOAD, "forest_data")])
+    assert np.isfinite(profile["median"])
