@@ -145,11 +145,19 @@ def main():
                     rng.standard_normal((n_scale, 1)), jnp.float32))
                 p2 = fit_gp(spec, x2, y2, diag_reg=1e-3)
                 sync((p2.l, p2.alpha))
-                del p2  # one live factor at a time (n^2/2 each)
-                _, s2 = timed(lambda: (lambda p: (p.l, p.alpha))(
-                    fit_gp(spec, x2, y2, diag_reg=1e-3)), repeats=2)
-                extras[f"fit_{n_scale}_s"] = round(s2, 6)
-                del x2, y2
+                # time with ONE live factor: timed() would hold the previous
+                # repeat's posterior while the next fit runs (2x factor HBM
+                # right at the scale ceiling)
+                import time as _t
+                best = float("inf")
+                for _ in range(2):
+                    del p2
+                    t0 = _t.perf_counter()
+                    p2 = fit_gp(spec, x2, y2, diag_reg=1e-3)
+                    sync((p2.l, p2.alpha))
+                    best = min(best, _t.perf_counter() - t0)
+                extras[f"fit_{n_scale}_s"] = round(best, 6)
+                del p2, x2, y2
             except Exception as e:           # pragma: no cover - TPU only
                 extras[f"fit_{n_scale}_s"] = f"failed: {type(e).__name__}"
 

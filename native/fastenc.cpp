@@ -11,8 +11,8 @@
 // to the reference):
 //   numerical col  -> 2 slots (upper, lower), scaled (v - min)/denom*1000,
 //                     default (0, 1000)
-//   categorical col-> factorized chunks, bit 2^(chunk-1 - code%chunk) OR'd
-//                     into slot code/chunk
+//   categorical col-> factorized chunks: += 2^(chunk-1 - code%chunk) into
+//                     slot code/chunk, duplicate codes per predicate dedup'd
 //   joins          -> one-hot 3 slots per (t1,t2,col) triple, '=' bit set
 //
 // Schema wire format (built by Python, parsed once into a Schema handle):
@@ -23,6 +23,7 @@
 //   then: "J <njoins>" and per join triple: "<t1name> <t2name> <colname>"
 //   last: "F <feat_dim> <join_offset>"
 
+#include <cerrno>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -67,9 +68,34 @@ inline const char* find_char(const char* p, const char* end, char c) {
 }
 
 inline std::string trim(const char* b, const char* e) {
+  if (b > e) return std::string();  // defensive: caller ranges can invert
   while (b < e && (*b == ' ' || *b == '\t' || *b == '\r')) ++b;
   while (e > b && (e[-1] == ' ' || e[-1] == '\t' || e[-1] == '\r')) --e;
   return std::string(b, e);
+}
+
+// Strict numeric parses: the whole (trimmed) field must be consumed —
+// strtol/strtod without endptr checks silently turn garbage into 0, so
+// malformed serving lines would produce wrong features instead of the
+// clean parse error the Python fallback raises.
+inline bool parse_long(const std::string& field, long* out) {
+  if (field.empty()) return false;
+  char* endp = nullptr;
+  errno = 0;
+  long v = strtol(field.c_str(), &endp, 10);
+  if (errno != 0 || endp != field.c_str() + field.size()) return false;
+  *out = v;
+  return true;
+}
+
+inline bool parse_double(const std::string& field, double* out) {
+  if (field.empty()) return false;
+  char* endp = nullptr;
+  errno = 0;
+  double v = strtod(field.c_str(), &endp);
+  if (endp != field.c_str() + field.size()) return false;
+  *out = v;
+  return true;
 }
 
 // Encode one predicate section ("col,a,b#col,c1,c2,...") for table t into row.
@@ -88,23 +114,38 @@ int encode_preds(const Schema* s, int tid, const char* b, const char* e,
     const Column& col = t.cols[it->second];
     if (col.kind == 0) {
       const char* f1 = f0e + 1;
+      if (f1 > q) return -3;
       const char* f1e = find_char(f1, q, ',');
       if (f1e >= q) return -3;
-      double upper = strtod(std::string(f1, f1e).c_str(), nullptr);
-      double lower = strtod(std::string(f1e + 1, q).c_str(), nullptr);
+      double upper, lower;
+      if (!parse_double(trim(f1, f1e), &upper) ||
+          !parse_double(trim(f1e + 1, q), &lower))
+        return -3;
       row[col.start] = (upper - col.min) / col.denom * 1000.0;
       row[col.start + 1] = (lower - col.min) / col.denom * 1000.0;
     } else {
+      // Python-encoder semantics exactly (featurize/encoder.py:57-63,80):
+      // duplicate codes WITHIN one predicate set a bit once (set()), and
+      // the chunk value accumulates as float64 += of 2^bit. Codes are
+      // bounds-checked: an out-of-range code would index outside the
+      // column's slots and write out of the caller's buffer (the Python
+      // path raises IndexError for the same input).
+      std::vector<long> seen;
       const char* f = f0e;
       while (f < q) {
         ++f;  // skip ','
         const char* fe = find_char(f, q, ',');
-        long code = strtol(std::string(f, fe).c_str(), nullptr, 10);
-        int slot = col.start + (int)(code / t.chunk);
-        int bit = t.chunk - 1 - (int)(code % t.chunk);
-        // OR, not +=: the reference sets each one-hot bit idempotently,
-        // so a duplicate code in the IN-list must not double the value
-        row[slot] = (double)(((long)row[slot]) | (1L << bit));
+        long code;
+        if (!parse_long(trim(f, fe), &code)) return -4;
+        if (code < 0 || code >= (long)col.num_cat) return -4;
+        bool dup = false;
+        for (long c : seen) if (c == code) { dup = true; break; }
+        if (!dup) {
+          seen.push_back(code);
+          int slot = col.start + (int)(code / t.chunk);
+          int bit = t.chunk - 1 - (int)(code % t.chunk);
+          row[slot] += std::pow(2.0, (double)bit);
+        }
         f = fe;
       }
     }
@@ -176,8 +217,10 @@ long fastenc_encode_multi(void* handle, const char* buf, long buf_len,
   const char* p = buf;
   const char* bend = buf + buf_len;
   long line_no = 0;
+  long phys_line = 0;  // error reports count PHYSICAL lines (blanks incl.)
   while (p < bend) {
     const char* le = find_char(p, bend, '\n');
+    ++phys_line;
     if (trim(p, le).empty()) { p = le + 1; continue; }
     double* row = out + line_no * s->feat_dim;
     memcpy(row, s->default_row.data(), s->feat_dim * sizeof(double));
@@ -191,7 +234,7 @@ long fastenc_encode_multi(void* handle, const char* buf, long buf_len,
       if (qe >= le) break;
     }
     size_t min_terms = with_card ? 4 : 3;
-    if (terms.size() < min_terms) return -(line_no + 1);
+    if (terms.size() < min_terms) return -phys_line;
     // tables
     std::vector<int> tids;
     {
@@ -201,18 +244,18 @@ long fastenc_encode_multi(void* handle, const char* buf, long buf_len,
       while (r < e) {
         const char* re = find_char(r, e, ',');
         auto it = s->table_index.find(trim(r, re));
-        if (it == s->table_index.end()) return -(line_no + 1);
+        if (it == s->table_index.end()) return -phys_line;
         tids.push_back(it->second);
         r = re + 1;
       }
     }
     size_t expect = tids.size() + (with_card ? 3 : 2);
-    if (terms.size() != expect) return -(line_no + 1);
+    if (terms.size() != expect) return -phys_line;
     int npreds = 0;
     for (size_t i = 0; i < tids.size(); ++i) {
       if (encode_preds(s, tids[i], terms[1 + i].first, terms[1 + i].second,
                        row, &npreds) < 0)
-        return -(line_no + 1);
+        return -phys_line;
     }
     // joins
     int njoins = 0;
@@ -224,21 +267,23 @@ long fastenc_encode_multi(void* handle, const char* buf, long buf_len,
           const char* re = find_char(r, e, '#');
           // t1,t2,col[,op]
           const char* c1 = find_char(r, re, ',');
+          if (c1 >= re) return -phys_line;          // need t1,t2,col
           const char* c2 = find_char(c1 + 1, re, ',');
+          if (c2 >= re) return -phys_line;
           const char* c3 = find_char(c2 + 1, re, ',');
           std::string t1 = trim(r, c1), t2 = trim(c1 + 1, c2),
                       col = trim(c2 + 1, c3 < re ? c3 : re);
           auto i1 = s->table_index.find(t1);
           auto i2 = s->table_index.find(t2);
           if (i1 == s->table_index.end() || i2 == s->table_index.end())
-            return -(line_no + 1);
+            return -phys_line;
           int a = i1->second, bb = i2->second;
           std::string key = (a < bb)
               ? t1 + "|" + t2 + "|" + col : t2 + "|" + t1 + "|" + col;
           // triple keys are stored by table NAME in sorted-tid order; the
           // python side guarantees name order == tid order in the key
           auto jt = s->join_triple_index.find(key);
-          if (jt == s->join_triple_index.end()) return -(line_no + 1);
+          if (jt == s->join_triple_index.end()) return -phys_line;
           row[s->join_offset + jt->second * 3 + 2] = 1.0;  // '=' bit
           ++njoins;
           r = re + 1;
@@ -267,15 +312,17 @@ long fastenc_encode_single(void* handle, const char* buf, long buf_len,
   const char* p = buf;
   const char* bend = buf + buf_len;
   long line_no = 0;
+  long phys_line = 0;  // error reports count PHYSICAL lines (blanks incl.)
   while (p < bend) {
     const char* le = find_char(p, bend, '\n');
+    ++phys_line;
     if (trim(p, le).empty()) { p = le + 1; continue; }
     double* row = out + line_no * s->feat_dim;
     memcpy(row, s->default_row.data(), s->feat_dim * sizeof(double));
     const char* at = find_char(p, le, '@');
-    if (at >= le) return -(line_no + 1);
+    if (at >= le) return -phys_line;
     int npreds = 0;
-    if (encode_preds(s, 0, p, at, row, &npreds) < 0) return -(line_no + 1);
+    if (encode_preds(s, 0, p, at, row, &npreds) < 0) return -phys_line;
     cards[line_no] = strtod(std::string(at + 1, le).c_str(), nullptr);
     if (num_preds_out) num_preds_out[line_no] = npreds;
     ++line_no;

@@ -35,12 +35,19 @@ def _compile() -> Optional[str]:
     if (os.path.exists(_SO_PATH)
             and os.path.getmtime(_SO_PATH) >= os.path.getmtime(_SRC)):
         return _SO_PATH
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", _SO_PATH]
+    # Compile to a temp path + atomic rename: a timeout-killed g++ must not
+    # leave a fresh-mtime garbage .so that every later process dlopens.
+    tmp = _SO_PATH + f".tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO_PATH)
         return _SO_PATH
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -53,7 +60,13 @@ def _load():
         if so is None:
             _failed = True
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # corrupt/incompatible artifact: degrade gracefully (the
+            # documented contract) instead of raising out of is_available()
+            _failed = True
+            return None
         lib.fastenc_schema_new.restype = ctypes.c_void_p
         lib.fastenc_schema_new.argtypes = [ctypes.c_char_p]
         lib.fastenc_schema_free.argtypes = [ctypes.c_void_p]
@@ -171,7 +184,10 @@ class FastEncoder:
             npd.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
         if got < 0:
             raise ValueError(f"fastenc parse error at line {-got}")
-        x = full[:got, :self.single_feat_dim].astype(dtype, copy=False)
+        # contiguous copy: the narrow view would pin the full multi-table
+        # buffer alive and force a gather on device_put
+        x = np.ascontiguousarray(full[:got, :self.single_feat_dim],
+                                 dtype=dtype)
         return x, cards[:got], npd[:got]
 
     def encode_file(self, path: str, with_card: bool = True,

@@ -228,3 +228,43 @@ def test_single_table_native_fuzz_random_schemas(seed):
     x_py = enc_py.encode_batch([p for p, _ in parsed])
     np.testing.assert_array_equal(x_c, x_py)
     np.testing.assert_array_equal(cards, [c for _, c in parsed])
+
+
+def test_chunk64_production_default_parity():
+    """chunk_size=64 is the production default (stats.py): code 0 packs as
+    +2^63 — a signed 1L<<63 shift produced -9.2e18 before. Also exercises
+    fp64 rounding parity when bits beyond 53 combine."""
+    st = TableStats("t", (
+        ColumnStats("c", "categorical", categories=tuple(range(70))),),
+        chunk_size=64)
+    enc_py = SingleTableEncoder(st)
+    enc_c = native.FastEncoder([st])
+    lines = ["c,0@1", "c,63@2", "c,0,63,1@3", "c,64,69@4", "c,0,64@5"]
+    x_c, cards, _ = enc_c.encode_single("\n".join(lines))
+    parsed = [parse_single_table_line(l, st) for l in lines]
+    x_py = enc_py.encode_batch([p for p, _ in parsed])
+    np.testing.assert_array_equal(x_c, x_py)
+    assert x_py[0][0] == 2.0 ** 63          # positive, not LLONG_MIN
+
+
+def test_native_rejects_malformed_input_cleanly():
+    """Untrusted serving lines must produce parse errors, not OOB writes,
+    UB, or silent zeros: out-of-range / negative / garbage category codes,
+    garbage numeric bounds, truncated join terms — with PHYSICAL line
+    numbers in the error."""
+    tables = _tables()
+    enc = native.FastEncoder(tables)
+    bad_lines = [
+        "ta@tag,9999999@@1",          # out-of-range code (OOB write before)
+        "ta@tag,-1@@1",               # negative code
+        "ta@tag,1,@@1",               # trailing comma -> empty field
+        "ta@tag,abc@@1",              # non-numeric code
+        "ta@x,abc,def@@1",            # non-numeric bounds
+        "ta,tb@@@ta,tb@1",            # join term missing the column field
+    ]
+    for line in bad_lines:
+        with pytest.raises(ValueError, match="parse error"):
+            enc.encode_multi(line)
+    # physical line numbers: error after a blank line names the right line
+    with pytest.raises(ValueError, match="line 3"):
+        enc.encode_multi("ta@x,1.0,0.0@@1\n\nta@tag,9999999@@2")
