@@ -159,7 +159,10 @@ def main():
                 extras[f"fit_{n_scale}_s"] = round(best, 6)
                 del p2, x2, y2
             except Exception as e:           # pragma: no cover - TPU only
-                extras[f"fit_{n_scale}_s"] = f"failed: {type(e).__name__}"
+                # keep the timing field numeric-or-null for JSON consumers;
+                # the failure reason rides in a separate string field
+                extras[f"fit_{n_scale}_s"] = None
+                extras[f"fit_{n_scale}_error"] = type(e).__name__
 
     north_star_s = 1.0  # BASELINE.json: fit < 1 s on TPU
     print(json.dumps({

@@ -93,7 +93,11 @@ inline bool parse_double(const std::string& field, double* out) {
   char* endp = nullptr;
   errno = 0;
   double v = strtod(field.c_str(), &endp);
-  if (endp != field.c_str() + field.size()) return false;
+  // ERANGE check mirrors parse_long: an overflowing bound would otherwise
+  // be accepted as +/-HUGE_VAL and propagate inf into the feature row.
+  if (errno == ERANGE || endp != field.c_str() + field.size() ||
+      !std::isfinite(v))
+    return false;
   *out = v;
   return true;
 }
@@ -291,8 +295,10 @@ long fastenc_encode_multi(void* handle, const char* buf, long buf_len,
       }
     }
     if (with_card) {
+      // Strict parse: a garbage card silently becoming 0.0 would later turn
+      // into a log2(0) = -inf label instead of a clean parse error.
       auto [b, e] = terms.back();
-      cards[line_no] = strtod(std::string(b, e).c_str(), nullptr);
+      if (!parse_double(trim(b, e), &cards[line_no])) return -phys_line;
     } else if (cards) {
       cards[line_no] = -1.0;
     }
@@ -323,7 +329,7 @@ long fastenc_encode_single(void* handle, const char* buf, long buf_len,
     if (at >= le) return -phys_line;
     int npreds = 0;
     if (encode_preds(s, 0, p, at, row, &npreds) < 0) return -phys_line;
-    cards[line_no] = strtod(std::string(at + 1, le).c_str(), nullptr);
+    if (!parse_double(trim(at + 1, le), &cards[line_no])) return -phys_line;
     if (num_preds_out) num_preds_out[line_no] = npreds;
     ++line_no;
     p = le + 1;

@@ -77,6 +77,31 @@ def draw_uncertainty(output_path, errors, uncertainty, y=None):
     plt.close()
 
 
+def draw_calibration(y_true, means, stds, output_path, num_intervals=10):
+    """Expected-vs-observed confidence curve (reliability diagram) from
+    `eval.calibration.calibration_table` — the drawn form of the table the
+    reference prints per level (`/root/reference/util.py:296-313`,
+    `stats.norm.interval` over 10 levels). A perfectly calibrated posterior
+    sits on the diagonal. Returns the table for programmatic use."""
+    from nngp_tpu.eval.calibration import calibration_table
+    table = calibration_table(y_true, means, stds,
+                              num_intervals=num_intervals)
+    plt = _plt()
+    expected = sorted(table)
+    observed = [table[p] for p in expected]
+    plt.figure(figsize=(5, 5))
+    plt.plot([0, 1], [0, 1], "--", color="gray", label="perfect calibration")
+    plt.plot(expected, observed, "o-", label="model")
+    plt.xlabel("Expected confidence level")
+    plt.ylabel("Observed confidence level")
+    plt.xlim(0, 1)
+    plt.ylim(0, 1)
+    plt.legend()
+    plt.savefig(output_path, bbox_inches="tight")
+    plt.close()
+    return table
+
+
 def draw_embeddings(embedding, output_path, label=None):
     plt = _plt()
     e = np.asarray(embedding)

@@ -23,21 +23,31 @@ def _softplus(x):
     return jnp.logaddexp(x, 0.0)
 
 
-def _extract(params, x, stats_from=None):
-    """MLP feature extractor + [-1, 1] min-max rescale. The rescale stats
-    come from `stats_from` (defaults to x itself): gpytorch's grid-interp
-    DKL rescales the CONCATENATED train+test batch jointly
-    (`/root/reference/dnn/layers.py:74-75`), so train and test must share
-    one coordinate frame — normalizing each batch independently maps
+def _embed(params, x):
+    h = jnp.maximum(x @ params["w1"] + params["b1"], 0.0)
+    return h @ params["w2"] + params["b2"]   # (n, 2)
+
+
+def _rescale(z, ref=None):
+    """[-1, 1] min-max rescale of embeddings z with stats taken from ref
+    (defaults to z itself):
+    gpytorch's grid-interp DKL rescales the CONCATENATED train+test batch
+    jointly (`/root/reference/dnn/layers.py:74-75`), so train and test must
+    share one coordinate frame — normalizing each batch independently maps
     identical inputs to different coordinates under distribution shift."""
-    def embed(v):
-        h = jnp.maximum(v @ params["w1"] + params["b1"], 0.0)
-        return h @ params["w2"] + params["b2"]   # (n, 2)
-    z = embed(x)
-    ref = z if stats_from is None else embed(stats_from)
+    if ref is None:
+        ref = z
     lo = jnp.min(ref, axis=0)
     z = z - lo
     return 2.0 * (z / jnp.maximum(jnp.max(ref - lo, axis=0), 1e-12)) - 1.0
+
+
+def _extract(params, x, stats_from=None):
+    """MLP feature extractor + [-1, 1] min-max rescale (stats from
+    `stats_from`, defaulting to x itself — see `_rescale`)."""
+    z = _embed(params, x)
+    ref = z if stats_from is None else _embed(params, stats_from)
+    return _rescale(z, ref)
 
 
 def _rbf_gram(z1, z2, lengthscale, amp):
@@ -106,12 +116,13 @@ def predict_dkl(params, x_train, y_train, x_test) -> Tuple[jax.Array, jax.Array]
     """Posterior mean/std at x_test."""
     x = jnp.asarray(x_train)
     xt = jnp.asarray(x_test)
-    # One joint coordinate frame for train and test (see _extract): the
-    # rescale stats come from the concatenated batch, like the reference's
-    # gpytorch evaluation of model(X_test) with train data conditioned in.
-    joint = jnp.concatenate([x, xt], axis=0)
-    z = _extract(params, x, stats_from=joint)
-    zt = _extract(params, xt, stats_from=joint)
+    # One joint coordinate frame for train and test (see _rescale): embed
+    # the concatenated batch ONCE, take the min/max stats from it, and
+    # slice the normalized result into train/test halves — like the
+    # reference's gpytorch evaluation of model(X_test) with train data
+    # conditioned in, without redundant MLP forward passes.
+    zj = _rescale(_embed(params, jnp.concatenate([x, xt], axis=0)), None)
+    z, zt = zj[: x.shape[0]], zj[x.shape[0]:]
     ls = _softplus(params["raw_lengthscale"]) + 1e-4
     amp = _softplus(params["raw_amp"]) + 1e-4
     noise = _softplus(params["raw_noise"]) + 1e-4

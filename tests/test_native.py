@@ -268,3 +268,24 @@ def test_native_rejects_malformed_input_cleanly():
     # physical line numbers: error after a blank line names the right line
     with pytest.raises(ValueError, match="line 3"):
         enc.encode_multi("ta@x,1.0,0.0@@1\n\nta@tag,9999999@@2")
+
+
+def test_native_rejects_bad_cardinality_fields():
+    """The card field is strictly parsed too: garbage must raise (a silent
+    0.0 would later become a log2(0) = -inf label), and an overflowing
+    numeric bound is rejected instead of becoming +/-inf."""
+    tables = _tables()
+    enc = native.FastEncoder(tables)
+    for bad in ["ta@x,1.0,0.0@@abc",         # non-numeric card
+                "ta@x,1.0,0.0@@",            # empty card
+                "ta@x,1.0,0.0@@12x",         # trailing garbage
+                "ta@x,1.0,0.0@@1e999999"]:   # overflow -> inf
+        with pytest.raises(ValueError, match="parse error"):
+            enc.encode_multi(bad)
+    with pytest.raises(ValueError, match="parse error"):
+        enc.encode_single("x,1.0,0.0@abc")
+    with pytest.raises(ValueError, match="parse error"):
+        enc.encode_multi("ta@x,1e999999,0.0@@1")  # overflowing bound
+    # sanity: well-formed scientific-notation cards still parse
+    _, cards, *_ = enc.encode_multi("ta@x,1.0,0.0@@1.5e3")
+    np.testing.assert_array_equal(cards, [1500.0])

@@ -8,6 +8,7 @@ import os
 import numpy as np
 
 from nngp_tpu.eval.plots import (
+    draw_calibration,
     draw_embeddings,
     draw_kernel_heatmap,
     draw_kernel_histogram,
@@ -66,6 +67,22 @@ def test_draw_functions_emit_files(tmp_path):
                     label=np.arange(6))
     for p in paths.values():
         assert os.path.getsize(p) > 0
+
+
+def test_draw_calibration_emits_file_and_table(tmp_path):
+    """The calibration curve (`/root/reference/util.py:296-313`): a
+    perfectly specified Gaussian posterior should land near the diagonal."""
+    rng = np.random.default_rng(3)
+    mu = rng.standard_normal(4000)
+    sd = np.full(4000, 1.0)
+    y = mu + rng.standard_normal(4000) * sd
+    out = tmp_path / "cal.png"
+    table = draw_calibration(y, mu, sd, str(out))
+    assert os.path.getsize(out) > 0
+    assert table[0.0] == 0.0 and table[1.0] == 1.0
+    # observed coverage tracks expected within sampling noise
+    for p in (0.5, 0.9):
+        assert abs(table[p] - p) < 0.05
 
 
 def test_metrics_record_timeit_dump(tmp_path):
