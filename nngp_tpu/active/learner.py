@@ -14,9 +14,9 @@ TPU-native differences:
     reference behavior (fresh relative ridge each round);
   - `mesh=` runs the whole loop over a device mesh with the row-sharded
     posterior (`parallel.distributed_fit`) — active learning keeps working
-    when the train Gram outgrows one chip. Each round is a full O(n^3/p)
-    refit (the block-cyclic factor has no cheap append), which is the
-    reference's own behavior anyway.
+    when the train Gram outgrows one chip, and acquisition rounds stay
+    incremental there too (`DistributedPosterior.extend`, O(n^2 k / p)
+    instead of the O(n^3/p) refit).
 """
 
 import numpy as np
@@ -36,17 +36,15 @@ class ActiveLearner:
                  refit: str = None, seed: int = 10,
                  mesh=None, dist_block_size=None):
         """mesh: optional jax.sharding.Mesh — fit/predict with the
-        row-sharded distributed posterior; train-set and selection sizes are
-        kept divisible by the mesh size. refit defaults to 'incremental'
-        single-chip and 'full' over a mesh (the only option there)."""
+        row-sharded distributed posterior. Any train-set / selection size
+        works (the distributed layout pads with inert rows). refit defaults
+        to 'incremental' in BOTH regimes: single-chip uses the block-
+        Cholesky append, a mesh uses the distributed block-cyclic append
+        (`DistributedPosterior.extend`, O(n^2 k / p) per round)."""
         if refit is None:
-            refit = "full" if mesh is not None else "incremental"
+            refit = "incremental"
         if refit not in ("incremental", "full"):
             raise ValueError("refit must be 'incremental' or 'full'")
-        if mesh is not None and refit == "incremental":
-            raise ValueError(
-                "refit='incremental' is single-chip only: the block-cyclic "
-                "distributed factor has no cheap append — use refit='full'")
         self.spec = spec
         self.budget = budget
         self.active_iters = active_iters
@@ -61,12 +59,8 @@ class ActiveLearner:
 
     def train(self, x_train, y_train) -> GPPosterior:
         if self.mesh is not None:
+            # any n: distributed_fit pads to the layout quantum internally
             from nngp_tpu.parallel import distributed_fit
-            p = self.mesh.devices.size
-            if x_train.shape[0] % p:
-                raise ValueError(
-                    f"mesh active learning needs n_train ({x_train.shape[0]})"
-                    f" divisible by the mesh size ({p})")
             return distributed_fit(self.spec, x_train, y_train, self.mesh,
                                    diag_reg=self.diag_reg,
                                    get=self.kernel_type,
@@ -92,12 +86,9 @@ class ActiveLearner:
         # coefficient-of-variation normalization (`ActiveLearner.py:47`)
         std = std / jnp.max(mean)
         num_pool = x_pool.shape[0]
+        # no mesh-quantum snapping: the distributed layout pads with inert
+        # rows, so the full budget is acquired in every regime
         num_select = min(self.budget, num_pool)
-        if self.mesh is not None:
-            # keep the merged train size a valid distributed layout: n % p,
-            # and with an explicit panel width also n % (p * block_size)
-            quantum = self.mesh.devices.size * (self.dist_block_size or 1)
-            num_select -= num_select % quantum
         if num_select <= 0:
             # explicit empty selection — argsort(std)[-0:] would silently
             # return the WHOLE pool (slice [-0:] == [0:])

@@ -174,7 +174,14 @@ class GPPosterior:
                                 # a BlockLowerTriangular above n ~ 28k
     alpha: jax.Array            # (n, 1) (solve-kernel + r I)^-1 Y
     reg: jax.Array              # scalar ridge actually added
-    k_tt_nngp: Optional[jax.Array]  # (n, n) train NNGP Gram; None unless get='ntk'
+    # (n, n) train NNGP Gram, used only by the NTK posterior covariance.
+    # None for get='nngp' — and ALSO for large-n NTK fits (>= block
+    # threshold), where the covariance recomputes it panel-wise per predict
+    # (ops.gram.panel_symm_matmul): O(n^2) memory traded for an O(n^2 d)
+    # rebuild that measures <10% of predict time, which is what gives the
+    # NTK posterior the same one-live-n^2 footprint (and ~70k single-chip
+    # ceiling) as NNGP.
+    k_tt_nngp: Optional[jax.Array]
     spec: KernelSpec = dataclasses.field(metadata=dict(static=True))
     get: str = dataclasses.field(metadata=dict(static=True), default="nngp")
     diag_reg: float = dataclasses.field(metadata=dict(static=True), default=1e-3)
@@ -182,6 +189,15 @@ class GPPosterior:
     @property
     def num_train(self) -> int:
         return self.x_train.shape[0]
+
+    def _ktt_matmul(self, w):
+        """K_tt @ w for the NTK covariance: dense when the train NNGP Gram
+        is resident, panel-wise recompute when it is not (large-n fits —
+        see the k_tt_nngp field comment)."""
+        if self.k_tt_nngp is not None:
+            return self.k_tt_nngp @ w
+        from nngp_tpu.ops.gram import panel_symm_matmul
+        return panel_symm_matmul(self.spec.layers, self.x_train, w, "nngp")
 
     # -------------------------------------------------------------- predict
     @partial(jax.jit, static_argnames=("compute_cov",))
@@ -214,7 +230,7 @@ class GPPosterior:
         # w = (T + rI)^-1 T_t*  via two triangular solves, shape (n, m)
         u = _tri_solve(self.l, ntk_cross.T)
         w = _tri_solve(self.l, u, transpose=True)
-        kw = self.k_tt_nngp @ w                      # K_tt T^-1 T_t*, (n, m)
+        kw = self._ktt_matmul(w)                     # K_tt T^-1 T_t*, (n, m)
         if compute_cov == "diag":
             var = (
                 self.spec.diag_fn(x_test, "nngp")
@@ -279,7 +295,9 @@ class GPPosterior:
             alpha = _tri_solve(l_ext, _tri_solve(l_ext, y_ext),
                                transpose=True)
         k_tt = None
-        if self.get == "ntk":
+        if self.get == "ntk" and self.k_tt_nngp is not None:
+            # resident k_tt extends densely; the lazy (None) form needs
+            # nothing — panel_symm_matmul reads the extended x_train
             k_tt = jnp.block([[self.k_tt_nngp, n21.T], [n21, n22]])
         return dataclasses.replace(
             self,
@@ -319,13 +337,15 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         # n^2 buffer for the factor (column blocks = n^2/2 above 28k).
         # Blocked solves for alpha: XLA's triangular expander allocates an
         # extra n^2 workspace that busts HBM at the sizes this path exists
-        # for. For get='ntk' the NNGP train Gram (needed by the posterior
-        # covariance) is one extra Gram pass — O(n^2 d) is ~1% of the
-        # O(n^3/3) factorization — so the NTK fit holds 2 live n^2 buffers
-        # (k_tt + factor) instead of round 1's 3 (k_tt + theta + L). Built
-        # panel-wise: the monolithic kernel_fn's per-layer n^2 elementwise
-        # temps are what capped the NTK single-chip size (ops.gram.panel_gram).
-        if get == "ntk":
+        # for. For get='ntk' the NNGP train Gram (needed only by the
+        # posterior covariance) is kept resident BELOW the block threshold
+        # (one extra O(n^2 d) pass, built panel-wise — the monolithic
+        # kernel_fn's per-layer n^2 elementwise temps are what capped the
+        # round-1 NTK size); AT/above the block threshold it is not stored
+        # at all — predict recomputes it panel-wise (panel_symm_matmul), so
+        # the large-n NTK fit holds exactly ONE live n^2 object (the Theta
+        # column blocks) and shares the NNGP single-chip ceiling.
+        if get == "ntk" and n < block_min_n:
             from nngp_tpu.ops.gram import panel_gram
             keep_nngp = panel_gram(spec.layers, x, "nngp")
         else:

@@ -35,6 +35,33 @@ def input_diag(x):
     return jnp.sum(x * x, axis=-1) / d
 
 
+def panel_symm_matmul(spec_layers, x, w, get="nngp", block_size: int = 4096,
+                      precision=None):
+    """(kernel Gram of x vs x) @ w WITHOUT materializing the n x n Gram:
+    panel k contributes K[:, s:e] @ w[s:e]; live temps stay (n, b) + the
+    (n, m) accumulator. Same flops as the dense multiply plus one Gram
+    recursion pass (O(n^2 d) MXU + O(n^2) VPU — measured <10% of fit time
+    at every scale, BASELINE.md), so the Gram is cheaper to REBUILD per
+    predict batch than to keep resident: this is what lifts the large-n
+    NTK posterior's memory to one live n^2 buffer (the Theta factor).
+    `precision=None` matches the dense `k_tt @ w` default."""
+    from nngp_tpu.models.kernel_spec import apply_recursion
+
+    n = x.shape[0]
+    dvec = input_diag(x)
+    out = jnp.zeros((n, w.shape[1]), w.dtype)
+    for s in range(0, n, block_size):
+        e = min(s + block_size, n)
+        k0 = input_gram(x, x[s:e])
+        nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), dvec[:, None],
+                                    dvec[s:e][None, :], spec_layers)
+        sel = nngp if get == "nngp" else ntk
+        out = out + jax.lax.dot_general(
+            sel, w[s:e], dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=precision)
+    return out
+
+
 def panel_gram(spec_layers, x, get="nngp", block_size: int = 4096):
     """Full symmetric kernel Gram built COLUMN-PANEL-WISE into one output
     buffer via a write-only dynamic_update_slice chain.

@@ -80,46 +80,103 @@ def _my_elim_blocks(d, m, b, p):
 
 
 def _chol_local(a_loc, axis_name, p, b, nb, m):
+    """Two-level right-looking schedule. Outer UNROLLED loop over GROUPS of
+    p consecutive panels — within a group, panel j is owned by device j and
+    every device eliminates exactly its first active row-block, so after a
+    group the active trailing submatrix shrinks by b rows (locally) and
+    p*b columns, as a STATIC slice. Inner `lax.fori_loop` over the p panels
+    keeps compile time at O(nb/p) unrolled bodies (the one-level full-width
+    version was O(1) but its masked updates burned ~3x the flops: every
+    panel's update matmul spanned all m rows x n columns; here it spans
+    only the active (m - g*b) x (n - g*p*b) block — per-device update flops
+    2n^3/(3p), see `distributed_fit_cost`).
+
+    Finished column strips leave the working set per group and are
+    reassembled at the end by a write-only dynamic_update_slice chain."""
     d = lax.axis_index(axis_name)
-    my_blk = _my_elim_blocks(d, m, b, p)[:, None]          # (m, 1)
-    nbl = m // b
+    n = nb * b
+    ngrp = nb // p
+    act = a_loc
+    strips = []
+    for g in range(ngrp):
+        ma = m - g * b
+        na = n - g * p * b
+        # group-relative elimination block of each active local row: rows
+        # [0, b) are block d (eliminated at panel j == d this group); all
+        # later row-blocks stay active for the whole group
+        blk_rel = (d + p * (jnp.arange(ma) // b))[:, None]   # (ma, 1)
 
-    def body(kb, a_loc):
-        owner = kb % p
-        slot = (kb // p) * b
-        a_panel = lax.dynamic_slice(a_loc, (0, kb * b), (m, b))
-        diag_cand = lax.dynamic_slice(a_panel, (slot, 0), (b, b))
-        diag = lax.psum(
-            jnp.where(d == owner, diag_cand, jnp.zeros_like(diag_cand)),
-            axis_name)
-        lkk = lax.linalg.cholesky(diag)
-        # My panel rows below the diagonal block: L_ik = A_ik L_kk^{-T}.
-        lik = lax.linalg.triangular_solve(
-            lkk, a_panel, left_side=False, lower=True, transpose_a=True)
-        lkk_at_slot = lax.dynamic_update_slice(
-            jnp.zeros_like(a_panel), lkk, (slot, 0))
-        panel = jnp.where(my_blk > kb, lik,
-                          jnp.where(my_blk == kb, lkk_at_slot, a_panel))
-        a_loc = lax.dynamic_update_slice(a_loc, panel, (0, kb * b))
-        # Trailing update with rows <= kb masked out: columns in panels
-        # <= kb (finished L + this panel) receive a zero update, columns
-        # beyond get the Schur complement step.
-        mine = jnp.where(my_blk > kb, panel, jnp.zeros_like(panel))
-        gathered = lax.all_gather(mine, axis_name)          # (p, m, b)
-        panel_glob = (gathered.reshape(p, nbl, b, b)
-                      .transpose(1, 0, 2, 3)               # slot-major -> elim
-                      .reshape(nb * b, b))
-        upd = lax.dot_general(mine, panel_glob,
-                              dimension_numbers=(((1,), (1,)), ((), ())),
-                              precision=_HI)
-        return a_loc - upd
+        def body(j, act, ma=ma, na=na, blk_rel=blk_rel):
+            a_panel = lax.dynamic_slice(act, (0, j * b), (ma, b))
+            diag_cand = a_panel[:b]         # owner's diag block: act rows 0..b
+            diag = lax.psum(
+                jnp.where(d == j, diag_cand, jnp.zeros_like(diag_cand)),
+                axis_name)
+            lkk = lax.linalg.cholesky(diag)
+            # My active panel rows below the diagonal: L_ik = A_ik L_kk^{-T}.
+            lik = lax.linalg.triangular_solve(
+                lkk, a_panel, left_side=False, lower=True, transpose_a=True)
+            lkk_at_top = jnp.zeros((ma, b), act.dtype).at[:b].set(lkk)
+            panel = jnp.where(blk_rel > j, lik,
+                              jnp.where(blk_rel == j, lkk_at_top, a_panel))
+            act = lax.dynamic_update_slice(act, panel, (0, j * b))
+            # Schur update over the ACTIVE block only; rows/columns already
+            # eliminated this group are masked (zero rows of `mine` zero the
+            # matching panel_glob rows after the gather).
+            mine = jnp.where(blk_rel > j, panel, jnp.zeros_like(panel))
+            gathered = lax.all_gather(mine, axis_name)       # (p, ma, b)
+            panel_glob = (gathered.reshape(p, ma // b, b, b)
+                          .transpose(1, 0, 2, 3)             # slot -> elim
+                          .reshape(na, b))
+            upd = lax.dot_general(mine, panel_glob,
+                                  dimension_numbers=(((1,), (1,)), ((), ())),
+                                  precision=_HI)
+            return act - upd
 
-    a_loc = lax.fori_loop(0, nb, body, a_loc)
+        act = lax.fori_loop(0, p, body, act)
+        strips.append(act[:, : p * b])
+        act = act[b:, p * b:]
+    out = jnp.zeros((m, n), a_loc.dtype)
+    for g, strip in enumerate(strips):
+        out = lax.dynamic_update_slice(out, strip, (g * b, g * p * b))
     # Clean strict upper triangle (elimination coordinates).
     rows = jnp.arange(m)
     e_row = (d + p * (rows // b)) * b + rows % b
-    col_ids = jnp.arange(nb * b)[None, :]
-    return jnp.where(col_ids <= e_row[:, None], a_loc, 0.0)
+    col_ids = jnp.arange(n)[None, :]
+    return jnp.where(col_ids <= e_row[:, None], out, 0.0)
+
+
+def distributed_fit_cost(n: int, p: int, block_size=None, itemsize: int = 4):
+    """Analytic per-device cost of `distributed_cholesky` under the
+    two-level schedule (asserted in tests/test_distributed_cholesky.py).
+
+    The trailing update at group g is p rectangular matmuls of shape
+    (m - g*b, b) x (b, n - g*p*b), so per-device update flops are
+      sum_g p * 2 * (m - g*b) * (n - g*p*b) * b  ->  2 n^3 / (3 p)
+    as ngrp = n/(p*b) grows — 2x the symmetric-half minimum n^3/(3p)
+    (rectangular matmuls compute both triangles), vs 6x for the one-level
+    full-width masked schedule. Comm is the per-panel all_gather of the
+    (ma, b) panel shard: Theta(n^2) bytes per device over ICI, independent
+    of p. Choose block_size <= n/(4p) to sit within ~35% of the 2x bound.
+    """
+    b = n // p if block_size is None else int(block_size)
+    nb = n // b
+    ngrp = nb // p
+    m = n // p
+    flops_update = 0
+    comm_bytes = 0
+    for g in range(ngrp):
+        ma = m - g * b
+        na = n - g * p * b
+        flops_update += p * 2 * ma * na * b            # p panels per group
+        comm_bytes += p * (p - 1) * ma * b * itemsize  # all_gather receive
+    # redundant diagonal factor (every device) + own row-panel solve
+    flops_panel = nb * (b ** 3 // 3 + 2 * m * b * b)
+    return {
+        "flops_per_device": flops_update + flops_panel,
+        "comm_bytes_per_device": comm_bytes,
+        "flops_minimal_per_device": n ** 3 / (3 * p),
+    }
 
 
 def distributed_cholesky(k_mat, mesh: Mesh, axis_name: str = "data",

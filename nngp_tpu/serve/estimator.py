@@ -87,8 +87,8 @@ class Estimator:
                  mesh=None, dist_block_size: Optional[int] = None):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
-        training sets whose n^2 Gram/factor exceed one chip's HBM. The
-        train-set size must divide the mesh size."""
+        training sets whose n^2 Gram/factor exceed one chip's HBM. Any
+        train-set size works (the layout pads with inert rows)."""
         self.schema_name = schema_name
         self.chunk_size = chunk_size
         self.kernel_type = kernel_type
@@ -125,13 +125,8 @@ class Estimator:
         if self.mesh is None:
             return fit_gp(self.spec, x, y, diag_reg=self.diag_reg,
                           get=self.kernel_type)
+        # any n: distributed_fit pads to the layout quantum with inert rows
         from nngp_tpu.parallel import distributed_fit
-        p = self.mesh.devices.size
-        if x.shape[0] % p:
-            raise ValueError(
-                f"distributed serving needs n_train ({x.shape[0]}) divisible "
-                f"by the mesh size ({p}); drop {x.shape[0] % p} queries or "
-                "use a smaller mesh")
         return distributed_fit(self.spec, x, y, self.mesh,
                                diag_reg=self.diag_reg, get=self.kernel_type,
                                block_size=self.dist_block_size)
@@ -217,7 +212,8 @@ class Estimator:
                 reg=jnp.asarray(arrs["reg"]), k_tt=k_tt,
                 spec=self.spec, get=self.kernel_type, mesh=mesh,
                 axis_name=ax, block_size=b,
-                g2e=tuple(int(i) for i in g2e))
+                g2e=tuple(int(i) for i in g2e),
+                n_real=int(d.get("n_real", n)))
             self.mesh = mesh
             self.dist_block_size = b
             return self
@@ -265,7 +261,8 @@ class Estimator:
         if self.mesh is not None:
             meta["distributed"] = {"block_size": int(p.block_size),
                                    "axis_name": p.axis_name,
-                                   "mesh_size": int(self.mesh.devices.size)}
+                                   "mesh_size": int(self.mesh.devices.size),
+                                   "n_real": int(p.num_train)}
             arrs = dict(
                 x_storage=np.asarray(p.x_storage),
                 y_storage=np.asarray(p.y_storage),
@@ -357,17 +354,10 @@ class Estimator:
             raise ValueError("extend_with_lines requires card >= 1 on every "
                              "labeled line (log2 of 0 is -inf)")
         y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
-        if self.mesh is not None:
-            # Distributed posterior: refit over the mesh with the extended
-            # set (the block-cyclic factor has no cheap append; the refit is
-            # O(n^3/p) and re-derives the relative ridge).
-            x_all = jnp.concatenate(
-                [self.posterior.x_natural(), jnp.asarray(x)], axis=0)
-            y_all = jnp.concatenate(
-                [self.posterior.y_natural(), jnp.asarray(y)], axis=0)
-            candidate = self._fit(x_all, y_all)
-        else:
-            candidate = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
+        # Both regimes extend incrementally: single-chip via the block-
+        # Cholesky append, a mesh via the distributed block-cyclic append
+        # (O(n^2 k / p) — no refit, no restart).
+        candidate = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
         # validate BEFORE installing so a bad batch cannot corrupt a live
         # server (the old posterior stays authoritative on failure)
         old = self.posterior

@@ -7,8 +7,23 @@ image's TPU every blocking dispatch costs a ~30 ms tunnel roundtrip, so
 per-request dispatch caps a naive server at ~30 qps while one 4k-row batch
 serves 4k requests in the SAME roundtrip. This module closes that gap for
 concurrent clients: requests from any thread are enqueued, a dispatcher
-coalesces them into batches under a latency SLO (max_wait_ms) and batch-size
-cap, runs ONE device dispatch per batch, and resolves per-request futures.
+coalesces them into batches, runs ONE device dispatch per batch, and
+resolves per-request futures.
+
+Batching policy (tuned round 3 against measured tunnel costs,
+experiments/tunnel_costs.py): device dispatch is asynchronous and free, but
+every result fetch is a ~27 ms serialized roundtrip — two in-flight batches
+do NOT overlap their fetches, so pipelining materialization on a second
+thread buys nothing here (and cross-thread lazy fetches measured
+pathologically slow on the axon client). The latency-optimal policy is
+therefore synchronous and producer-tracking:
+
+  - ship as soon as `coalesce_min` requests are on hand (the next batch
+    coalesces naturally while this one computes — batch sizes track the
+    producer rate and each request waits ~one batch turnaround);
+  - below `coalesce_min`, wait up to max_wait_ms for stragglers — a
+    trickle load still gets near-per-request latency while a burst
+    immediately escalates to full batches.
 
 Generic over the request payload: `predict_fn(items) -> (mean, std)` — pass
 `Estimator.predict` for query-line items (its power-of-two bucketing keeps
@@ -30,17 +45,19 @@ class StreamingBatcher:
     (mean, std) for that single item; a background dispatcher coalesces
     outstanding items into one predict_fn call per batch.
 
-    max_wait_ms is the coalescing window measured from the first queued
-    item of a batch — the latency the server is willing to trade for
-    batching; max_batch caps device memory per dispatch.
+    max_batch caps device memory per dispatch; coalesce_min is the batch
+    size at which a batch ships immediately; below it the dispatcher waits
+    up to max_wait_ms (measured from the batch's first item) for more.
     """
 
     def __init__(self, predict_fn: Callable[[List], Tuple], *,
                  max_batch: int = 4096, max_wait_ms: float = 5.0,
+                 coalesce_min: int = 64,
                  name: str = "nngp-stream"):
         self._predict_fn = predict_fn
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
+        self._coalesce_min = min(int(coalesce_min), self._max_batch)
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._running = True
         self._lock = threading.Lock()
@@ -60,7 +77,8 @@ class StreamingBatcher:
         """Enqueue one request; resolves to (mean, std) scalars."""
         fut: Future = Future()
         # _submit_lock pairs with close(): no request can slip past the
-        # _running check after close() decided the final drain.
+        # _running check after close() decided the final drain. It is
+        # uncontended on the hot path (producers only race close()).
         with self._submit_lock:
             if not self._running:
                 raise RuntimeError("StreamingBatcher is closed")
@@ -77,8 +95,9 @@ class StreamingBatcher:
 
     # --------------------------------------------------------- dispatcher
     def _drain_batch(self) -> Optional[List]:
-        """Block for the first item, then coalesce until the SLO window
-        closes or the batch is full."""
+        """Block for the first item, drain everything already queued, and
+        ship once coalesce_min is reached — otherwise wait out the SLO
+        window for stragglers."""
         try:
             first = self._queue.get(timeout=0.05)
         except queue.Empty:
@@ -86,15 +105,16 @@ class StreamingBatcher:
         batch = [first]
         deadline = time.monotonic() + self._max_wait_s
         while len(batch) < self._max_batch:
+            try:
+                while len(batch) < self._max_batch:
+                    batch.append(self._queue.get_nowait())
+            except queue.Empty:
+                pass
+            if len(batch) >= self._coalesce_min:
+                break                       # enough to fill the MXU: go
             remaining = deadline - time.monotonic()
             if remaining <= 0:
-                # drain whatever is already queued, but stop waiting
-                try:
-                    while len(batch) < self._max_batch:
-                        batch.append(self._queue.get_nowait())
-                except queue.Empty:
-                    pass
-                break
+                break                       # SLO window closed
             try:
                 batch.append(self._queue.get(timeout=remaining))
             except queue.Empty:
@@ -147,8 +167,9 @@ class StreamingBatcher:
                 self._n_batches += 1
                 self._batch_sizes.append(len(items))
                 self._latencies.extend(done - t for t in t_enq)
-            for i, f in enumerate(futs):
-                self._safe_set(f, result=(float(mean[i]), float(std[i])))
+            mvals, svals = mean.tolist(), std.tolist()
+            for f, m, s in zip(futs, mvals, svals):
+                self._safe_set(f, result=(float(m), float(s)))
         except Exception as e:
             if len(items) == 1:
                 self._safe_set(futs[0], exc=e)
@@ -171,6 +192,8 @@ class StreamingBatcher:
                 "p50_latency_ms": (float(np.quantile(lat, 0.5)) * 1e3
                                    if lat.size else 0.0),
                 "p95_latency_ms": (float(np.quantile(lat, 0.95)) * 1e3
+                                   if lat.size else 0.0),
+                "p99_latency_ms": (float(np.quantile(lat, 0.99)) * 1e3
                                    if lat.size else 0.0),
             }
 

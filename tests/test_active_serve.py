@@ -190,7 +190,7 @@ def test_estimator_distributed_mesh(tmp_path):
     qdir.mkdir()
     rng = np.random.default_rng(3)
     lines = []
-    for _ in range(64):  # divisible by the 8-device mesh
+    for _ in range(61):  # ragged on purpose: pads to the p*b=32 quantum
         xu = rng.uniform(-10, 10)
         xl = rng.uniform(-10, xu)
         card = max(1, int(1000 * (xu - xl)))
@@ -222,17 +222,16 @@ def test_estimator_distributed_mesh(tmp_path):
     np.testing.assert_allclose(mean_r, mean_d, rtol=1e-12)
     np.testing.assert_allclose(std_r, std_d, rtol=1e-12)
 
-    # online labeled feedback: distributed refit (32 new rows keeps
-    # n % (p * block_size) == 0 for b=4, p=8)
+    # online labeled feedback at a ragged size (61 + 29 = 90 -> pads to 96)
     new_lines = []
-    for _ in range(32):
+    for _ in range(29):
         xu = rng.uniform(-10, 10)
         xl = rng.uniform(-10, xu)
         card = max(1, int(1000 * (xu - xl)))
         new_lines.append(f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id@{card}")
     added = est_d.extend_with_lines(new_lines)
-    assert added == 32
-    assert est_d.posterior.num_train == 96
+    assert added == 29
+    assert est_d.posterior.num_train == 90
     mean_e, std_e = est_d.predict(test_lines)
     assert np.all(np.isfinite(mean_e)) and np.all(std_e >= 0)
 

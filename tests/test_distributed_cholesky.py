@@ -126,3 +126,27 @@ def test_end_to_end_sharded_fit_with_distributed_cholesky():
     post = fit_gp(spec, x, y, diag_reg=1e-3)
     np.testing.assert_allclose(np.asarray(alpha), np.asarray(post.alpha),
                                rtol=1e-7, atol=1e-9)
+
+
+def test_distributed_fit_cost_model():
+    """The asserted cost model of the two-level schedule: per-device update
+    flops approach 2x the symmetric-half minimum n^3/(3p) as the panel
+    count grows, and comm volume is Theta(n^2) bytes independent of p."""
+    from nngp_tpu.parallel.cholesky import distributed_fit_cost
+
+    n, p = 32768, 8
+    # one-group degenerate layout (block_size = n/p): full-width updates
+    coarse = distributed_fit_cost(n, p)
+    assert coarse["flops_per_device"] > 5.5 * coarse["flops_minimal_per_device"]
+    # fine layout: within ~35% of the 2x rectangular-matmul bound
+    fine = distributed_fit_cost(n, p, block_size=n // (16 * p))
+    ratio = fine["flops_per_device"] / fine["flops_minimal_per_device"]
+    assert ratio < 2.7, ratio
+    # comm: Theta(n^2) bytes per device; doubling n quadruples (+-20%)
+    c1 = distributed_fit_cost(n, p, block_size=256)["comm_bytes_per_device"]
+    c2 = distributed_fit_cost(2 * n, p, block_size=256)["comm_bytes_per_device"]
+    assert 3.2 < c2 / c1 < 4.8
+    # comm per device does not grow with p at fixed n (rides ICI in parallel)
+    c8 = distributed_fit_cost(n, 8, block_size=256)["comm_bytes_per_device"]
+    c16 = distributed_fit_cost(n, 16, block_size=256)["comm_bytes_per_device"]
+    assert c16 < 1.5 * c8

@@ -150,7 +150,10 @@ def test_distributed_fit_under_jit_stays_sharded_at_scale():
 
 def test_active_learner_over_mesh_matches_single_chip():
     """ActiveLearner(mesh=...) — the >HBM active-learning tier — must track
-    the single-chip full-refit learner (top-k selection, same seed)."""
+    the single-chip INCREMENTAL learner (top-k selection, same seed): both
+    appends keep the fit-time ridge, so they agree to fp rounding (the
+    full-refit learner re-derives the relative ridge each round and is the
+    subject of test_active_incremental_tracks_full_refit instead)."""
     from nngp_tpu.active import ActiveLearner
 
     rng = np.random.default_rng(3)
@@ -164,14 +167,15 @@ def test_active_learner_over_mesh_matches_single_chip():
 
     spec = reference_kernel()
     mesh = make_mesh()
-    mesh_learner = ActiveLearner(spec, budget=16, active_iters=1,
+    mesh_learner = ActiveLearner(spec, budget=16, active_iters=2,
                                  biased_sample=False, mesh=mesh)
-    assert mesh_learner.refit == "full"
+    # the default is the INCREMENTAL distributed block-cyclic append
+    assert mesh_learner.refit == "incremental"
     post_m, hist_m = mesh_learner.active_train(
         x_tr, y_tr, x_pool, y_pool, x_val, y_val, printer=None)
 
-    dense_learner = ActiveLearner(spec, budget=16, active_iters=1,
-                                  biased_sample=False, refit="full")
+    dense_learner = ActiveLearner(spec, budget=16, active_iters=2,
+                                  biased_sample=False, refit="incremental")
     post_d, hist_d = dense_learner.active_train(
         x_tr, y_tr, x_pool, y_pool, x_val, y_val, printer=None)
 
@@ -182,51 +186,121 @@ def test_active_learner_over_mesh_matches_single_chip():
     from nngp_tpu.parallel import DistributedPosterior
     assert isinstance(post_m, DistributedPosterior)
 
-    with pytest.raises(ValueError):
-        ActiveLearner(spec, mesh=mesh, refit="incremental")
 
-
-def test_active_learner_mesh_empty_selection_is_safe():
-    """Budget below the mesh quantum snaps to an EMPTY selection and the
-    loop stops — regression for argsort(std)[-0:] grabbing the whole pool."""
-    from nngp_tpu.active import ActiveLearner
-
-    rng = np.random.default_rng(4)
-    x_tr = rng.uniform(0, 100, (16, 4))
-    y_tr = rng.standard_normal((16, 1))
-    x_pool = rng.uniform(0, 100, (24, 4))
-    y_pool = rng.standard_normal((24, 1))
-    x_val = rng.uniform(0, 100, (8, 4))
-    y_val = rng.standard_normal((8, 1))
-
-    learner = ActiveLearner(reference_kernel(), budget=4, active_iters=2,
-                            biased_sample=False, mesh=make_mesh())
-    post, hist = learner.active_train(x_tr, y_tr, x_pool, y_pool,
-                                      x_val, y_val, printer=None)
-    assert hist == []                      # nothing acquirable under p=8
-    assert post.num_train == 16
-
-
-def test_active_learner_mesh_respects_block_size_quantum():
-    """With an explicit dist_block_size, selections stay multiples of
-    p * block_size so every refit keeps a valid cyclic layout."""
+def test_active_learner_mesh_acquires_full_budget_at_ragged_sizes():
+    """No quantum snapping: a budget that doesn't divide the mesh size is
+    acquired IN FULL (the distributed layout pads with inert rows instead
+    of shedding selections), and tracks the single-chip learner exactly."""
     from nngp_tpu.active import ActiveLearner
 
     rng = np.random.default_rng(5)
-    x_tr = rng.uniform(0, 100, (32, 4))     # 32 = p*b*2 with p=8, b=2
-    y_tr = rng.standard_normal((32, 1))
+    x_tr = rng.uniform(0, 100, (33, 4))     # ragged everywhere: 33 % 8 != 0
+    y_tr = rng.standard_normal((33, 1))
     x_pool = rng.uniform(0, 100, (40, 4))
     y_pool = rng.standard_normal((40, 1))
     x_val = rng.uniform(0, 100, (8, 4))
     y_val = rng.standard_normal((8, 1))
 
-    learner = ActiveLearner(reference_kernel(), budget=20, active_iters=1,
-                            biased_sample=False, mesh=make_mesh(),
-                            dist_block_size=2)
-    post, hist = learner.active_train(x_tr, y_tr, x_pool, y_pool,
-                                      x_val, y_val, printer=None)
-    # 20 snapped down to 16 (= p*b): layout stays factorizable
-    assert hist[0]["num_train"] == 48
+    mesh_learner = ActiveLearner(reference_kernel(), budget=21,
+                                 active_iters=1, biased_sample=False,
+                                 mesh=make_mesh(), dist_block_size=2)
+    post_m, hist_m = mesh_learner.active_train(x_tr, y_tr, x_pool, y_pool,
+                                               x_val, y_val, printer=None)
+    assert hist_m[0]["num_train"] == 54     # full 21-point budget acquired
+    assert post_m.num_train == 54
+
+    dense = ActiveLearner(reference_kernel(), budget=21, active_iters=1,
+                          biased_sample=False, refit="incremental")
+    post_d, hist_d = dense.active_train(x_tr, y_tr, x_pool, y_pool,
+                                        x_val, y_val, printer=None)
+    assert hist_d[0]["num_train"] == 54
+    assert hist_m[0]["val_mse"] == pytest.approx(hist_d[0]["val_mse"],
+                                                 rel=1e-6)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_distributed_fit_ragged_n_matches_single_device(get):
+    """Arbitrary n over the mesh: inert-row padding must be an exact no-op —
+    alpha, mean, and std match the unpadded single-chip posterior."""
+    spec = reference_kernel()
+    mesh = make_mesh()
+    x_tr, y_tr, x_te = _data(n=61, m=17, seed=11)   # 61 is prime: pads to 64
+
+    dist = distributed_fit(spec, x_tr, y_tr, mesh, diag_reg=1e-3, get=get,
+                           block_size=4)
+    assert dist.num_train == 61
+    assert dist.num_padded == 64
+    post = fit_gp(spec, x_tr, y_tr, diag_reg=1e-3, get=get)
+    np.testing.assert_allclose(np.asarray(dist.alpha_natural()),
+                               np.asarray(post.alpha), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dist.y_natural()),
+                               np.asarray(y_tr))
+
+    mean_d, std_d = dist.predict_mean_std(x_te)
+    mean, std = post.predict_mean_std(x_te)
+    np.testing.assert_allclose(np.asarray(mean_d), np.asarray(mean),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(std_d), np.asarray(std),
+                               rtol=1e-5, atol=1e-9)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+@pytest.mark.parametrize("m_new", [11, 3])
+def test_distributed_extend_matches_refit(get, m_new):
+    """`DistributedPosterior.extend` (block-cyclic append) must equal a
+    distributed refit on the concatenated set: alpha, mean, std, for both
+    gets, at ragged sizes. m_new=3 stays inside the existing pad quantum
+    (no storage growth); m_new=11 forces growth by a fresh quantum."""
+    spec = reference_kernel()
+    mesh = make_mesh()
+    x_tr, y_tr, _ = _data(n=59, m=8, seed=13)     # pads 59 -> 64 (b=4, p=8)
+    rng = np.random.default_rng(21)
+    x_new = jnp.asarray(rng.uniform(0, 1000, (m_new, x_tr.shape[1])))
+    y_new = jnp.asarray(rng.standard_normal((m_new, 1)))
+    x_te = jnp.asarray(rng.uniform(0, 1000, (16, x_tr.shape[1])))
+
+    post = distributed_fit(spec, x_tr, y_tr, mesh, diag_reg=1e-3, get=get,
+                           block_size=4)
+    ext = post.extend(x_new, y_new)
+    assert ext.num_train == 59 + m_new
+    if m_new == 3:
+        assert ext.num_padded == post.num_padded     # reused pad slots
+    else:
+        assert ext.num_padded == 96                  # grew by whole quanta
+
+    # oracle 1: single-chip posterior extended the dense way (same
+    # fit-time-ridge semantics as GPPosterior.extend)
+    dense = fit_gp(spec, x_tr, y_tr, diag_reg=1e-3, get=get)
+    dense_ext = dense.extend(x_new, y_new)
+    np.testing.assert_allclose(np.asarray(ext.alpha_natural()),
+                               np.asarray(dense_ext.alpha),
+                               rtol=1e-7, atol=1e-10)
+    m_e, s_e = ext.predict_mean_std(x_te)
+    m_d, s_d = dense_ext.predict_mean_std(x_te)
+    np.testing.assert_allclose(np.asarray(m_e), np.asarray(m_d),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_e), np.asarray(s_d),
+                               rtol=1e-5, atol=1e-9)
+
+    # oracle 2: natural-order state round-trips (x/y of the merged set)
+    np.testing.assert_allclose(
+        np.asarray(ext.x_natural()),
+        np.concatenate([np.asarray(x_tr), np.asarray(x_new)]))
+    np.testing.assert_allclose(
+        np.asarray(ext.y_natural()),
+        np.concatenate([np.asarray(y_tr), np.asarray(y_new)]))
+
+    # a second extension stacks on the first (pads keep cycling correctly)
+    x2 = jnp.asarray(rng.uniform(0, 1000, (5, x_tr.shape[1])))
+    y2 = jnp.asarray(rng.standard_normal((5, 1)))
+    ext2 = ext.extend(x2, y2)
+    dense2 = dense_ext.extend(x2, y2)
+    m2, s2 = ext2.predict_mean_std(x_te)
+    md2, sd2 = dense2.predict_mean_std(x_te)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(md2),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(sd2),
+                               rtol=1e-5, atol=1e-9)
 
 
 @pytest.mark.parametrize("get", ["nngp", "ntk"])

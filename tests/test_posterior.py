@@ -262,6 +262,10 @@ def test_posterior_block_factor_end_to_end(get, monkeypatch):
     post = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
     assert isinstance(post.l, BlockLowerTriangular)
     assert len(post.l.blocks) > 1
+    if get == "ntk":
+        # block-tier NTK keeps NO resident train NNGP Gram: the posterior
+        # covariance recomputes it panel-wise (one live n^2 object total)
+        assert post.k_tt_nngp is None
 
     np.testing.assert_allclose(np.asarray(post.alpha),
                                np.asarray(dense.alpha), rtol=2e-5, atol=1e-7)
@@ -275,12 +279,21 @@ def test_posterior_block_factor_end_to_end(get, monkeypatch):
     ext_b = post.extend(jnp.asarray(x2), jnp.asarray(y2))
     ext_d = dense.extend(jnp.asarray(x2), jnp.asarray(y2))
     assert isinstance(ext_b.l, BlockLowerTriangular)
+    if get == "ntk":
+        assert ext_b.k_tt_nngp is None    # lazy k_tt stays lazy post-extend
     m_b, v_b = ext_b.predict(jnp.asarray(x_te), compute_cov="diag")
     m_d, v_d = ext_d.predict(jnp.asarray(x_te), compute_cov="diag")
     np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_d),
                                rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_d),
                                rtol=2e-5, atol=1e-7)
+    if get == "ntk":
+        # the FULL posterior covariance also runs through the panel-wise
+        # K_tt rebuild (compute_cov=True is the reference's default shape)
+        _, cov_b = ext_b.predict(jnp.asarray(x_te), compute_cov=True)
+        _, cov_d = ext_d.predict(jnp.asarray(x_te), compute_cov=True)
+        np.testing.assert_allclose(np.asarray(cov_b), np.asarray(cov_d),
+                                   rtol=2e-4, atol=1e-6)
 
 
 @pytest.mark.parametrize("get", ["nngp", "ntk"])
