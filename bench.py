@@ -121,19 +121,50 @@ def main():
     extras["streaming_batches"] = st["batches"]
     extras["streaming_p95_latency_ms"] = round(st["p95_latency_ms"], 2)
 
-    # Multi-join end-to-end: featurize + fit + q-error on the committed
-    # synthetic 3-table star-schema workload (2,400 labeled join queries).
+    # Multi-join end-to-end at forest scale: the committed 6-table
+    # Zipf-skewed snowflake workload (18,000 labeled queries, 61-dim
+    # features, 10.8k train) — fit + predict + the serving feedback
+    # round-trip (predict val -> aux q-error/coef_var lines -> incremental
+    # extend with the hard queries), mirroring the reference's PostgreSQL
+    # feedback loop (`/root/reference/neuroestimator/merge_subquery_card.py`).
+    # The 2^64-packed categorical chunks exercise the fp32 input-prescale
+    # path (GPPosterior.input_scale).
     from nngp_tpu.data.workload import load_multi_join_workload
     xj, yj, infos_j, _enc = load_multi_join_workload(
-        "workloads/synth_join_data", schema_name="synth")
-    xj_tr, yj_tr, _, xj_te, yj_te, _, _, _, _ = train_test_val_split(
+        "workloads/synth6_join_data", schema_name="synth6", dtype=np.float32)
+    xj_tr, yj_tr, _, xj_te, yj_te, _, xj_v, yj_v, _ = train_test_val_split(
         xj, yj, train_frac=0.6, test_frac=0.2, all_query_infos=infos_j)
-    pj = fit_gp(spec, jnp.asarray(np.asarray(xj_tr, np.float32)),
-                jnp.asarray(np.asarray(yj_tr, np.float32)), diag_reg=1e-3)
-    mj, _sj = pj.predict_mean_std(jnp.asarray(np.asarray(xj_te, np.float32)))
+    xj_tr_d = jax.device_put(jnp.asarray(xj_tr))
+    yj_tr_d = jax.device_put(jnp.asarray(yj_tr))
+    xj_te_d = jax.device_put(jnp.asarray(xj_te))
+    pj = fit_gp(spec, xj_tr_d, yj_tr_d, diag_reg=1e-3)
+    sync((pj.l, pj.alpha))
+    _, join_fit_s = timed(
+        lambda: (lambda p: (p.l, p.alpha))(fit_gp(spec, xj_tr_d, yj_tr_d,
+                                                  diag_reg=1e-3)), repeats=3)
+    (mj, _sj), join_pred_s = timed(
+        lambda: pj.predict_mean_std(xj_te_d), repeats=3)
     qj = symmetric_qerror(np.asarray(mj).ravel() - np.asarray(yj_te).ravel())
+    extras["join_fit_s"] = round(join_fit_s, 6)
+    extras["join_predict_s"] = round(join_pred_s, 6)
     extras["join_median_qerror"] = round(float(np.median(qj)), 4)
     extras["join_p95_qerror"] = round(float(np.quantile(qj, 0.95)), 4)
+    # aux round-trip: q-error-hard val queries folded into the live factor
+    vmj, _ = pj.predict_mean_std(jnp.asarray(xj_v))
+    true_j = np.exp2(np.asarray(yj_v, np.float64)).ravel()
+    pred_j = np.exp2(np.asarray(vmj, np.float64).ravel())
+    qe_v = np.maximum(pred_j / np.maximum(true_j, 1.0),
+                      np.maximum(true_j, 1.0) / np.maximum(pred_j, 1e-30))
+    hard = np.where(qe_v >= 100.0)[0]
+    pj_ext = pj.extend(jnp.asarray(xj_v[hard]), jnp.asarray(yj_v[hard]))
+    sync((pj_ext.l, pj_ext.alpha))
+    _, aux_ext_s = timed(
+        lambda: (lambda p: (p.l, p.alpha))(
+            pj.extend(jnp.asarray(xj_v[hard]), jnp.asarray(yj_v[hard]))),
+        repeats=3)
+    extras["join_aux_hard"] = int(hard.size)
+    extras["join_aux_extend_s"] = round(aux_ext_s, 6)
+    del pj_ext, pj
 
     if not fast:
         # Scale rows: 2x and 3x train set (random features — wall-clock

@@ -185,6 +185,18 @@ class GPPosterior:
     spec: KernelSpec = dataclasses.field(metadata=dict(static=True))
     get: str = dataclasses.field(metadata=dict(static=True), default="nngp")
     diag_reg: float = dataclasses.field(metadata=dict(static=True), default=1e-3)
+    # Input prescale (fp32 overflow guard): x_train is STORED divided by
+    # this power of two, and every incoming x is divided on entry. For
+    # scale-equivariant specs (bias-free + 1-homogeneous activations,
+    # `kernel_spec.is_scale_equivariant`) the Grams scale by exactly
+    # scale^-2, so the posterior mean is invariant and std/cov are
+    # multiplied back by scale / scale^2 on exit — the reference runs the
+    # raw features in fp64 where e.g. chunk_size=64 factorized categorical
+    # slots reach 2^64 (`/root/reference/QuerySampler.py:224-235`); their
+    # squared Gram entries overflow fp32, which this removes bit-safely
+    # (power-of-two division is exact: mantissas are untouched).
+    input_scale: float = dataclasses.field(metadata=dict(static=True),
+                                           default=1.0)
 
     @property
     def num_train(self) -> int:
@@ -200,14 +212,12 @@ class GPPosterior:
         return panel_symm_matmul(self.spec.layers, self.x_train, w, "nngp")
 
     # -------------------------------------------------------------- predict
-    @partial(jax.jit, static_argnames=("compute_cov",))
-    def predict(self, x_test, compute_cov=True):
-        """Posterior (mean, cov) at x_test.
-
-        compute_cov: True -> full (m, m) covariance (reference behavior,
-        `/root/reference/train.py:157-158`); 'diag' -> (m,) variances only
-        (cheaper, what std actually needs); False -> mean only.
-        """
+    def _predict_scaled(self, x_test, compute_cov):
+        """Predict body in PRESCALED input units: mean is exact raw-space,
+        var/cov come back divided by input_scale^2 (the caller compensates).
+        Traced inside `predict` / `predict_mean_std` — one dispatch each."""
+        if self.input_scale != 1.0:
+            x_test = x_test * (1.0 / self.input_scale)
         if self.get == "nngp":
             cross = self.spec.kernel_fn(x_test, self.x_train, "nngp")  # (m, n)
             mean = cross @ self.alpha
@@ -243,12 +253,34 @@ class GPPosterior:
         cov = k_ss + w.T @ kw - cross_term - cross_term.T
         return mean, cov
 
+    @partial(jax.jit, static_argnames=("compute_cov",))
+    def predict(self, x_test, compute_cov=True):
+        """Posterior (mean, cov) at x_test, in raw input units.
+
+        compute_cov: True -> full (m, m) covariance (reference behavior,
+        `/root/reference/train.py:157-158`); 'diag' -> (m,) variances only
+        (cheaper, what std actually needs); False -> mean only.
+
+        Note: with a fit-time input_scale s, raw-unit variances are
+        var_scaled * s^2 — for extreme scales (2^64-packed categorical
+        chunks) that product exceeds fp32's range even though the std does
+        not; use `predict_mean_std`, which compensates at the std level
+        (sqrt first, then * s) and stays finite.
+        """
+        out = self._predict_scaled(x_test, compute_cov)
+        if compute_cov is False or self.input_scale == 1.0:
+            return out
+        mean, v = out
+        return mean, v * (self.input_scale * self.input_scale)
+
+    @jax.jit
     def predict_mean_std(self, x_test):
         """Convenience: (mean, std) with variance clamped at zero — the
         quantity the estimator serves (`/root/reference/neuroestimator/
-        estimator/estimator.py:55`)."""
-        mean, var = self.predict(x_test, compute_cov="diag")
-        return mean, jnp.sqrt(var)
+        estimator/estimator.py:55`). std compensation happens after the
+        sqrt so fp32 stays finite at any input_scale (see `predict`)."""
+        mean, var = self._predict_scaled(x_test, "diag")
+        return mean, jnp.sqrt(var) * self.input_scale
 
     def predict_mean_std_chunked(self, x_test, chunk: int = 8192):
         """(mean, std) over arbitrarily large test sets: processes `chunk`
@@ -262,6 +294,8 @@ class GPPosterior:
     def extend(self, x_new, y_new):
         """Append labeled points with an O(n^2 m) block-Cholesky update
         instead of a full refit. Only the solve-kernel blocks are recomputed."""
+        if self.input_scale != 1.0:
+            x_new = x_new * (1.0 / self.input_scale)
         if self.get == "nngp":
             k21 = self.spec.kernel_fn(x_new, self.x_train, "nngp")  # (m, n)
             k22 = self.spec.kernel_fn(x_new, x_new, "nngp")
@@ -369,13 +403,43 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
     return l, alpha, reg, keep_nngp
 
 
+# Features beyond this magnitude trigger the automatic input prescale in
+# fp32 fits (scale-equivariant specs only): squared Gram entries of
+# 2^64-packed categorical chunks overflow fp32's 3.4e38 ceiling. [0,1000]
+# reference-scale workloads (forest) sit far below and keep scale 1.0.
+_PRESCALE_MAX_ABS = 2.0 ** 20
+
+
+def _auto_input_scale(x, layers) -> float:
+    """Power-of-two prescale for oversized features, 1.0 whenever the exact
+    compensation does not apply (non-equivariant spec, fp64 inputs which
+    never overflow, or a traced x whose magnitude is unknowable here)."""
+    from nngp_tpu.models.kernel_spec import is_scale_equivariant
+
+    if x.dtype == jnp.float64 or not is_scale_equivariant(layers):
+        return 1.0
+    try:
+        m = float(jnp.max(jnp.abs(x)))
+    except jax.errors.ConcretizationTypeError:
+        return 1.0
+    import math
+    if not math.isfinite(m) or m <= _PRESCALE_MAX_ABS:
+        return 1.0
+    return float(2.0 ** math.ceil(math.log2(m)))
+
+
 def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
-           get: str = "nngp", diag_reg_absolute_scale: bool = False) -> GPPosterior:
+           get: str = "nngp", diag_reg_absolute_scale: bool = False,
+           input_scale: Optional[float] = None) -> GPPosterior:
     """Factorize the train Gram and return a ready posterior.
 
     Mirrors `nt.predict.gradient_descent_mse_ensemble(kernel_fn, X, Y,
     diag_reg=1e-3)` (`/root/reference/train.py:171-172`) evaluated at
     t=infinity.
+
+    input_scale: None (default) picks an automatic power-of-two prescale
+    when fp32 features would overflow the Gram (see GPPosterior.input_scale);
+    pass 1.0 to force raw features or an explicit power of two to pin it.
     """
     if get not in ("nngp", "ntk"):
         raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
@@ -384,6 +448,10 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     if y_train.ndim == 1:
         y_train = y_train[:, None]
     x_train = jnp.asarray(x_train)
+    if input_scale is None:
+        input_scale = _auto_input_scale(x_train, spec.layers)
+    if input_scale != 1.0:
+        x_train = x_train * (1.0 / input_scale)
     l, alpha, reg, k_tt_nngp = _fit_impl(
         x_train, y_train, spec, get, float(diag_reg),
         bool(diag_reg_absolute_scale),
@@ -403,4 +471,5 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         spec=spec,
         get=get,
         diag_reg=diag_reg,
+        input_scale=float(input_scale),
     )

@@ -106,6 +106,28 @@ def apply_recursion(k, ntk, d1, d2, layers: Sequence[Layer], duals=None):
     return k, ntk
 
 
+# Activations whose dual maps are positively 1-homogeneous in the input
+# covariance (T(c*K) = c*T(K), Tdot(c*K) = Tdot(K) for c > 0): scaling every
+# input by s scales the NNGP *and* NTK Grams by exactly s^2 when the stack
+# also has no bias terms. erf/sin saturate and are NOT homogeneous.
+_HOMOGENEOUS_ACTS = frozenset({"relu", "abs"})
+
+
+def is_scale_equivariant(layers: Sequence[Layer]) -> bool:
+    """True iff kernel(s*x1, s*x2) == s^2 * kernel(x1, x2) exactly, for both
+    gets — the condition under which an input prescale can be compensated
+    bit-safely (see `gp.posterior` input_scale). Requires every Dense to be
+    bias-free and every activation dual to be 1-homogeneous."""
+    for layer in layers:
+        if isinstance(layer, Dense):
+            if layer.b_std != 0.0:
+                return False
+        elif isinstance(layer, Activation):
+            if layer.name not in _HOMOGENEOUS_ACTS:
+                return False
+    return True
+
+
 def apply_diag_recursion(d, layers: Sequence[Layer]):
     """Propagate only diagonal covariances (for K_** diag / test variance).
 

@@ -395,7 +395,8 @@ def block_cholesky_append_rows(bf: BlockLowerTriangular, k21, k22,
         new_blocks, bf.starts + (bf.n + m,), bf.n + m)
 
 
-def cholesky_append_rows(l11, k21, k22):
+def cholesky_append_rows(l11, k21, k22,
+                         precision=jax.lax.Precision.HIGHEST):
     """Extend a Cholesky factor when appending rows/cols to the Gram matrix.
 
     Given L11 = chol(K11) and the new blocks so that the extended matrix is
@@ -405,11 +406,24 @@ def cholesky_append_rows(l11, k21, k22):
 
     K22 must already include its ridge. O(n^2 m + m^3) — the active-learning
     fast path.
+
+    The Schur subtraction MUST run at fp32-HIGHEST: the default one-pass
+    bf16 dot puts ~0.3% relative error into L21 L21^T, which exceeds the
+    relative ridge (1e-3 of the mean diagonal) on ill-conditioned Grams and
+    makes the Schur complement indefinite -> NaN factor (hit on the synth6
+    join workload). Large bases also route the solve through the blocked
+    HIGHEST-precision path rather than XLA's default-precision expander.
     """
-    l21 = jax.lax.linalg.triangular_solve(
-        l11, k21, left_side=False, lower=True, transpose_a=True
-    )
-    schur = k22 - l21 @ l21.T
+    if l11.shape[0] >= 4096:
+        l21 = blocked_tri_solve_lower(l11, k21.T, block_size=1024,
+                                      precision=precision).T
+    else:
+        l21 = jax.lax.linalg.triangular_solve(
+            l11, k21, left_side=False, lower=True, transpose_a=True
+        )
+    schur = k22 - jax.lax.dot_general(
+        l21, l21, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision)
     l22 = jax.lax.linalg.cholesky(schur)
     n, m = l11.shape[0], k22.shape[0]
     top = jnp.concatenate([l11, jnp.zeros((n, m), l11.dtype)], axis=1)

@@ -186,6 +186,12 @@ class DistributedPosterior:
     g2e: tuple = dataclasses.field(metadata=dict(static=True), default=())
     # real (unpadded) train count; 0 means "no padding" (n_real == n)
     n_real: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # power-of-two input prescale (fp32 Gram overflow guard; exact-
+    # compensation semantics documented at gp.posterior.GPPosterior):
+    # x_storage is stored divided by it, incoming x divides on entry,
+    # reported std multiplies back
+    input_scale: float = dataclasses.field(metadata=dict(static=True),
+                                           default=1.0)
 
     @property
     def num_train(self) -> int:
@@ -246,6 +252,9 @@ class DistributedPosterior:
         dispatch per batch shape, which matters behind a ~30 ms/dispatch
         TPU tunnel."""
         mesh, ax, bs = self.mesh, self.axis_name, self.block_size
+        if self.input_scale != 1.0:
+            x_test = x_test * (1.0 / self.input_scale)
+        s = self.input_scale
         nngp_cross, ntk_cross = self._cross_grams(x_test)   # (n, te) sharded
         diag_ss, _ = apply_diag_recursion(input_diag(x_test),
                                           self.spec.layers)
@@ -254,7 +263,7 @@ class DistributedPosterior:
             v = distributed_tri_solve_lower(self.l, nngp_cross, mesh, ax,
                                             block_size=bs)
             var = diag_ss - jnp.sum(v * v, axis=0)
-            return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+            return mean, jnp.sqrt(jnp.maximum(var, 0.0)) * s
 
         # get == 'ntk' (posterior formulas: nngp_tpu/gp/posterior.py)
         mean = ntk_cross.T @ self.alpha
@@ -265,7 +274,7 @@ class DistributedPosterior:
         kw = self.k_tt @ w_natural                          # (n, te) sharded
         var = (diag_ss + jnp.sum(w * kw, axis=0)
                - 2.0 * jnp.sum(nngp_cross * w, axis=0))
-        return mean, jnp.sqrt(jnp.maximum(var, 0.0))
+        return mean, jnp.sqrt(jnp.maximum(var, 0.0)) * s
 
     def predict_mean_std_chunked(self, x_test, chunk: int = 8192):
         """(mean, std) over arbitrarily large test sets, `chunk` rows per
@@ -291,6 +300,8 @@ class DistributedPosterior:
         — fine for serving-scale m (hundreds..thousands of rows).
         """
         x_new = jnp.asarray(x_new, self.x_storage.dtype)
+        if self.input_scale != 1.0:
+            x_new = x_new * (1.0 / self.input_scale)
         y_new = jnp.asarray(y_new, self.y_storage.dtype)
         if y_new.ndim == 1:
             y_new = y_new[:, None]
@@ -324,7 +335,8 @@ def _e2s_device(g2e: tuple):
 def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,
                     diag_reg: float = 1e-3, get: str = "nngp",
                     axis_name: str = "data",
-                    block_size: Optional[int] = None) -> DistributedPosterior:
+                    block_size: Optional[int] = None,
+                    input_scale: Optional[float] = None) -> DistributedPosterior:
     """Fit with the Gram row-sharded end to end: block-cyclic storage,
     ridge fused into the Gram epilogue, distributed Cholesky + solves.
     Per-device live memory stays ~n^2/p (+ O(n*b) panel temporaries).
@@ -341,10 +353,15 @@ def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,
     """
     if get not in ("nngp", "ntk"):
         raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
+    from nngp_tpu.gp.posterior import _auto_input_scale
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     if y.ndim == 1:
         y = y[:, None]
+    if input_scale is None:
+        input_scale = _auto_input_scale(x, spec.layers)
+    if input_scale != 1.0:
+        x = x * (1.0 / input_scale)
     n_real = x.shape[0]
     p = mesh.devices.size
     if block_size is None:
@@ -386,6 +403,7 @@ def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,
         x_storage=x_storage, y_storage=y_storage, l=l, alpha=alpha, reg=reg,
         k_tt=k_tt, spec=spec, get=get, mesh=mesh, axis_name=axis_name,
         block_size=b, g2e=tuple(int(i) for i in g2e), n_real=n_real,
+        input_scale=float(input_scale),
     )
 
 
@@ -524,6 +542,7 @@ def _distributed_extend_impl(post: DistributedPosterior, x_new, y_new,
         reg=post.reg, k_tt=ktt_new if has_ktt else None,
         spec=spec, get=get, mesh=mesh, axis_name=ax, block_size=b,
         g2e=tuple(int(i) for i in g2e_new), n_real=n1 + m_real,
+        input_scale=post.input_scale,
     )
 
 

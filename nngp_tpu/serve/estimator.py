@@ -213,7 +213,8 @@ class Estimator:
                 spec=self.spec, get=self.kernel_type, mesh=mesh,
                 axis_name=ax, block_size=b,
                 g2e=tuple(int(i) for i in g2e),
-                n_real=int(d.get("n_real", n)))
+                n_real=int(d.get("n_real", n)),
+                input_scale=float(d.get("input_scale", 1.0)))
             self.mesh = mesh
             self.dist_block_size = b
             return self
@@ -240,7 +241,8 @@ class Estimator:
             alpha=jnp.asarray(arrs["alpha"]),
             reg=jnp.asarray(arrs["reg"]),
             k_tt_nngp=k_tt,
-            spec=self.spec, get=self.kernel_type, diag_reg=self.diag_reg)
+            spec=self.spec, get=self.kernel_type, diag_reg=self.diag_reg,
+            input_scale=float(meta.get("input_scale", 1.0)))
         return self
 
     def save(self, ckpt_dir: str):
@@ -262,7 +264,8 @@ class Estimator:
             meta["distributed"] = {"block_size": int(p.block_size),
                                    "axis_name": p.axis_name,
                                    "mesh_size": int(self.mesh.devices.size),
-                                   "n_real": int(p.num_train)}
+                                   "n_real": int(p.num_train),
+                                   "input_scale": float(p.input_scale)}
             arrs = dict(
                 x_storage=np.asarray(p.x_storage),
                 y_storage=np.asarray(p.y_storage),
@@ -272,6 +275,9 @@ class Estimator:
             if p.k_tt is not None:
                 arrs["k_tt"] = np.asarray(p.k_tt)
         else:
+            # x_train is stored PRE-SCALED; the scale must ride along or a
+            # restored posterior would mis-scale every incoming query
+            meta["input_scale"] = float(p.input_scale)
             arrs = dict(
                 x_train=np.asarray(p.x_train), y_train=np.asarray(p.y_train),
                 alpha=np.asarray(p.alpha), reg=np.asarray(p.reg),
