@@ -109,8 +109,9 @@ def main():
 
     for nb in buckets:                    # compile every bucket shape
         predict_rows([np.asarray(x_te[0])] * nb)
-    with StreamingBatcher(predict_rows, max_batch=buckets[-1],
-                          max_wait_ms=5.0) as server:
+    # default policy: quiet-gap burst capture (the 3.6k submit burst is
+    # absorbed into ~one dispatch; see serve/streaming.py)
+    with StreamingBatcher(predict_rows, max_batch=buckets[-1]) as server:
         t0 = _time.perf_counter()
         futs = [server.submit(np.asarray(r)) for r in x_te]
         for f in futs:

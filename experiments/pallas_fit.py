@@ -39,26 +39,34 @@ def main():
         y = jax.device_put(jnp.asarray(
             rng.standard_normal((n, 1)), jnp.float32))
 
+        from nngp_tpu.ops.linalg import (blocked_tri_solve_lower,
+                                         blocked_tri_solve_lower_t)
+
         @jax.jit
-        def pallas_factor(x):
+        def pallas_fit(x, y):
+            # full fit: factor + alpha (same outputs as fit_gp)
             diag_nngp, _ = apply_diag_recursion(input_diag(x), spec.layers)
             reg = (1e-3 * jnp.mean(diag_nngp)).astype(x.dtype)
             k = gram_pallas(spec, x, get="nngp", mirror="lower",
                             diag_add=reg)
-            return blocked_cholesky(k)
+            l = blocked_cholesky(k)
+            alpha = blocked_tri_solve_lower_t(
+                l, blocked_tri_solve_lower(l, y, block_size=1024),
+                block_size=1024)
+            return l, alpha
 
-        l = pallas_factor(x)
-        sync(l)
-        _, pallas_s = timed(lambda: pallas_factor(x), repeats=3)
+        out = pallas_fit(x, y)
+        sync(out)
+        _, pallas_s = timed(lambda: pallas_fit(x, y), repeats=3)
 
         post = fit_gp(spec, x, y, diag_reg=1e-3)
         sync((post.l, post.alpha))
         _, fused_s = timed(
             lambda: (lambda p: p.l)(fit_gp(spec, x, y, diag_reg=1e-3)),
             repeats=3)
-        print(f"n={n}: pallas-gram+blocked-chol {pallas_s:.4f}s  "
+        print(f"n={n}: pallas-gram+blocked-chol+alpha {pallas_s:.4f}s  "
               f"fused fit (default) {fused_s:.4f}s", flush=True)
-        del l, post, x, y
+        del out, post, x, y
 
 
 if __name__ == "__main__":

@@ -38,17 +38,17 @@ for nb in buckets:
 # warm every slice shape ONCE? no - intentionally not; see what cold shapes cost
 
 import nngp_tpu.serve.streaming as S
-orig_mat = S.StreamingBatcher._materialize
-def timed_mat(self, items, futs, t_enq, res, exc):
+orig_resolve = S.StreamingBatcher._resolve
+def timed_resolve(self, items, futs, t_enq):
     t0 = time.perf_counter()
-    orig_mat(self, items, futs, t_enq, res, exc)
-    log(f"materialize n={len(items)} took {(time.perf_counter()-t0)*1e3:.1f}ms")
-S.StreamingBatcher._materialize = timed_mat
+    orig_resolve(self, items, futs, t_enq)
+    log(f"resolve n={len(items)} took {(time.perf_counter()-t0)*1e3:.1f}ms")
+S.StreamingBatcher._resolve = timed_resolve
 
 def run_trial(trial):
     global T0
     T0 = time.perf_counter()
-    with StreamingBatcher(predict_rows, max_batch=buckets[-1], max_wait_ms=5.0) as server:
+    with StreamingBatcher(predict_rows, max_batch=buckets[-1]) as server:
         t0 = time.perf_counter()
         futs = [server.submit(np.asarray(r)) for r in x_te]
         log("all submitted")

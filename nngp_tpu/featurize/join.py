@@ -46,10 +46,15 @@ def detect_join_columns(t1: TableStats, t2: TableStats) -> List[Tuple[str, str]]
 class BinaryJoinEncoder:
     """Two-table join queries, grammar `t1_preds@t2_preds@joins@card`."""
 
-    def __init__(self, table1: TableStats, table2: TableStats):
+    def __init__(self, table1: TableStats, table2: TableStats,
+                 chunk_norm: bool = False):
+        """chunk_norm: rescale packed categorical chunk slots to the
+        [0, 1000] numeric scale (see SingleTableEncoder; off = reference
+        parity)."""
         self.table1, self.table2 = table1, table2
-        self.enc1 = SingleTableEncoder(table1)
-        self.enc2 = SingleTableEncoder(table2)
+        self.chunk_norm = bool(chunk_norm)
+        self.enc1 = SingleTableEncoder(table1, chunk_norm=chunk_norm)
+        self.enc2 = SingleTableEncoder(table2, chunk_norm=chunk_norm)
         joinable = detect_join_columns(table1, table2)
         self.join_col_names = [n for n, _ in joinable]
         self.join_col_types = [k for _, k in joinable]
@@ -114,10 +119,15 @@ class MultiJoinEncoder:
     """K-table acyclic join queries, grammar
     `tables@preds_1@...@preds_k@joins[@card]`."""
 
-    def __init__(self, tables: Sequence[TableStats]):
+    def __init__(self, tables: Sequence[TableStats], chunk_norm: bool = False):
+        """chunk_norm: rescale packed categorical chunk slots to the
+        [0, 1000] numeric scale (see SingleTableEncoder; off = reference
+        parity — measured 3.4x median q-error on the 6-table workload)."""
         self.tables = list(tables)
         self.num_tables = len(tables)
-        self.encoders = [SingleTableEncoder(t) for t in tables]
+        self.chunk_norm = bool(chunk_norm)
+        self.encoders = [SingleTableEncoder(t, chunk_norm=chunk_norm)
+                         for t in tables]
         self.tid_to_table_name = {i: t.table_name for i, t in enumerate(tables)}
         self.table_name_to_tid = {t.table_name: i for i, t in enumerate(tables)}
 
@@ -148,6 +158,15 @@ class MultiJoinEncoder:
     @property
     def feat_dim(self):
         return int(self._table_offsets[-1]) + self.join_feat_dim
+
+    @property
+    def col_scale(self) -> np.ndarray:
+        """Full-width per-feature scale vector (all ones unless chunk_norm).
+        Consumers that bypass encode_batch (the native C++ encoder, whose
+        output is bit-exact RAW features) multiply by this."""
+        return np.concatenate(
+            [e.col_scale for e in self.encoders]
+            + [np.ones(self.join_feat_dim)])
 
     # ------------------------------------------------------------- parsing
     def _parse_joins(self, join_str: str) -> List[JoinInfo]:

@@ -38,12 +38,21 @@ import jax.numpy as jnp
 from nngp_tpu.models.kernel_spec import KernelSpec
 from nngp_tpu.ops.linalg import cholesky_append_rows
 
-# Above this size the fit fuses Gram assembly into a left-looking blocked
-# Cholesky (`ops.linalg.fused_panel_cholesky`): K + rI never materializes,
-# so peak memory is ONE n^2 buffer (the factor) instead of ~3 — and the
-# trailing updates are FLOP-optimal static MXU matmuls instead of XLA's
-# full-width masked expander loop. Below it, plain XLA wins on compile time.
+# Above this size the fit stops using XLA's Cholesky expander (full-width
+# masked updates, ~2x flops) in favor of statically-blocked factorizations.
+# Below it, plain XLA wins on compile time.
 _FUSED_FIT_MIN_N = 4096
+
+# Tier boundary within the blocked regime (round-3 A/B, experiments/
+# fit_ab2.log): up to here the fit builds the WHOLE Gram in one fused XLA
+# op and factorizes it with the right-looking `ops.linalg.blocked_cholesky`
+# — measured ~25% faster than the Gram-in-the-loop fused panel fit at 10.8k
+# (58.7 vs 78.8 ms wall; the monolithic Gram lets XLA overlap the
+# VPU-bound recursion with MXU factor work, while the left-looking panel
+# producer serializes them). At 21.6k the two measure EQUAL and the
+# monolithic form's extra live n^2 starts to matter, so the fused
+# left-looking fit keeps [this, block threshold).
+_MONOLITHIC_MAX_N = 16384
 
 # Above this size the fused fit keeps the factor as triangular COLUMN BLOCKS
 # (`BlockLowerTriangular`) end to end — factor, solves, predict, extend all
@@ -344,10 +353,12 @@ class GPPosterior:
 
 
 @partial(jax.jit, static_argnames=("spec", "get", "diag_reg", "absolute",
-                                   "fused_min_n", "block_min_n"))
+                                   "fused_min_n", "block_min_n",
+                                   "mono_max_n"))
 def _fit_impl(x, y, spec, get, diag_reg, absolute,
               fused_min_n=_FUSED_FIT_MIN_N,
-              block_min_n=_BLOCK_LAYOUT_MIN_N):
+              block_min_n=_BLOCK_LAYOUT_MIN_N,
+              mono_max_n=_MONOLITHIC_MAX_N):
     """Top-level cached jit — one compilation per (spec, get, shapes), so
     repeated fits (active-learning refits, serving restarts) don't retrace.
 
@@ -365,6 +376,28 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         diag_nngp, diag_ntk = apply_diag_recursion(input_diag(x), spec.layers)
         diag_vec = diag_nngp if get == "nngp" else diag_ntk
         reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
+
+    if fused_min_n <= n < min(mono_max_n, block_min_n):
+        # Mid-size fast path (see _MONOLITHIC_MAX_N): one fused XLA Gram
+        # with the exact diagonal + ridge scattered in, then the
+        # statically-blocked right-looking Cholesky. ~25% faster than the
+        # panel-fused fit at the 10.8k headline size (fit_ab2.log).
+        from nngp_tpu.models.kernel_spec import apply_diag_recursion as _adr
+        from nngp_tpu.ops.linalg import blocked_cholesky
+
+        diag_nngp, diag_ntk = _adr(input_diag(x), spec.layers)
+        diag_solve = diag_nngp if get == "nngp" else diag_ntk
+        idx = jnp.arange(n)
+        if get == "ntk":
+            keep_nngp, solve_k = spec.kernel_fn(x, x, ("nngp", "ntk"))
+        else:
+            solve_k = spec.kernel_fn(x, x, "nngp")
+            keep_nngp = None
+        # exact O(n) diagonal (computed one carries acos(rho=1) noise)
+        solve_k = solve_k.at[idx, idx].set(diag_solve + reg)
+        l = blocked_cholesky(solve_k)
+        alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
+        return l, alpha, reg, keep_nngp
 
     if n >= fused_min_n:
         # Large-n fast path: Gram fused into the factorization, one live
@@ -460,6 +493,7 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         # block-factor paths without hitting a stale trace
         fused_min_n=_FUSED_FIT_MIN_N,
         block_min_n=_BLOCK_LAYOUT_MIN_N,
+        mono_max_n=_MONOLITHIC_MAX_N,
     )
     return GPPosterior(
         x_train=x_train,

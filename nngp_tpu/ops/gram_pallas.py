@@ -31,6 +31,16 @@ the GP ridge into that scatter, so fit never materializes an unridged Gram.
 This is the TPU-native subsumption of `nt.batch(kernel_fn, ...)`'s
 host-blocked Gram in the reference (`/root/reference/train.py:166-168`).
 
+Status (round-3 settlement, BASELINE.md fit-path A/B): NON-default. As the
+Gram producer for the fit it ties XLA's fused monolithic Gram at 10.8k
+(60.3 vs 58.7 ms min, fit_ab.log) and loses at 21.6k (56.0 vs 42.2 ms,
+mirror='lower'); the per-tile cost is the thin K=128 in-kernel matmul at
+HIGHEST precision + the VPU recursion, and no tiling change closes it
+(gram_tiles.log). The hot fit paths therefore use XLA Gram assembly
+(monolithic below `_MONOLITHIC_MAX_N`, fused panels above); this kernel is
+kept for lower-triangle-only consumers and as the measured Mosaic
+reference point.
+
 Numerical layout notes:
   - feature dim d is zero-padded to a multiple of 128 (lane width); zero
     columns do not change dot products.

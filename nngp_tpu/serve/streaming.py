@@ -16,14 +16,17 @@ every result fetch is a ~27 ms serialized roundtrip — two in-flight batches
 do NOT overlap their fetches, so pipelining materialization on a second
 thread buys nothing here (and cross-thread lazy fetches measured
 pathologically slow on the axon client). The latency-optimal policy is
-therefore synchronous and producer-tracking:
+therefore synchronous with QUIET-GAP burst capture:
 
-  - ship as soon as `coalesce_min` requests are on hand (the next batch
-    coalesces naturally while this one computes — batch sizes track the
-    producer rate and each request waits ~one batch turnaround);
-  - below `coalesce_min`, wait up to max_wait_ms for stragglers — a
-    trickle load still gets near-per-request latency while a burst
-    immediately escalates to full batches.
+  - while requests keep arriving within `quiet_gap_ms` of each other, keep
+    draining — an active burst is absorbed into ONE dispatch instead of a
+    tiny head batch plus a giant tail batch that waits two service cycles
+    (shipping early at a fixed batch size measured p95 = 150-165 ms for a
+    3.6k burst vs ~one service time for the whole-burst batch);
+  - once the queue stays quiet for a gap, ship immediately — a trickle
+    load pays only the gap (~2 ms), not the full SLO window;
+  - `max_wait_ms` (measured from the batch's first item) bounds the wait
+    under sustained arrival, and `max_batch` caps device memory.
 
 Generic over the request payload: `predict_fn(items) -> (mean, std)` — pass
 `Estimator.predict` for query-line items (its power-of-two bucketing keeps
@@ -45,19 +48,20 @@ class StreamingBatcher:
     (mean, std) for that single item; a background dispatcher coalesces
     outstanding items into one predict_fn call per batch.
 
-    max_batch caps device memory per dispatch; coalesce_min is the batch
-    size at which a batch ships immediately; below it the dispatcher waits
-    up to max_wait_ms (measured from the batch's first item) for more.
+    max_batch caps device memory per dispatch; quiet_gap_ms is how long the
+    queue must stay quiet before a partial batch ships (burst-vs-trickle
+    detector); max_wait_ms (from the batch's first item) bounds the total
+    wait under sustained arrival.
     """
 
     def __init__(self, predict_fn: Callable[[List], Tuple], *,
-                 max_batch: int = 4096, max_wait_ms: float = 5.0,
-                 coalesce_min: int = 64,
+                 max_batch: int = 4096, max_wait_ms: float = 25.0,
+                 quiet_gap_ms: float = 2.0,
                  name: str = "nngp-stream"):
         self._predict_fn = predict_fn
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
-        self._coalesce_min = min(int(coalesce_min), self._max_batch)
+        self._quiet_gap_s = float(quiet_gap_ms) / 1e3
         self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._running = True
         self._lock = threading.Lock()
@@ -95,9 +99,9 @@ class StreamingBatcher:
 
     # --------------------------------------------------------- dispatcher
     def _drain_batch(self) -> Optional[List]:
-        """Block for the first item, drain everything already queued, and
-        ship once coalesce_min is reached — otherwise wait out the SLO
-        window for stragglers."""
+        """Block for the first item, then keep draining while requests keep
+        arriving within the quiet gap; ship when the queue stays quiet, the
+        SLO window closes, or the batch fills."""
         try:
             first = self._queue.get(timeout=0.05)
         except queue.Empty:
@@ -110,15 +114,16 @@ class StreamingBatcher:
                     batch.append(self._queue.get_nowait())
             except queue.Empty:
                 pass
-            if len(batch) >= self._coalesce_min:
-                break                       # enough to fill the MXU: go
+            if len(batch) >= self._max_batch:
+                break
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break                       # SLO window closed
             try:
-                batch.append(self._queue.get(timeout=remaining))
+                batch.append(self._queue.get(
+                    timeout=min(self._quiet_gap_s, remaining)))
             except queue.Empty:
-                break
+                break                       # queue went quiet: ship now
         return batch
 
     def _dispatch_loop(self):

@@ -328,3 +328,75 @@ def test_feedback_guards_degenerate_cards():
     lines = merge_query_res(infos, rows)
     assert float(lines[0].split("@")[-1]) == np.inf     # coef_var
     assert float(lines[1].split("@")[-2]) == np.inf     # q_error
+
+
+def _cat_schema_files(tmp_path):
+    """2-table schema with a categorical column (exercises chunk packing)."""
+    ta = TableStats("ta", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("x", "numerical", -10, 10),
+        ColumnStats("tag", "categorical", categories=tuple(range(12))),
+    ), chunk_size=8)
+    tb = TableStats("tb", (
+        ColumnStats("id", "numerical", 0, 100),
+        ColumnStats("y", "numerical", 0, 1),
+    ), chunk_size=8)
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    rng = np.random.default_rng(7)
+    lines = []
+    for _ in range(60):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        tags = sorted(rng.choice(12, size=rng.integers(1, 4), replace=False))
+        tag_s = ",".join(str(t) for t in tags)
+        card = max(1, int(500 * (xu - xl) + 40 * len(tags)))
+        lines.append(
+            f"ta,tb@x,{xu:.3f},{xl:.3f}#tag,{tag_s}@@ta,tb,id@{card}")
+    (qdir / "join_query_2.txt").write_text("\n".join(lines) + "\n")
+    return [ta, tb], str(qdir)
+
+
+def test_estimator_chunk_norm_native_parity_and_roundtrip(tmp_path):
+    """chunk_norm: the native C++ encoder's raw output post-scaled must
+    match the Python encoder exactly; predictions survive a checkpoint
+    roundtrip; the flag changes the model (different features)."""
+    stats, qdir = _cat_schema_files(tmp_path)
+    est = Estimator("toy", data_path=None, train_query_path=qdir,
+                    stats=stats, dtype=np.float64, verbose=False,
+                    chunk_norm=True)
+    lines = ["ta,tb@x,5.0,-5.0#tag,0,3@@ta,tb,id",
+             "ta,tb@tag,7@y,0.9,0.1@ta,tb,id"]
+    # native vs Python encode parity under the scale
+    x_active = est.encode_lines(lines)
+    parsed = [est.encoder.parse_line_without_card(l) for l in lines]
+    x_py = est.encoder.encode_batch(parsed, dtype=est.dtype)
+    np.testing.assert_allclose(x_active, x_py, rtol=0, atol=0)
+    assert x_active.max() <= 1000.0
+
+    mean, std = est.predict(lines)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+
+    ckpt = tmp_path / "ckpt_cn"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.chunk_norm is True
+    mean2, std2 = est2.predict(lines)
+    np.testing.assert_allclose(mean2, mean, rtol=1e-12)
+    np.testing.assert_allclose(std2, std, rtol=1e-12)
+
+    # raw (reference-parity) estimator gives a DIFFERENT model
+    est_raw = Estimator("toy", data_path=None, train_query_path=qdir,
+                        stats=stats, dtype=np.float64, verbose=False)
+    x_raw = est_raw.encode_lines(lines)
+    # features differ exactly on the chunk slots (factor 1000/2^8)
+    changed = x_raw != x_active
+    assert changed.any()
+    np.testing.assert_allclose(x_active[changed],
+                               x_raw[changed] * (1000.0 / 2.0 ** 8))
+    # labeled extend keeps the scale consistent on both paths
+    new_lines = ["ta,tb@x,2.0,-2.0#tag,1@@ta,tb,id@777"]
+    added = est.extend_with_lines(new_lines)
+    assert added == 1
+    m3, s3 = est.predict(lines)
+    assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)

@@ -189,3 +189,42 @@ def test_load_stats_dir_orders_by_schema(tmp_path):
     assert [t.table_name for t in plain] == ["alpha", "zeta"]
     with pytest.raises(FileNotFoundError):
         load_stats_dir(str(tmp_path), table_names=["zeta", "missing"])
+
+
+def test_chunk_norm_rescales_only_chunk_slots():
+    """chunk_norm multiplies exactly the factorized categorical slots by
+    1000/2^chunk_size; numeric range slots and join one-hots are untouched,
+    and chunk_norm=False stays bit-identical to the reference encoding."""
+    a, b, c = _tables()
+    raw = MultiJoinEncoder([a, b, c])
+    nrm = MultiJoinEncoder([a, b, c], chunk_norm=True)
+
+    line = "tb,tc@y,0.7,0.2#tag,0,2,5@tag,1,3@tb,tc,tag@40"
+    tids, preds, joins, card = raw.parse_line(line)
+    x_raw = raw.encode_batch([(tids, preds, joins)])
+    x_nrm = nrm.encode_batch([(tids, preds, joins)])
+
+    scale = raw.col_scale  # all ones
+    assert np.all(scale == 1.0)
+    scale_n = nrm.col_scale
+    factor = 1000.0 / 2.0 ** 4  # chunk_size=4
+    # chunk slots carry the factor, everything else is 1
+    assert set(np.unique(scale_n)) == {1.0, factor}
+    np.testing.assert_allclose(x_nrm, x_raw * scale_n)
+    # the numeric slots (and join one-hot) really are untouched
+    changed = x_nrm != x_raw
+    assert changed.any()
+    assert np.all(scale_n[np.where(changed.any(axis=0))[0]] == factor)
+    # idempotent layout: feat dims identical
+    assert raw.feat_dim == nrm.feat_dim == x_raw.shape[1]
+
+
+def test_chunk_norm_bounds_features():
+    """With chunk_norm on, every encoded feature lies in [0, 1000] — no
+    fp32 prescale needed downstream."""
+    a, b, c = _tables()
+    nrm = MultiJoinEncoder([a, b, c], chunk_norm=True)
+    line = "tb,tc@y,0.7,0.2#tag,0,1,2,3,4,5@tag,0,5@tb,tc,tag@40"
+    tids, preds, joins, _ = nrm.parse_line(line)
+    x = nrm.encode_batch([(tids, preds, joins)])
+    assert x.min() >= 0.0 and x.max() <= 1000.0

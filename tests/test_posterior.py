@@ -311,6 +311,7 @@ def test_fused_fit_dense_inplace_tier_matches_plain(get, monkeypatch):
 
     plain = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
     monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)   # block layout stays 28k
+    monkeypatch.setattr(P, "_MONOLITHIC_MAX_N", 64)  # skip the mono tier
     fused = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
     assert not hasattr(fused.l, "blocks")            # dense in-place tier
     if get == "ntk":
@@ -343,3 +344,42 @@ def test_panel_gram_matches_kernel_fn():
         # monolithic dot, so fp64 rounding differs in the last bits
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-9, atol=1e-7)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_monolithic_tier_matches_plain(get, monkeypatch):
+    """The monolithic-Gram + blocked-Cholesky tier (4096 <= n < 16384, the
+    10.8k headline path after the round-3 A/B — fit_ab2.log) must reproduce
+    the plain small-n fit, extend included."""
+    import nngp_tpu.gp.posterior as P
+    from nngp_tpu.ops.linalg import BlockLowerTriangular
+
+    spec = reference_kernel()
+    rng = np.random.default_rng(21)
+    x = rng.uniform(0, 1000, (530, 6))
+    y = rng.standard_normal((530, 1))
+    x2, y2 = rng.uniform(0, 1000, (9, 6)), rng.standard_normal((9, 1))
+    x_te = rng.uniform(0, 1000, (15, 6))
+
+    plain = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
+    monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)
+    # _MONOLITHIC_MAX_N (16384) > n: routes through the monolithic tier
+    mono = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
+    assert not isinstance(mono.l, BlockLowerTriangular)
+    if get == "ntk":
+        assert mono.k_tt_nngp is not None     # resident below block tier
+    m_m, v_m = mono.predict(jnp.asarray(x_te), compute_cov="diag")
+    m_p, v_p = plain.predict(jnp.asarray(x_te), compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(m_m), np.asarray(m_p),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_p),
+                               rtol=2e-5, atol=1e-7)
+
+    ext_m = mono.extend(jnp.asarray(x2), jnp.asarray(y2))
+    ext_p = plain.extend(jnp.asarray(x2), jnp.asarray(y2))
+    m_m, v_m = ext_m.predict(jnp.asarray(x_te), compute_cov="diag")
+    m_p, v_p = ext_p.predict(jnp.asarray(x_te), compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(m_m), np.asarray(m_p),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_p),
+                               rtol=2e-5, atol=1e-7)
