@@ -4,9 +4,11 @@ dispatch surface (`/root/reference/dnn/train.py:248-295`).
     python -m nngp_tpu.cli.train_baselines --model_type DNN \
         --query_path workloads/forest_data
 
-Model types: DNN (MultiTaskMLP), MCDropout, DeepEnsemble, Density, DKL,
-GP (sklearn exact GP), KRR, MLP (sklearn), XGB (needs xgboost), RBF-GP
-(our jax MLL-trained GP, the reference's --kernel_type gp).
+Model types: DNN (MultiTaskMLP), MCDropout, DeepEnsemble, Density, DKL
+(exact-GP deep kernel), DKL-SKI (grid-interpolation / KISS-GP deep kernel —
+the reference's covariance structure), GP (sklearn exact GP), KRR, MLP
+(sklearn), XGB (needs xgboost), RBF-GP (our jax MLL-trained GP, the
+reference's --kernel_type gp).
 """
 
 import argparse
@@ -30,8 +32,8 @@ from nngp_tpu.data.workload import load_single_table_workload
 from nngp_tpu.eval.qerror import PredictionStatistics, symmetric_qerror
 from nngp_tpu.eval.splits import train_test_val_split
 
-MODEL_TYPES = ["DNN", "MCDropout", "DeepEnsemble", "Density", "DKL", "GP",
-               "KRR", "MLP", "XGB", "RBF-GP", "MSCN"]
+MODEL_TYPES = ["DNN", "MCDropout", "DeepEnsemble", "Density", "DKL",
+               "DKL-SKI", "GP", "KRR", "MLP", "XGB", "RBF-GP", "MSCN"]
 
 
 def build_parser():
@@ -150,6 +152,15 @@ def main(argv=None):
         params = train_dkl(x_tr, y_tr, hid_dim=args.num_hid,
                            epochs=args.epochs, verbose=print)
         pred, _ = predict_dkl(params, x_tr, y_tr, x_te)
+        pred = np.asarray(pred).ravel()
+    elif mt == "DKL-SKI":
+        # the reference's actual DKL covariance: grid interpolation
+        # (`/root/reference/dnn/layers.py:62-78`); see models/ski.py
+        from nngp_tpu.models.ski import predict_dkl_ski, train_dkl_ski
+        params = train_dkl_ski(x_tr, y_tr, hid_dim=args.num_hid,
+                               epochs=args.epochs, verbose=print)
+        pred, _ = predict_dkl_ski(params, jnp.asarray(x_tr),
+                                  jnp.asarray(y_tr), jnp.asarray(x_te))
         pred = np.asarray(pred).ravel()
     elif mt == "GP":
         pred, _std = sklearn_gp_train_and_test(x_tr, y_tr, x_te)
