@@ -110,17 +110,25 @@ def main():
     for nb in buckets:                    # compile every bucket shape
         predict_rows([np.asarray(x_te[0])] * nb)
     # default policy: quiet-gap burst capture (the 3.6k submit burst is
-    # absorbed into ~one dispatch; see serve/streaming.py)
-    with StreamingBatcher(predict_rows, max_batch=buckets[-1]) as server:
-        t0 = _time.perf_counter()
-        futs = [server.submit(np.asarray(r)) for r in x_te]
-        for f in futs:
-            f.result(timeout=120)
-        stream_s = _time.perf_counter() - t0
-        st = server.stats()
-    extras["streaming_qps"] = round(x_te.shape[0] / stream_s, 1)
-    extras["streaming_batches"] = st["batches"]
-    extras["streaming_p95_latency_ms"] = round(st["p95_latency_ms"], 2)
+    # absorbed into ~one dispatch; see serve/streaming.py). Best warm trial
+    # of 3 (matching the best-of-N everywhere else): a single tunnel
+    # dispatch varies 60-280 ms, which would otherwise dominate the row.
+    rows = [np.asarray(r) for r in x_te]
+    best_stream_s, best_st = float("inf"), None
+    for _ in range(3):
+        with StreamingBatcher(predict_rows, max_batch=buckets[-1]) as server:
+            t0 = _time.perf_counter()
+            futs = [server.submit(r) for r in rows]
+            for f in futs:
+                f.result(timeout=120)
+            stream_s = _time.perf_counter() - t0
+            st = server.stats()
+        if stream_s < best_stream_s:
+            best_stream_s, best_st = stream_s, st
+    extras["streaming_qps"] = round(x_te.shape[0] / best_stream_s, 1)
+    extras["streaming_batches"] = best_st["batches"]
+    extras["streaming_p95_latency_ms"] = round(
+        best_st["p95_latency_ms"], 2)
 
     # Multi-join end-to-end at forest scale: the committed 6-table
     # Zipf-skewed snowflake workload (18,000 labeled queries, 61-dim
@@ -166,6 +174,24 @@ def main():
     extras["join_aux_hard"] = int(hard.size)
     extras["join_aux_extend_s"] = round(aux_ext_s, 6)
     del pj_ext, pj
+
+    # chunk_norm variant: packed categorical chunk slots rescaled onto the
+    # [0,1000] numeric scale (opt-in framework improvement over the
+    # reference's raw-integer encoding — featurize.SingleTableEncoder).
+    xjn, yjn, infos_jn, _ = load_multi_join_workload(
+        "workloads/synth6_join_data", schema_name="synth6",
+        dtype=np.float32, chunk_norm=True)
+    xn_tr, yn_tr, _, xn_te, yn_te, _, _, _, _ = train_test_val_split(
+        xjn, yjn, train_frac=0.6, test_frac=0.2, all_query_infos=infos_jn)
+    pn = fit_gp(spec, jax.device_put(jnp.asarray(xn_tr)),
+                jax.device_put(jnp.asarray(yn_tr)), diag_reg=1e-3)
+    mn, _sn = pn.predict_mean_std(jax.device_put(jnp.asarray(xn_te)))
+    qn = symmetric_qerror(np.asarray(mn).ravel()
+                          - np.asarray(yn_te).ravel())
+    extras["join_median_qerror_chunk_norm"] = round(float(np.median(qn)), 4)
+    extras["join_p95_qerror_chunk_norm"] = round(
+        float(np.quantile(qn, 0.95)), 4)
+    del pn
 
     if not fast:
         # Scale rows: 2x and 3x train set (random features — wall-clock

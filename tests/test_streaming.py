@@ -232,3 +232,29 @@ def test_cancelled_future_does_not_kill_dispatcher():
         with pytest.raises(ValueError):
             f2.result(timeout=30)
         assert f3.result(timeout=30) == (3.0, 3.0)
+
+
+def test_quiet_gap_burst_capture_and_trickle_latency():
+    """Policy semantics (round 3): a rapid burst coalesces into one batch
+    (the queue never stays quiet for quiet_gap_ms), while an isolated
+    request ships after ~the quiet gap, NOT the full SLO window."""
+    import time as _t
+
+    def predict(items):
+        v = np.asarray([float(i) for i in items])
+        return v, v
+
+    # burst: submit everything before the dispatcher can drain it
+    with StreamingBatcher(predict, max_batch=256, quiet_gap_ms=50.0,
+                          max_wait_ms=500.0) as srv:
+        futs = [srv.submit(float(i)) for i in range(100)]
+        for i, f in enumerate(futs):
+            assert f.result(timeout=30) == (float(i), float(i))
+        assert srv.stats()["batches"] == 1
+
+    # trickle: one lone request must not wait out the 10 s SLO
+    with StreamingBatcher(predict, max_batch=256, quiet_gap_ms=5.0,
+                          max_wait_ms=10_000.0) as srv:
+        t0 = _t.monotonic()
+        assert srv.submit(4.0).result(timeout=30) == (4.0, 4.0)
+        assert _t.monotonic() - t0 < 2.0
