@@ -43,16 +43,19 @@ from nngp_tpu.ops.linalg import cholesky_append_rows
 # Below it, plain XLA wins on compile time.
 _FUSED_FIT_MIN_N = 4096
 
-# Tier boundary within the blocked regime (round-3 A/B, experiments/
-# fit_ab2.log): up to here the fit builds the WHOLE Gram in one fused XLA
-# op and factorizes it with the right-looking `ops.linalg.blocked_cholesky`
-# — measured ~25% faster than the Gram-in-the-loop fused panel fit at 10.8k
-# (58.7 vs 78.8 ms wall; the monolithic Gram lets XLA overlap the
-# VPU-bound recursion with MXU factor work, while the left-looking panel
-# producer serializes them). At 21.6k the two measure EQUAL and the
-# monolithic form's extra live n^2 starts to matter, so the fused
-# left-looking fit keeps [this, block threshold).
-_MONOLITHIC_MAX_N = 16384
+# Optional tier within the blocked regime: below this bound the fit builds
+# the WHOLE Gram in one fused XLA op and factorizes it with the
+# right-looking `ops.linalg.blocked_cholesky`. Two same-code A/Bs on the
+# tunneled chip DISAGREE about it: one session measured it ~25% faster than
+# the Gram-in-the-loop fused panel fit at 10.8k (58.7 vs 78.8 ms,
+# experiments/fit_ab2.log), a later session measured it ~10% SLOWER (60.0
+# vs 54.1 ms, fit_ab3.py — forest and random features alike); the
+# between-session spread on identical code exceeds the tier gap. Default 0
+# = disabled: the fused panel fit holds one fewer live n^2 buffer (no
+# resident Gram) and owns the best recorded headline (52 ms). The tier
+# stays selectable via `_fit_impl(..., mono_max_n=16384)` and
+# parity-tested (test_monolithic_tier_matches_plain).
+_MONOLITHIC_MAX_N = 0
 
 # Above this size the fused fit keeps the factor as triangular COLUMN BLOCKS
 # (`BlockLowerTriangular`) end to end — factor, solves, predict, extend all
@@ -378,10 +381,9 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
 
     if fused_min_n <= n < min(mono_max_n, block_min_n):
-        # Mid-size fast path (see _MONOLITHIC_MAX_N): one fused XLA Gram
-        # with the exact diagonal + ridge scattered in, then the
-        # statically-blocked right-looking Cholesky. ~25% faster than the
-        # panel-fused fit at the 10.8k headline size (fit_ab2.log).
+        # Monolithic tier (default-off — see _MONOLITHIC_MAX_N): one fused
+        # XLA Gram with the exact diagonal + ridge scattered in, then the
+        # statically-blocked right-looking Cholesky.
         from nngp_tpu.models.kernel_spec import apply_diag_recursion as _adr
         from nngp_tpu.ops.linalg import blocked_cholesky
 

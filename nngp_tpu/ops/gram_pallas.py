@@ -37,7 +37,8 @@ Gram producer for the fit it ties XLA's fused monolithic Gram at 10.8k
 mirror='lower'); the per-tile cost is the thin K=128 in-kernel matmul at
 HIGHEST precision + the VPU recursion, and no tiling change closes it
 (gram_tiles.log). The hot fit paths therefore use XLA Gram assembly
-(monolithic below `_MONOLITHIC_MAX_N`, fused panels above); this kernel is
+(fused panels; the monolithic tier is default-off — see
+`_MONOLITHIC_MAX_N` in gp/posterior.py); this kernel is
 kept for lower-triangle-only consumers and as the measured Mosaic
 reference point.
 

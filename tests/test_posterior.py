@@ -348,9 +348,9 @@ def test_panel_gram_matches_kernel_fn():
 
 @pytest.mark.parametrize("get", ["nngp", "ntk"])
 def test_monolithic_tier_matches_plain(get, monkeypatch):
-    """The monolithic-Gram + blocked-Cholesky tier (4096 <= n < 16384, the
-    10.8k headline path after the round-3 A/B — fit_ab2.log) must reproduce
-    the plain small-n fit, extend included."""
+    """The monolithic-Gram + blocked-Cholesky tier (default-off; selectable
+    via mono_max_n — see _MONOLITHIC_MAX_N in gp/posterior.py) must
+    reproduce the plain small-n fit, extend included."""
     import nngp_tpu.gp.posterior as P
     from nngp_tpu.ops.linalg import BlockLowerTriangular
 
@@ -363,7 +363,9 @@ def test_monolithic_tier_matches_plain(get, monkeypatch):
 
     plain = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
     monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)
-    # _MONOLITHIC_MAX_N (16384) > n: routes through the monolithic tier
+    # mono tier is default-off (session-dependent perf, see posterior.py);
+    # raise the bound above n to route through it
+    monkeypatch.setattr(P, "_MONOLITHIC_MAX_N", 16384)
     mono = fit_gp(spec, jnp.asarray(x), jnp.asarray(y), get=get)
     assert not isinstance(mono.l, BlockLowerTriangular)
     if get == "ntk":
