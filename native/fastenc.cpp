@@ -93,10 +93,10 @@ inline bool parse_double(const std::string& field, double* out) {
   char* endp = nullptr;
   errno = 0;
   double v = strtod(field.c_str(), &endp);
-  // ERANGE check mirrors parse_long: an overflowing bound would otherwise
-  // be accepted as +/-HUGE_VAL and propagate inf into the feature row.
-  if (errno == ERANGE || endp != field.c_str() + field.size() ||
-      !std::isfinite(v))
+  // Reject overflow (strtod returns +/-HUGE_VAL) via the finiteness check
+  // alone — errno==ERANGE also fires on legitimate subnormal UNDERFLOW
+  // (e.g. "1e-310"), which must stay accepted like the Python parser does.
+  if (endp != field.c_str() + field.size() || !std::isfinite(v))
     return false;
   *out = v;
   return true;

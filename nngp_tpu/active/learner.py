@@ -34,13 +34,19 @@ class ActiveLearner:
                  active_iters: int = 3, kernel_type: str = "nngp",
                  biased_sample: bool = True, diag_reg: float = 1e-3,
                  refit: str = None, seed: int = 10,
-                 mesh=None, dist_block_size=None):
+                 mesh=None, dist_block_size=None, input_scale=None):
         """mesh: optional jax.sharding.Mesh — fit/predict with the
         row-sharded distributed posterior. Any train-set / selection size
         works (the distributed layout pads with inert rows). refit defaults
         to 'incremental' in BOTH regimes: single-chip uses the block-
         Cholesky append, a mesh uses the distributed block-cyclic append
-        (`DistributedPosterior.extend`, O(n^2 k / p) per round)."""
+        (`DistributedPosterior.extend`, O(n^2 k / p) per round).
+
+        input_scale: optional pinned fp32 feature prescale, e.g.
+        `gp.posterior.input_scale_for_bound(encoder.max_abs_bound(), ...)`
+        — skips the per-refit data probe (a blocking device fetch when the
+        pools live on device) and guarantees every later acquisition fits
+        the factor's scale."""
         if refit is None:
             refit = "incremental"
         if refit not in ("incremental", "full"):
@@ -54,6 +60,7 @@ class ActiveLearner:
         self.refit = refit
         self.mesh = mesh
         self.dist_block_size = dist_block_size
+        self.input_scale = input_scale
         self.key = jax.random.PRNGKey(seed)
         self.pred_stat = PredictionStatistics()
 
@@ -64,9 +71,10 @@ class ActiveLearner:
             return distributed_fit(self.spec, x_train, y_train, self.mesh,
                                    diag_reg=self.diag_reg,
                                    get=self.kernel_type,
-                                   block_size=self.dist_block_size)
+                                   block_size=self.dist_block_size,
+                                   input_scale=self.input_scale)
         return fit_gp(self.spec, x_train, y_train, diag_reg=self.diag_reg,
-                      get=self.kernel_type)
+                      get=self.kernel_type, input_scale=self.input_scale)
 
     def test(self, post: GPPosterior, x_val, y_val, query_infos_val=None,
              printer=print):

@@ -117,14 +117,54 @@ def _fit(params, loss_fn, x, y_tuple, epochs, batch_size, lr, weight_decay,
     return params
 
 
+class StandardizedModel:
+    """Input-standardizing wrapper around a baseline model: same
+    `.apply(params, x, ...)` / `.predict(params, x, ...)` surface, with x
+    mapped through the train-set (mean, std) first.
+
+    The reference feeds RAW features into its torch MLPs
+    (`/root/reference/dnn/train.py:129-163`) — [0,1000] range slots and
+    2^chunk packed integers. At forest scale that degenerates the
+    Gaussian-NLL heads: the variance head absorbs the error of a collapsed
+    mean head (Density median q-error ~7e5, CPU and TPU alike; 4.05 once
+    standardized — measured, BASELINE.md baselines table). Standardization
+    is therefore the trainers' default; standardize=False restores the raw
+    reference behavior."""
+
+    def __init__(self, model, loc, scale):
+        self.model = model
+        self.loc = loc
+        self.scale = scale
+
+    def _scaled(self, x):
+        return (jnp.asarray(x, jnp.float32) - self.loc) / self.scale
+
+    def apply(self, params, x, **kw):
+        return self.model.apply(params, self._scaled(x), **kw)
+
+    def predict(self, params, x, *args, **kw):
+        return self.model.predict(params, self._scaled(x), *args, **kw)
+
+
+def _standardize(x, standardize):
+    """(x_scaled, wrapper_fn): wrapper_fn wraps a model if standardizing."""
+    if not standardize:
+        return x, lambda model: model
+    loc = jnp.mean(x, axis=0)
+    scale = jnp.std(x, axis=0) + 1e-6
+    return (x - loc) / scale, lambda model: StandardizedModel(model, loc,
+                                                              scale)
+
+
 def train_multitask(x_train, y_train, num_hid=256, max_classes=10,
                     epochs=40, batch_size=128, lr=1e-3, weight_decay=8e-5,
                     decay_factor=0.85, decay_patience=10, coeff=1.0,
-                    seed=0, verbose=None):
+                    seed=0, verbose=None, standardize=True):
     """MultiTaskMLP trainer (`/root/reference/dnn/train.py:211-244,274-281`).
     Returns (model, params)."""
     x = jnp.asarray(x_train, jnp.float32)
     y = jnp.asarray(y_train, jnp.float32)
+    x, wrap = _standardize(x, standardize)
     labels = jnp.asarray(magnitude_class(y_train, max_classes))
     model = MultiTaskMLP(hid_ch=num_hid, cla_out_ch=max_classes)
     params = model.init(jax.random.PRNGKey(seed), x[:1])
@@ -137,15 +177,16 @@ def train_multitask(x_train, y_train, num_hid=256, max_classes=10,
 
     params = _fit(params, loss_fn, x, (y, labels), epochs, batch_size, lr,
                   weight_decay, decay_factor, decay_patience, seed, verbose)
-    return model, params
+    return wrap(model), params
 
 
 def train_density(x_train, y_train, num_hid=256, epochs=40, batch_size=128,
                   lr=1e-3, weight_decay=8e-5, decay_factor=0.85,
-                  decay_patience=10, seed=0, verbose=None):
+                  decay_patience=10, seed=0, verbose=None, standardize=True):
     """Single MLPDensityRegressor with Gaussian NLL."""
     x = jnp.asarray(x_train, jnp.float32)
     y = jnp.asarray(y_train, jnp.float32)
+    x, wrap = _standardize(x, standardize)
     model = MLPDensityRegressor(hid_ch=num_hid)
     params = model.init(jax.random.PRNGKey(seed), x[:1])
 
@@ -155,18 +196,19 @@ def train_density(x_train, y_train, num_hid=256, epochs=40, batch_size=128,
 
     params = _fit(params, loss_fn, x, (y,), epochs, batch_size, lr,
                   weight_decay, decay_factor, decay_patience, seed, verbose)
-    return model, params
+    return wrap(model), params
 
 
 def train_mc_dropout(x_train, y_train, num_hid=256, dropout=0.5,
                      num_samples=100, epochs=40, batch_size=128, lr=1e-3,
                      weight_decay=8e-5, decay_factor=0.85, decay_patience=10,
-                     seed=0, verbose=None):
+                     seed=0, verbose=None, standardize=True):
     """MCDropout trainer with plain MSE on the stochastic forward, as the
     reference trains it (`/root/reference/dnn/train.py:125-155` uses
     criterion=MSELoss despite the model's NLL loss being defined)."""
     x = jnp.asarray(x_train, jnp.float32)
     y = jnp.asarray(y_train, jnp.float32)
+    x, wrap = _standardize(x, standardize)
     model = MCDropoutModel(hid_ch=num_hid, dropout=dropout,
                            num_samples=num_samples)
     key = jax.random.PRNGKey(seed)
@@ -204,17 +246,18 @@ def train_mc_dropout(x_train, y_train, num_hid=256, dropout=0.5,
         params, state, total = epoch_fn(params, state, batch_idx, rngs, x, y)
         if verbose:
             verbose(f"{epoch}-th Epochs: Train Loss={float(total):.4f}")
-    return model, params
+    return wrap(model), params
 
 
 def train_deep_ensemble(x_train, y_train, num_models=5, num_hid=256,
                         epochs=40, batch_size=128, lr=1e-3, weight_decay=8e-5,
                         decay_factor=0.85, decay_patience=10, seed=0,
-                        verbose=None):
+                        verbose=None, standardize=True):
     """Deep ensemble: all members train in one vmapped program
     (`/root/reference/dnn/DeepEnsemble.py:28-63` trains them sequentially)."""
     x = jnp.asarray(x_train, jnp.float32)
     y = jnp.asarray(y_train, jnp.float32)
+    x, wrap = _standardize(x, standardize)
     ens = DeepEnsemble(num_models=num_models, hid_ch=num_hid)
     params = ens.init(jax.random.PRNGKey(seed), x[:1])
 
@@ -223,20 +266,23 @@ def train_deep_ensemble(x_train, y_train, num_models=5, num_hid=256,
 
     params = _fit(params, loss_fn, x, (y,), epochs, batch_size, lr,
                   weight_decay, decay_factor, decay_patience, seed, verbose)
-    return ens, params
+    return wrap(ens), params
 
 
 def train_mlp_regressor(x_train, y_train, num_hid=256, epochs=40,
                         batch_size=128, lr=1e-3, weight_decay=8e-5,
                         seed=0, verbose=None):
-    """sklearn MLPRegressor wrapper (`/root/reference/dnn/train.py:299-319`).
-    Host-side; requires scikit-learn."""
+    """sklearn MLPRegressor wrapper (`/root/reference/dnn/train.py:299-319`),
+    behind a StandardScaler pipeline (same rationale as StandardizedModel —
+    the reference fits on raw features). Host-side; requires scikit-learn."""
     from sklearn import neural_network
-    reg = neural_network.MLPRegressor(
+    from sklearn.pipeline import make_pipeline
+    from sklearn.preprocessing import StandardScaler
+    reg = make_pipeline(StandardScaler(), neural_network.MLPRegressor(
         hidden_layer_sizes=num_hid, activation="relu", solver="adam",
         alpha=weight_decay, batch_size=batch_size, learning_rate="constant",
         learning_rate_init=lr, power_t=0.5, max_iter=epochs, shuffle=True,
-        random_state=seed)
+        random_state=seed))
     reg.fit(np.asarray(x_train), np.asarray(y_train).ravel())
     return reg
 

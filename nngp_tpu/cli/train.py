@@ -113,7 +113,7 @@ def main(argv=None):
 
     if args.schema_name:
         from nngp_tpu.data.workload import load_multi_join_workload
-        x, y, infos, _ = load_multi_join_workload(
+        x, y, infos, enc = load_multi_join_workload(
             args.query_path, schema_name=args.schema_name,
             data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype,
             chunk_norm=args.chunk_norm)
@@ -121,14 +121,16 @@ def main(argv=None):
         # binary-join path, derived from the comma exactly as the reference
         # does (`/root/reference/train.py:295-296`)
         from nngp_tpu.data.workload import load_binary_join_workload
-        x, y, infos, _ = load_binary_join_workload(
+        x, y, infos, enc = load_binary_join_workload(
             args.query_path, relations=args.relations, names=args.names,
-            data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype)
+            data_path=args.data_path, chunk_size=args.chunk_size, dtype=dtype,
+            chunk_norm=args.chunk_norm)
     else:
-        x, y, infos, _ = load_single_table_workload(
+        x, y, infos, enc = load_single_table_workload(
             args.query_path, relation=args.relations.split(",")[0],
             name=args.names.split(",")[0], data_path=args.data_path,
             chunk_size=args.chunk_size, dtype=dtype,
+            chunk_norm=args.chunk_norm,
         )
     print(f"number of query: {x.shape[0]}  feature dim: {x.shape[1]}")
 
@@ -181,12 +183,14 @@ def main(argv=None):
         print("memory:", memory_usage_gb())
         with timer.measure(
                 "kernel construction (fit: Gram + Cholesky, cold)") as h:
-            post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
+            # x_tr stays HOST numpy here: the fp32 prescale probe (max|x|)
+            # runs for free on host instead of a blocking device fetch
+            post = fit_gp(spec, x_tr, y_tr,
                           diag_reg=args.diag_reg, get=args.kernel_type)
             h["out"] = post.l
         with prof:
             with timer.measure("fit (warm)") as h, annotate("fit_warm"):
-                post = fit_gp(spec, jnp.asarray(x_tr), jnp.asarray(y_tr),
+                post = fit_gp(spec, x_tr, y_tr,
                               diag_reg=args.diag_reg, get=args.kernel_type)
                 h["out"] = post.l
 

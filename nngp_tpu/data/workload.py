@@ -108,7 +108,7 @@ def load_multi_join_workload(query_path: str, schema_name: str = None,
 def load_binary_join_workload(query_path: str, relations=None, names=None,
                               data_path: Optional[str] = None,
                               stats_pair=None, chunk_size: int = 64,
-                              dtype=np.float64):
+                              dtype=np.float64, chunk_norm: bool = False):
     """Two-table join workload (`t1p@t2p@joins@card` grammar) ->
     (X, Y, query_infos, encoder). The `--relations a,b` path of the
     reference (`/root/reference/datasets.py:335-343`)."""
@@ -125,7 +125,8 @@ def load_binary_join_workload(query_path: str, relations=None, names=None,
             df, col_types = load_table(rel, data_path, nrows=100000)
             stats_pair.append(TableStats.from_dataframe(
                 df, col_types, nm, chunk_size=chunk_size))
-    encoder = BinaryJoinEncoder(stats_pair[0], stats_pair[1])
+    encoder = BinaryJoinEncoder(stats_pair[0], stats_pair[1],
+                                chunk_norm=chunk_norm)
     queries, cards, infos = encoder.load_queries(query_path)
     x, y = encoder.transform_to_arrays(queries, cards, dtype=dtype)
     return x, y, infos, encoder
@@ -134,12 +135,13 @@ def load_binary_join_workload(query_path: str, relations=None, names=None,
 def load_single_table_workload(query_path: str, stats: Optional[TableStats] = None,
                                relation: str = "forest", name: str = "forest",
                                data_path: Optional[str] = None,
-                               chunk_size: int = 64, dtype=np.float64):
+                               chunk_size: int = 64, dtype=np.float64,
+                               chunk_norm: bool = False):
     """Returns (X, Y, query_infos, encoder)."""
     if stats is None:
         stats = single_table_stats(relation, name, query_path, data_path,
                                    chunk_size=chunk_size)
     queries, cards, infos = load_single_table_queries(query_path, stats)
-    encoder = SingleTableEncoder(stats)
+    encoder = SingleTableEncoder(stats, chunk_norm=chunk_norm)
     x, y = encoder.transform_to_arrays(queries, cards, dtype=dtype)
     return x, y, infos, encoder

@@ -59,6 +59,23 @@ class SingleTableEncoder:
     def feat_dim(self) -> int:
         return self.stats.feat_dim
 
+    def max_abs_bound(self) -> float:
+        """Largest feature magnitude this encoder can emit, from the LAYOUT
+        alone (no data probe): numeric range slots are scaled onto [0,1000]
+        (an out-of-range literal can exceed 1000, but never by the orders
+        of magnitude the bound exists to cover), factorized chunk slots
+        reach 2^chunk_size - 1 raw (< 1000 under chunk_norm). Can seed the
+        fp32 fit prescale (`gp.posterior.input_scale_for_bound`) without a
+        device round-trip — but ONLY when the training data actually spans
+        the bound; see that function's underflow caveat."""
+        bound = 1000.0
+        if any(c.kind == CATEGORICAL for c in self.stats.columns):
+            chunk_max = 2.0 ** self.stats.chunk_size - 1.0
+            if self.chunk_norm:
+                chunk_max *= 1000.0 / 2.0 ** self.stats.chunk_size
+            bound = max(bound, chunk_max)
+        return bound
+
     def encode_batch(self, pred_lists: Sequence[List], dtype=np.float64) -> np.ndarray:
         """(n, feat_dim) feature matrix for a batch of parsed predicate lists."""
         n = len(pred_lists)

@@ -65,6 +65,11 @@ class BinaryJoinEncoder:
     def feat_dim(self):
         return self.table1.feat_dim + self.table2.feat_dim + self.join_feat_dim
 
+    def max_abs_bound(self) -> float:
+        """Layout-derived magnitude bound (see SingleTableEncoder); join
+        one-hot slots are 0/1."""
+        return max(self.enc1.max_abs_bound(), self.enc2.max_abs_bound())
+
     def parse_line(self, line: str):
         terms = line.strip().split("@")
         t1_preds = parse_predicates(terms[0].strip(), self.table1)
@@ -167,6 +172,11 @@ class MultiJoinEncoder:
         return np.concatenate(
             [e.col_scale for e in self.encoders]
             + [np.ones(self.join_feat_dim)])
+
+    def max_abs_bound(self) -> float:
+        """Layout-derived magnitude bound (see SingleTableEncoder); join
+        one-hot slots are 0/1."""
+        return max(e.max_abs_bound() for e in self.encoders)
 
     # ------------------------------------------------------------- parsing
     def _parse_joins(self, join_str: str) -> List[JoinInfo]:

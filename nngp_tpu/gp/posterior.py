@@ -34,6 +34,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nngp_tpu.models.kernel_spec import KernelSpec
 from nngp_tpu.ops.linalg import cholesky_append_rows
@@ -445,22 +446,52 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
 _PRESCALE_MAX_ABS = 2.0 ** 20
 
 
+def input_scale_for_bound(max_abs: float, layers, fp64: bool = False) -> float:
+    """Power-of-two prescale covering features of magnitude <= max_abs, or
+    1.0 whenever the exact compensation does not apply (non-equivariant
+    spec, fp64 which never overflows) or is not needed (small features).
+
+    Feature encoders expose a LAYOUT-derived `max_abs_bound()` — pass it
+    here and hand the result to `fit_gp(input_scale=...)` to skip the
+    data probe entirely: no device round-trip on the fit path (the probe
+    costs one ~30 ms tunnel sync per fit on this image).
+
+    CAVEAT: only do that when the data actually spans the bound (e.g. the
+    packed-chunk workloads, where any categorical predicate reaches
+    ~2^chunk). A bound orders of magnitude ABOVE the real features
+    underflows the fp32 solve from the other end (K ~ (x/s)^2 collapses
+    toward 0, alpha ~ y/K overflows) — fitting from host numpy arrays
+    instead makes the data probe free and is the default-safe choice."""
+    import math
+
+    from nngp_tpu.models.kernel_spec import is_scale_equivariant
+
+    if fp64 or not is_scale_equivariant(layers):
+        return 1.0
+    m = float(max_abs)
+    if not math.isfinite(m) or m <= _PRESCALE_MAX_ABS:
+        return 1.0
+    return float(2.0 ** math.ceil(math.log2(m)))
+
+
 def _auto_input_scale(x, layers) -> float:
-    """Power-of-two prescale for oversized features, 1.0 whenever the exact
-    compensation does not apply (non-equivariant spec, fp64 inputs which
-    never overflow, or a traced x whose magnitude is unknowable here)."""
+    """Data-probed prescale: `input_scale_for_bound` of max|x|. Free for
+    host (numpy) inputs; for a committed device array it costs one blocking
+    fetch — callers with an encoder should pass
+    `input_scale=input_scale_for_bound(encoder.max_abs_bound(), ...)`
+    instead. 1.0 for a traced x whose magnitude is unknowable here."""
     from nngp_tpu.models.kernel_spec import is_scale_equivariant
 
     if x.dtype == jnp.float64 or not is_scale_equivariant(layers):
         return 1.0
-    try:
-        m = float(jnp.max(jnp.abs(x)))
-    except jax.errors.ConcretizationTypeError:
-        return 1.0
-    import math
-    if not math.isfinite(m) or m <= _PRESCALE_MAX_ABS:
-        return 1.0
-    return float(2.0 ** math.ceil(math.log2(m)))
+    if isinstance(x, np.ndarray):
+        m = float(np.max(np.abs(x))) if x.size else 0.0
+    else:
+        try:
+            m = float(jnp.max(jnp.abs(x)))
+        except jax.errors.ConcretizationTypeError:
+            return 1.0
+    return input_scale_for_bound(m, layers)
 
 
 def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
@@ -482,9 +513,13 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     y_train = jnp.asarray(y_train)
     if y_train.ndim == 1:
         y_train = y_train[:, None]
-    x_train = jnp.asarray(x_train)
     if input_scale is None:
-        input_scale = _auto_input_scale(x_train, spec.layers)
+        # probe BEFORE the device conversion: on host (numpy) inputs the
+        # max is free; a committed device array costs one blocking fetch
+        input_scale = _auto_input_scale(
+            x_train if isinstance(x_train, (np.ndarray, jax.Array))
+            else np.asarray(x_train), spec.layers)
+    x_train = jnp.asarray(x_train)
     if input_scale != 1.0:
         x_train = x_train * (1.0 / input_scale)
     l, alpha, reg, k_tt_nngp = _fit_impl(

@@ -99,8 +99,14 @@ def train_dkl(x_train, y_train, hid_dim=256, epochs=40, lr=0.01, seed=0,
     @jax.jit
     def step(params, state, x, y):
         # data as ARGUMENTS, not closure constants: jit bakes captured
-        # arrays into the executable (bigger programs, slower compiles)
-        loss, grads = jax.value_and_grad(neg_mll)(params, x, y)
+        # arrays into the executable (bigger programs, slower compiles).
+        # HIGHEST precision: on TPU the default 1-pass bf16 matmuls inside
+        # the n x n Cholesky/solves accumulate enough error across the
+        # trailing updates to break positive-definiteness at forest scale
+        # (10.8k: NaN from epoch 1; fp32 CPU is clean) — the same measured
+        # failure mode as the main fit (CLAUDE.md MXU precision notes).
+        with jax.default_matmul_precision("highest"):
+            loss, grads = jax.value_and_grad(neg_mll)(params, x, y)
         updates, state = opt.update(grads, state)
         return optax.apply_updates(params, updates), state, loss
 
@@ -113,7 +119,13 @@ def train_dkl(x_train, y_train, hid_dim=256, epochs=40, lr=0.01, seed=0,
 
 @jax.jit
 def predict_dkl(params, x_train, y_train, x_test) -> Tuple[jax.Array, jax.Array]:
-    """Posterior mean/std at x_test."""
+    """Posterior mean/std at x_test (HIGHEST matmul precision — see the
+    train step: bf16 Cholesky NaNs at forest scale)."""
+    with jax.default_matmul_precision("highest"):
+        return _predict_dkl_impl(params, x_train, y_train, x_test)
+
+
+def _predict_dkl_impl(params, x_train, y_train, x_test):
     x = jnp.asarray(x_train)
     xt = jnp.asarray(x_test)
     # One joint coordinate frame for train and test (see _rescale): embed

@@ -229,8 +229,14 @@ def train_dkl_ski(x_train, y_train, hid_dim=256, epochs=40, lr=0.01,
 
     @jax.jit
     def step(params, state, x, y, key):
-        loss, grads = jax.value_and_grad(neg_mll_ski)(
-            params, x, y, key, grid_size=grid_size, num_probes=num_probes)
+        # HIGHEST matmul precision: bf16-default MXU products inside the
+        # CG/Lanczos iterations destroy the residual orthogonality the
+        # solvers depend on at forest scale (same failure mode as the
+        # exact-DKL Cholesky; see models/dkl.py and CLAUDE.md).
+        with jax.default_matmul_precision("highest"):
+            loss, grads = jax.value_and_grad(neg_mll_ski)(
+                params, x, y, key, grid_size=grid_size,
+                num_probes=num_probes)
         updates, state = opt.update(grads, state)
         return optax.apply_updates(params, updates), state, loss
 
@@ -249,7 +255,16 @@ def predict_dkl_ski(params, x_train, y_train, x_test, *,
 
     mean = k*^T K^-1 (y - c) + c;  var = diag(k**) - diag(k*^T K^-1 k*),
     with every k-product a SKI product and every solve a batched CG. The
-    variance solves run in chunks of var_chunk test columns."""
+    variance solves run in chunks of var_chunk test columns. Runs at
+    HIGHEST matmul precision (see train step)."""
+    with jax.default_matmul_precision("highest"):
+        return _predict_dkl_ski_impl(
+            params, x_train, y_train, x_test, grid_size=grid_size,
+            cg_tol=cg_tol, cg_iters=cg_iters, var_chunk=var_chunk)
+
+
+def _predict_dkl_ski_impl(params, x_train, y_train, x_test, *,
+                          grid_size, cg_tol, cg_iters, var_chunk):
     x = jnp.asarray(x_train)
     xt = jnp.asarray(x_test)
     n, m = x.shape[0], xt.shape[0]

@@ -92,7 +92,14 @@ def _chol_local(a_loc, axis_name, p, b, nb, m):
     2n^3/(3p), see `distributed_fit_cost`).
 
     Finished column strips leave the working set per group and are
-    reassembled at the end by a write-only dynamic_update_slice chain."""
+    reassembled at the end by a write-only dynamic_update_slice chain.
+    Memory note: during the group loop, strips + the shrinking active
+    block together stay ~one (m, n) shard; the reassembly transiently
+    holds ~1.5 shards (strips ~m*n/2 + the (m, n) output). The in-place
+    alternatives are worse, measured: preallocating the output before the
+    loop peaks at 2 shards, and a single-buffer windowed update chain with
+    interleaved reads makes XLA keep ~3 buffers live (round-2 finding,
+    CLAUDE.md)."""
     d = lax.axis_index(axis_name)
     n = nb * b
     ngrp = nb // p

@@ -339,7 +339,12 @@ def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,
                     input_scale: Optional[float] = None) -> DistributedPosterior:
     """Fit with the Gram row-sharded end to end: block-cyclic storage,
     ridge fused into the Gram epilogue, distributed Cholesky + solves.
-    Per-device live memory stays ~n^2/p (+ O(n*b) panel temporaries).
+    Per-device live memory stays O(n^2/p), never the replicated n^2: the
+    steady-state working set is one n^2/p shard; the factorization's strip
+    reassembly transiently holds ~1.5 shards (finished strips ~1/2 + the
+    output buffer — see `_chol_local`), and the compiled end-to-end peak is
+    asserted < 3.5 shards in
+    test_distributed_fit_under_jit_stays_sharded_at_scale.
 
     block_size: panel width of the cyclic layout (None -> ceil(n/p), i.e.
     plain contiguous blocks). Smaller panels (e.g. 256) load-balance the
@@ -354,12 +359,15 @@ def distributed_fit(spec: KernelSpec, x, y, mesh: Mesh,
     if get not in ("nngp", "ntk"):
         raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
     from nngp_tpu.gp.posterior import _auto_input_scale
+    if input_scale is None:
+        # probe BEFORE the device conversion (free for numpy inputs)
+        input_scale = _auto_input_scale(
+            x if isinstance(x, (np.ndarray, jax.Array))
+            else np.asarray(x), spec.layers)
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     if y.ndim == 1:
         y = y[:, None]
-    if input_scale is None:
-        input_scale = _auto_input_scale(x, spec.layers)
     if input_scale != 1.0:
         x = x * (1.0 / input_scale)
     n_real = x.shape[0]

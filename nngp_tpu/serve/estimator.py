@@ -37,6 +37,11 @@ from nngp_tpu.models.kernel_spec import (
     reference_kernel,
 )
 
+# Scaled-feature magnitude ceiling for incremental extends, mirroring the
+# fit-time prescale threshold (`gp.posterior._PRESCALE_MAX_ABS`): beyond it
+# squared fp32 Gram entries head toward overflow.
+_EXTEND_MAX_SCALED_ABS = 2.0 ** 20
+
 
 def _spec_to_json(spec: KernelSpec):
     out = []
@@ -125,10 +130,18 @@ class Estimator:
         x, y = self.encoder.transform_to_arrays(queries, cards, dtype=dtype)
         if verbose:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
-        self.posterior = self._fit(jnp.asarray(x), jnp.asarray(y))
+        self.posterior = self._fit(x, y)
         self._validate_fit()
 
     def _fit(self, x, y):
+        # x/y arrive as HOST numpy: the fp32 prescale probe (max|x|) runs
+        # on host for free instead of costing a blocking ~30 ms device
+        # fetch per fit. (A layout-derived bound was tried and reverted:
+        # scaling by the encoder's 2^64 chunk ceiling when the actual
+        # training features are ~1e3 underflows the solve from the other
+        # end — alpha ~ y/K blows past fp32 max. The scale must match the
+        # DATA; extends beyond the fitted coverage are guarded loudly in
+        # extend_with_lines.)
         if self.mesh is None:
             return fit_gp(self.spec, x, y, diag_reg=self.diag_reg,
                           get=self.kernel_type)
@@ -338,9 +351,15 @@ class Estimator:
 
     def _apply_chunk_norm(self, x: np.ndarray) -> np.ndarray:
         """The native encoder emits bit-exact RAW features; chunk_norm is a
-        post-multiply by the encoder's per-slot scale vector."""
+        post-multiply by the encoder's per-slot scale vector (cached — the
+        layout is fixed at construction; rebuilding the concat per serving
+        batch was measurable hot-path churn)."""
         if self.chunk_norm:
-            x = x * self.encoder.col_scale.astype(x.dtype)
+            scale = getattr(self, "_chunk_norm_scale", None)
+            if scale is None or scale.dtype != x.dtype:
+                scale = self.encoder.col_scale.astype(x.dtype)
+                self._chunk_norm_scale = scale
+            x = x * scale
         return x
 
     def encode_lines(self, query_lines: Sequence[str]) -> np.ndarray:
@@ -376,6 +395,20 @@ class Estimator:
         if np.any(cards < 1):
             raise ValueError("extend_with_lines requires card >= 1 on every "
                              "labeled line (log2 of 0 is -inf)")
+        # A factor fitted through __init__ uses the encoder's layout bound,
+        # which covers ANY encodable line; a restored checkpoint from an
+        # older data-probed fit may carry a smaller input_scale. Guard here
+        # (x is host numpy — free) instead of letting oversized fp32
+        # features overflow the cross Gram into a NaN factor.
+        scale = float(self.posterior.input_scale)
+        if (x.dtype == np.float32 and x.size
+                and float(np.max(np.abs(x))) / max(scale, 1.0)
+                > _EXTEND_MAX_SCALED_ABS):
+            raise ValueError(
+                "extend_with_lines: new features exceed the magnitude the "
+                f"posterior was fitted for (input_scale={scale:g}); the "
+                "factor cannot be rescaled in place — refit (a fresh "
+                "Estimator picks a covering scale from the encoder layout)")
         y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
         # Both regimes extend incrementally: single-chip via the block-
         # Cholesky append, a mesh via the distributed block-cyclic append

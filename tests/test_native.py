@@ -289,3 +289,16 @@ def test_native_rejects_bad_cardinality_fields():
     # sanity: well-formed scientific-notation cards still parse
     _, cards, *_ = enc.encode_multi("ta@x,1.0,0.0@@1.5e3")
     np.testing.assert_array_equal(cards, [1500.0])
+
+
+def test_native_accepts_subnormal_bounds():
+    """Subnormal underflow (strtod sets ERANGE but returns a denormal)
+    is a LEGITIMATE numeric value, not a parse error — only overflow to
+    +/-inf must be rejected. The Python parser accepts 1e-310; the native
+    encoder must agree (it encodes like 0.0 after range scaling)."""
+    tables = _tables()
+    enc = native.FastEncoder(tables)
+    x_sub, cards, *_ = enc.encode_multi("ta@x,1e-310,0.0@@7")
+    x_zero, _, *_ = enc.encode_multi("ta@x,0.0,0.0@@7")
+    np.testing.assert_allclose(x_sub, x_zero, atol=1e-300)
+    np.testing.assert_array_equal(cards, [7.0])

@@ -113,6 +113,88 @@ def test_fp32_huge_features_match_fp64_oracle(get):
                                np.asarray(s64).ravel(), rtol=0.05)
 
 
+def test_layout_bound_scale_no_device_probe():
+    """`input_scale_for_bound(encoder.max_abs_bound(), ...)` — the
+    production fit path — picks a covering power of two from the LAYOUT
+    (no data probe), agrees with the data probe's decision on real
+    workloads, and the Estimator wires it through automatically."""
+    from nngp_tpu.featurize.stats import TableStats
+    from nngp_tpu.featurize.encoder import SingleTableEncoder
+    from nngp_tpu.gp.posterior import input_scale_for_bound
+    import pandas as pd
+
+    spec = reference_kernel()
+    # numeric-only table: bound is the [0,1000] range scale -> no prescale
+    rng = np.random.default_rng(3)
+    df_num = pd.DataFrame({"a": rng.uniform(0, 9, 50),
+                           "b": rng.uniform(0, 9, 50)})
+    st_num = TableStats.from_dataframe(
+        df_num, ["numerical", "numerical"], "tnum", chunk_size=64)
+    enc_num = SingleTableEncoder(st_num)
+    assert enc_num.max_abs_bound() == 1000.0
+    assert input_scale_for_bound(enc_num.max_abs_bound(),
+                                 spec.layers) == 1.0
+    # categorical chunk_size=64 table: slots reach 2^64-1 -> scale 2^64
+    df_cat = pd.DataFrame({"c": ["v%d" % (i % 7) for i in range(50)]})
+    st_cat = TableStats.from_dataframe(
+        df_cat, ["categorical"], "tcat", chunk_size=64)
+    enc_cat = SingleTableEncoder(st_cat)
+    assert enc_cat.max_abs_bound() == 2.0 ** 64 - 1.0
+    assert input_scale_for_bound(enc_cat.max_abs_bound(),
+                                 spec.layers) == 2.0 ** 64
+    # chunk_norm folds the chunks onto [0,1000]: no prescale needed
+    enc_cn = SingleTableEncoder(st_cat, chunk_norm=True)
+    assert enc_cn.max_abs_bound() <= 1000.0
+    assert input_scale_for_bound(enc_cn.max_abs_bound(),
+                                 spec.layers) == 1.0
+    # fp64 / non-equivariant specs never prescale, bound notwithstanding
+    assert input_scale_for_bound(2.0 ** 64, spec.layers, fp64=True) == 1.0
+    erf_spec = KernelSpec(mlp(1, activation="erf"))
+    assert input_scale_for_bound(2.0 ** 64, erf_spec.layers) == 1.0
+    # the bound COVERS every encodable line: scale >= any data probe
+    enc_rows = enc_cat.encode_batch([[(0, [0, 5])], [(0, [63])]],
+                                    dtype=np.float32)
+    assert float(np.max(np.abs(enc_rows))) <= enc_cat.max_abs_bound()
+
+
+def test_estimator_extend_scale_guard(tmp_path):
+    """fp32 serving semantics when the data-probed fit scale cannot cover
+    a later extend: the guard raises a CLEAR error (advising a refit)
+    instead of silently NaN-ing the factor, and the server's live
+    posterior survives untouched. (A layout-bound 'always covering' scale
+    was tried and reverted — dividing small numeric features by the 2^64
+    chunk ceiling underflows the solve; see Estimator._fit.)"""
+    from nngp_tpu.featurize.stats import TableStats
+    from nngp_tpu.serve.estimator import Estimator
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"x": rng.uniform(0, 9, 80),
+                       "tag": ["t%d" % (i % 5) for i in range(80)]})
+    st = TableStats.from_dataframe(
+        df, ["numerical", "categorical"], "ta", chunk_size=64)
+    qp = tmp_path / "q"
+    qp.mkdir()
+    # training lines WITHOUT categorical predicates: the (free, host-side)
+    # data probe picks scale 1.0
+    (qp / "query_1.txt").write_text(
+        "".join(f"ta@x,{8.0 - i*0.1},{i*0.1}@@{i+1}\n" for i in range(40)))
+    est = Estimator("toy", None, str(qp), stats=[st],
+                    dtype=np.float32, verbose=False)
+    assert float(est.posterior.input_scale) == 1.0
+    # a categorical extend carries ~2^63 chunk slots the factor's scale
+    # cannot cover -> loud guard, live posterior intact
+    old_post = est.posterior
+    with pytest.raises(ValueError, match="input_scale"):
+        est.extend_with_lines(["ta@tag,1@@5"])
+    assert est.posterior is old_post
+    # numeric extends within coverage still work
+    n = est.extend_with_lines(["ta@x,5.0,1.0@@3"])
+    assert n == 1
+    m, s = est.predict(["ta@x,5.0,1.0@"])
+    assert np.all(np.isfinite(m)) and np.all(np.isfinite(s))
+
+
 def test_distributed_prescale_matches_single_chip():
     """distributed_fit auto-prescales the same way; sharded predict/extend
     agree with the single-chip prescaled posterior."""
