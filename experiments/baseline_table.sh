@@ -4,7 +4,7 @@
 # comparison table. Sequential: one TPU.
 cd "$(dirname "$0")/.."
 mkdir -p experiments/baseline_runs
-for MT in DNN MCDropout DeepEnsemble Density DKL DKL-SKI MSCN RBF-GP KRR MLP; do
+for MT in ${MODELS:-DNN MCDropout DeepEnsemble Density DKL DKL-SKI MSCN RBF-GP KRR MLP GP}; do
   echo "=== $MT ==="
   timeout 3000 python -m nngp_tpu.cli.train_baselines --model_type "$MT" \
     --query_path workloads/forest_data \

@@ -51,6 +51,12 @@ def build_parser():
                    help="raw CSV dir (optional; stats fall back to query scan "
                         "/ stats JSON)")
     p.add_argument("--diag_reg", type=float, default=1e-3)
+    p.add_argument("--nystrom_m", type=int, default=None,
+                   help="fit the streaming Nystrom/DTC tier with this many "
+                        "inducing rows instead of the exact posterior — "
+                        "O(n m^2) flops / O(m^2) device state, for train "
+                        "sets beyond the exact fit's single-chip edge "
+                        "(gp/nystrom.py)")
     p.add_argument("--depth", type=int, default=1, help="hidden layers")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--activation", type=str, default="relu", choices=["relu", "erf"])
@@ -181,18 +187,28 @@ def main(argv=None):
         spec = KernelSpec(mlp(args.depth, args.width, args.activation,
                               args.w_std, args.b_std))
         print("memory:", memory_usage_gb())
+        if args.nystrom_m:
+            from nngp_tpu.gp import fit_nystrom
+
+            def _fit():
+                return fit_nystrom(spec, x_tr, y_tr,
+                                   num_inducing=args.nystrom_m,
+                                   diag_reg=args.diag_reg,
+                                   get=args.kernel_type)
+        else:
+            def _fit():
+                # x_tr stays HOST numpy here: the fp32 prescale probe
+                # (max|x|) runs for free instead of a blocking device fetch
+                return fit_gp(spec, x_tr, y_tr,
+                              diag_reg=args.diag_reg, get=args.kernel_type)
         with timer.measure(
                 "kernel construction (fit: Gram + Cholesky, cold)") as h:
-            # x_tr stays HOST numpy here: the fp32 prescale probe (max|x|)
-            # runs for free on host instead of a blocking device fetch
-            post = fit_gp(spec, x_tr, y_tr,
-                          diag_reg=args.diag_reg, get=args.kernel_type)
-            h["out"] = post.l
+            post = _fit()
+            h["out"] = post.beta_w if args.nystrom_m else post.l
         with prof:
             with timer.measure("fit (warm)") as h, annotate("fit_warm"):
-                post = fit_gp(spec, x_tr, y_tr,
-                              diag_reg=args.diag_reg, get=args.kernel_type)
-                h["out"] = post.l
+                post = _fit()
+                h["out"] = post.beta_w if args.nystrom_m else post.l
 
             with timer.measure("inference (cold, incl. compile)") as h:
                 mean, std = post.predict_mean_std(jnp.asarray(x_te))

@@ -1,0 +1,363 @@
+"""Nystrom (DTC) approximate GP posterior — the beyond-single-chip tier.
+
+The exact fit's single-chip edge is ~70k rows (the triangular factor fills
+HBM, BASELINE.md scale table) and the reference has no answer at all past
+"materialize the N x N Gram" (`/root/reference/train.py:171-172`, fp64 CPU).
+This module adds the classic scalable-GP construction, designed TPU-first:
+
+    K  ~=  Q = K_nm K_mm^+ K_mn          (Nystrom, m inducing rows)
+
+with the inducing set a seeded uniform subset of the training rows. The fit
+is a STREAMING pass over row panels, so device state is O(m^2) regardless
+of n, the panel loop is one compiled program re-dispatched per panel
+(static shapes, zero-padded tail with a row mask), and n scales to millions
+of rows on one chip at O(n m^2) MXU flops.
+
+Numerics (each stage measured, not guessed):
+
+  1. K_mm is eigendecomposed ON HOST in fp64 and truncated at
+     rank_rtol * lam_max; the whitening basis W = V_k diag(lam_k^-1/2)
+     ships back to the device. Truncation drops the directions whose fp32
+     kernel-entry noise (~1e-7 relative) exceeds their signal.
+  2. Each panel whitens BEFORE squaring: psi_p = W^T K_mp, then
+
+         C  += psi_p psi_p^T      b += psi_p y_p      (fp32, HIGHEST)
+
+     Squaring raw moments first (A' = K_mn K_nm) was measured fatal in
+     fp32 at forest scale — eps * |A'| crosses the ridge after whitening
+     and chol(C) NaNs (experiments/nystrom_acc2k.log, first design) —
+     while the whitened accumulation keeps |C| ~ |K|, the same marginality
+     the (working) exact fp32 fit lives at.
+  3. The k x k solve stage runs ONCE on host in fp64 with eigenvalue
+     clamping: C = V diag(max(lam, 0)) V^T, inv(C + rI) as an explicit
+     symmetric square root ic = V diag(1/sqrt(max(lam,0) + r)) V^T.
+     Rounding-noise directions (lam ~ eps * lam_max < 0 possible) fall
+     back to the PRIOR (1/r) instead of breaking the factorization —
+     robust at any n.
+
+Predict is then pure MXU matmuls: psi* = W^T k_m*,
+
+    mean = psi*^T beta,   var = k** - |psi*|^2 + r |ic^T psi*|^2   (DTC)
+
+which algebraically equals "replace K by Q everywhere in the exact
+posterior while keeping the TRUE prior diagonal k**" — and therefore
+recovers the exact `gp.posterior.GPPosterior` (up to truncation) when the
+inducing set is the whole train set (tests/test_nystrom.py).
+
+get='ntk' (`gradient_descent_mse_ensemble` t=infinity semantics behind
+`/root/reference/train.py:155-159`) is supported in full: both kernels are
+Nystrom-approximated and the mixed covariance K** + w^T K_tt w - 2 K_*t w
+(w = (Theta+rI)^-1 Theta_t*) reduces to k-dim quadratics through one extra
+streamed whitened moment M1 = W_K^T K_mn Theta_nm W_T.
+
+Online extension is EXACT for this model class: the moments are sums over
+rows, so `extend` accumulates the new panels and re-runs the k x k solve
+stage — O(s m^2 + m^3) for s new rows, no approximation drift, the same
+serving story as the exact tier's block-Cholesky append.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nngp_tpu.models.kernel_spec import KernelSpec, apply_diag_recursion
+from nngp_tpu.ops.gram import input_diag
+
+_DEFAULT_PANEL = 16384
+
+
+def _default_rank_rtol(dtype) -> float:
+    # K_mm eigenpairs below rank_rtol * lam_max are dropped from the
+    # whitening basis: with fp32 kernels their content is rounding noise
+    # (entries carry ~1e-7 relative error). fp64 keeps essentially all.
+    return 1e-14 if dtype == jnp.float64 else 1e-6
+
+
+@partial(jax.jit, static_argnames=("spec", "get", "precision"))
+def _accumulate_panel(spec, get, precision, x_m, w_solve, w_kmm,
+                      x_p, y_p, mask, c_raw, b_w, m1_w, diag_sum):
+    """One streamed panel: whitened moments += panel contribution. Masked
+    rows (the zero-padded tail) contribute exactly zero."""
+    with jax.default_matmul_precision(precision):
+        nngp_pm, ntk_pm = spec.kernel_fn(x_p, x_m, ("nngp", "ntk"))
+        solve_pm = ntk_pm if get == "ntk" else nngp_pm
+        psi = w_solve.T @ (solve_pm * mask[:, None]).T      # (k, p)
+        c_raw = c_raw + psi @ psi.T
+        b_w = b_w + psi @ (y_p * mask[:, None])
+        if get == "ntk":
+            psi_k = w_kmm.T @ (nngp_pm * mask[:, None]).T   # (k2, p)
+            m1_w = m1_w + psi_k @ (w_solve.T @ ntk_pm.T).T
+        # relative-ridge trace of the TRUE solve-kernel diagonal (same
+        # semantics as the exact fit: r = diag_reg * mean(diag))
+        dn, dt = apply_diag_recursion(input_diag(x_p), spec.layers)
+        dvec = dt if get == "ntk" else dn
+        diag_sum = diag_sum + jnp.sum(dvec * mask)
+    return c_raw, b_w, m1_w, diag_sum
+
+
+def _whiten_basis(kmm64: np.ndarray, rank_rtol: float) -> np.ndarray:
+    """Truncated inverse-sqrt eigenbasis W (m, k): W^T K_mm W = I_k."""
+    lam, v = np.linalg.eigh(0.5 * (kmm64 + kmm64.T))
+    keep = lam > rank_rtol * max(lam[-1], 0.0)
+    if not np.any(keep):
+        raise ValueError(
+            "K_mm has no eigenvalue above rank_rtol * lam_max — degenerate "
+            "inducing set (all-identical rows?)")
+    return v[:, keep] / np.sqrt(lam[keep])[None, :]
+
+
+def _inducing_bases(spec, get, rank_rtol, x_m):
+    """Host-fp64 whitening bases from the device-computed K_mm kernels."""
+    dt = x_m.dtype
+    if get == "ntk":
+        kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
+        w_kmm = jnp.asarray(
+            _whiten_basis(np.asarray(kmm_nngp, np.float64), rank_rtol), dt)
+    else:
+        kmm_solve = spec.kernel_fn(x_m, x_m, "nngp")
+        w_kmm = None
+    w_solve = jnp.asarray(
+        _whiten_basis(np.asarray(kmm_solve, np.float64), rank_rtol), dt)
+    return w_solve, w_kmm
+
+
+def _finalize_host(c_raw, b_w, reg, dtype):
+    """Host-fp64 k x k solve stage with eigenvalue clamping: returns
+    (ic, beta) where ic ic^T = (clamp(C) + r I)^-1 and beta = that @ b."""
+    c64 = np.asarray(c_raw, np.float64)
+    lam, v = np.linalg.eigh(0.5 * (c64 + c64.T))
+    lam = np.maximum(lam, 0.0)          # fp32 accumulation noise -> prior
+    inv_sqrt = 1.0 / np.sqrt(lam + float(reg))
+    ic64 = v * inv_sqrt[None, :]
+    beta64 = ic64 @ (ic64.T @ np.asarray(b_w, np.float64))
+    return jnp.asarray(ic64, dtype), jnp.asarray(beta64, dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NystromPosterior:
+    """Device-resident Nystrom/DTC posterior. A pytree: jit-safe,
+    checkpointable. Same predict surface as `GPPosterior`."""
+
+    x_m: jax.Array                    # (m, d) inducing rows (prescaled units)
+    w_solve: jax.Array                # (m, k) truncated whitening basis of
+                                      # the solve-kernel K_mm
+    ic: jax.Array                     # (k, k) symmetric factor:
+                                      # ic ic^T = (clamp(C) + r I)^-1
+    beta_w: jax.Array                 # (k, 1) whitened weights
+    reg: jax.Array                    # scalar ridge actually used
+    # whitened streamed moments, kept for exact online `extend`
+    c_raw: jax.Array                  # (k, k) sum psi psi^T (solve kernel)
+    b_w: jax.Array                    # (k, 1) sum psi y
+    diag_sum: jax.Array               # scalar: sum of true solve-kernel diag
+    m1_w: Optional[jax.Array]         # (k2, k) W_K^T K_mn T_nm W_T, ntk only
+    w_kmm: Optional[jax.Array]        # (m, k2) NNGP whitening, ntk only
+    spec: KernelSpec = dataclasses.field(metadata=dict(static=True))
+    get: str = dataclasses.field(metadata=dict(static=True), default="nngp")
+    diag_reg: float = dataclasses.field(metadata=dict(static=True),
+                                        default=1e-3)
+    num_train: int = dataclasses.field(metadata=dict(static=True), default=0)
+    input_scale: float = dataclasses.field(metadata=dict(static=True),
+                                           default=1.0)
+    precision: str = dataclasses.field(metadata=dict(static=True),
+                                       default="highest")
+    rank_rtol: float = dataclasses.field(metadata=dict(static=True),
+                                         default=1e-6)
+    panel_size: int = dataclasses.field(metadata=dict(static=True),
+                                        default=_DEFAULT_PANEL)
+
+    @property
+    def num_inducing(self) -> int:
+        return self.x_m.shape[0]
+
+    @property
+    def rank(self) -> int:
+        """Whitening-basis dimension after eigenvalue truncation."""
+        return self.w_solve.shape[1]
+
+    # ------------------------------------------------------------- predict
+    def _predict_scaled(self, x_test, compute_cov):
+        if self.input_scale != 1.0:
+            x_test = x_test * (1.0 / self.input_scale)
+        with jax.default_matmul_precision(self.precision):
+            if self.get == "nngp":
+                cross = self.spec.kernel_fn(x_test, self.x_m, "nngp")
+                psi = self.w_solve.T @ cross.T             # (k, mt)
+                mean = psi.T @ self.beta_w
+                if compute_cov is False:
+                    return mean
+                h = self.ic.T @ psi
+                if compute_cov == "diag":
+                    var = (self.spec.diag_fn(x_test, "nngp")
+                           - jnp.sum(psi * psi, axis=0)
+                           + self.reg * jnp.sum(h * h, axis=0))
+                    return mean, jnp.maximum(var, 0.0)
+                k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+                return mean, k_ss - psi.T @ psi + self.reg * (h.T @ h)
+
+            # get == 'ntk': Nystrom both kernels in the mixed covariance
+            nngp_cross, ntk_cross = self.spec.kernel_fn(
+                x_test, self.x_m, ("nngp", "ntk"))
+            psi_t = self.w_solve.T @ ntk_cross.T           # (k, mt)
+            mean = psi_t.T @ self.beta_w
+            if compute_cov is False:
+                return mean
+            # (C + rI)^-1 psi_t in the whitened basis
+            ct = self.ic @ (self.ic.T @ psi_t)             # (k, mt)
+            g = self.m1_w @ ct                             # (k2, mt)
+            psi_k = self.w_kmm.T @ nngp_cross.T            # (k2, mt)
+            if compute_cov == "diag":
+                var = (self.spec.diag_fn(x_test, "nngp")
+                       + jnp.sum(g * g, axis=0)
+                       - 2.0 * jnp.sum(psi_k * g, axis=0))
+                return mean, jnp.maximum(var, 0.0)
+            k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+            return mean, k_ss + g.T @ g - psi_k.T @ g - g.T @ psi_k
+
+    @partial(jax.jit, static_argnames=("compute_cov",))
+    def predict(self, x_test, compute_cov=True):
+        """Posterior (mean, cov) in raw input units — `GPPosterior.predict`
+        semantics with K replaced by its Nystrom approximation (the prior
+        diagonal k** stays exact, i.e. the DTC predictive)."""
+        out = self._predict_scaled(x_test, compute_cov)
+        if compute_cov is False or self.input_scale == 1.0:
+            return out
+        mean, v = out
+        return mean, v * (self.input_scale * self.input_scale)
+
+    @jax.jit
+    def predict_mean_std(self, x_test):
+        """(mean, std); std compensated after the sqrt so fp32 stays finite
+        at any input_scale (see `GPPosterior.predict_mean_std`)."""
+        mean, var = self._predict_scaled(x_test, "diag")
+        return mean, jnp.sqrt(var) * self.input_scale
+
+    def predict_mean_std_chunked(self, x_test, chunk: int = 8192):
+        from nngp_tpu.gp.posterior import chunked_predict
+        return chunked_predict(self.predict_mean_std, x_test, chunk)
+
+    # -------------------------------------------------------------- extend
+    def extend(self, x_new, y_new):
+        """Incorporate labeled rows by accumulating their moment
+        contributions and re-running the k x k solve stage — O(s m^2 + m^3),
+        and EXACT: extend-then-predict equals refit-on-concatenated-data
+        with the same inducing set and ridge (tests/test_nystrom.py)."""
+        x_new = np.asarray(x_new)
+        y_new = np.asarray(y_new, dtype=x_new.dtype)
+        if y_new.ndim == 1:
+            y_new = y_new[:, None]
+        if self.input_scale != 1.0:
+            x_new = x_new * (1.0 / self.input_scale)
+        c_raw, b_w, m1_w, diag_sum = _stream_moments(
+            self.spec, self.get, self.precision, self.x_m,
+            self.w_solve, self.w_kmm, x_new, y_new, self.panel_size,
+            c_raw=self.c_raw, b_w=self.b_w, m1_w=self.m1_w,
+            diag_sum=self.diag_sum)
+        # keep the fit-time ridge: the relative reg is defined by the
+        # fit-time trace (same policy as GPPosterior.extend)
+        ic, beta_w = _finalize_host(c_raw, b_w, self.reg, self.x_m.dtype)
+        return dataclasses.replace(
+            self, ic=ic, beta_w=beta_w,
+            c_raw=c_raw, b_w=b_w, m1_w=m1_w, diag_sum=diag_sum,
+            num_train=self.num_train + x_new.shape[0])
+
+
+def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
+                    panel_size, c_raw=None, b_w=None, m1_w=None,
+                    diag_sum=None):
+    """Host panel loop over (x, y): zero-pad the tail to the static panel
+    shape and mask it out, so every panel reuses ONE compiled program."""
+    dt = x_m.dtype
+    k = w_solve.shape[1]
+    n = x.shape[0]
+    if c_raw is None:
+        c_raw = jnp.zeros((k, k), dt)
+        b_w = jnp.zeros((k, 1), dt)
+        m1_w = (jnp.zeros((w_kmm.shape[1], k), dt) if get == "ntk" else None)
+        diag_sum = jnp.zeros((), dt)
+    if get != "ntk":
+        # _accumulate_panel wants concrete operands even when unused
+        m1_acc = jnp.zeros((0, k), dt)
+        w_kmm_acc = jnp.zeros((x_m.shape[0], 0), dt)
+    else:
+        m1_acc, w_kmm_acc = m1_w, w_kmm
+    p = min(panel_size, max(n, 1))
+    for s in range(0, n, p):
+        e = min(s + p, n)
+        x_p = np.asarray(x[s:e])
+        y_p = np.asarray(y[s:e])
+        mask = np.ones(e - s, dtype=x_p.dtype)
+        if e - s < p:
+            pad = p - (e - s)
+            x_p = np.concatenate([x_p, np.zeros((pad, x_p.shape[1]),
+                                                x_p.dtype)])
+            y_p = np.concatenate([y_p, np.zeros((pad, 1), y_p.dtype)])
+            mask = np.concatenate([mask, np.zeros(pad, mask.dtype)])
+        c_raw, b_w, m1_acc, diag_sum = _accumulate_panel(
+            spec, get, precision, x_m, w_solve, w_kmm_acc,
+            jnp.asarray(x_p, dt), jnp.asarray(y_p, dt),
+            jnp.asarray(mask, dt), c_raw, b_w, m1_acc, diag_sum)
+    return c_raw, b_w, (m1_acc if get == "ntk" else None), diag_sum
+
+
+def select_inducing(n: int, m: int, seed: int = 0) -> np.ndarray:
+    """Seeded uniform inducing subset (sorted for locality)."""
+    if m >= n:
+        return np.arange(n)
+    rng = np.random.default_rng(seed)
+    return np.sort(rng.choice(n, size=m, replace=False))
+
+
+def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
+                diag_reg: float = 1e-3, get: str = "nngp",
+                diag_reg_absolute_scale: bool = False, seed: int = 0,
+                panel_size: int = _DEFAULT_PANEL,
+                rank_rtol: Optional[float] = None,
+                input_scale: Optional[float] = None,
+                precision: str = "highest") -> NystromPosterior:
+    """Streaming Nystrom/DTC fit. O(n m^2) MXU flops, O(m^2 + panel*m)
+    device memory — n is unbounded by HBM (the row panels stream from
+    host). With num_inducing >= n this IS the exact posterior (up to the
+    eigenvalue truncation); the intended regime is n far beyond the ~70k
+    exact-fit single-chip edge (BASELINE.md scale table).
+
+    precision: 'highest' (default; fp32 6-pass MXU accumulation) or 'high'
+    (3-pass, ~2x faster moments) — measure q-error parity at forest scale
+    before trusting 'high' on a new workload.
+    """
+    if get not in ("nngp", "ntk"):
+        raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
+    from nngp_tpu.gp.posterior import _auto_input_scale
+
+    x = np.asarray(x_train)
+    y = np.asarray(y_train, dtype=x.dtype)
+    if y.ndim == 1:
+        y = y[:, None]
+    n = x.shape[0]
+    if input_scale is None:
+        input_scale = _auto_input_scale(x, spec.layers)
+    if input_scale != 1.0:
+        x = x * (1.0 / input_scale)
+    idx = select_inducing(n, num_inducing, seed)
+    x_m = jnp.asarray(x[idx])
+    if rank_rtol is None:
+        rank_rtol = _default_rank_rtol(x_m.dtype)
+
+    w_solve, w_kmm = _inducing_bases(spec, get, float(rank_rtol), x_m)
+    c_raw, b_w, m1_w, diag_sum = _stream_moments(
+        spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size)
+    if diag_reg_absolute_scale:
+        reg = jnp.asarray(diag_reg, x_m.dtype)
+    else:
+        reg = (diag_reg * diag_sum / n).astype(x_m.dtype)
+    ic, beta_w = _finalize_host(c_raw, b_w, reg, x_m.dtype)
+    return NystromPosterior(
+        x_m=x_m, w_solve=w_solve, ic=ic, beta_w=beta_w, reg=reg,
+        c_raw=c_raw, b_w=b_w, diag_sum=diag_sum, m1_w=m1_w,
+        w_kmm=w_kmm, spec=spec, get=get, diag_reg=diag_reg, num_train=n,
+        input_scale=float(input_scale), precision=precision,
+        rank_rtol=float(rank_rtol), panel_size=panel_size)

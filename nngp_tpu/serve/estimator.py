@@ -90,11 +90,18 @@ class Estimator:
                  stats_dir: Optional[str] = None,
                  dtype=np.float32, verbose: bool = True,
                  mesh=None, dist_block_size: Optional[int] = None,
-                 chunk_norm: bool = False):
+                 chunk_norm: bool = False,
+                 nystrom_m: Optional[int] = None):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
         train-set size works (the layout pads with inert rows).
+
+        nystrom_m: fit the streaming Nystrom/DTC tier (gp/nystrom.py) with
+        this many inducing rows instead of the exact posterior — O(m^2)
+        device state at any n, for train sets beyond the exact fit's
+        single-chip edge when no mesh is available. Mutually exclusive
+        with mesh.
 
         chunk_norm: rescale packed categorical chunk slots onto the
         [0, 1000] numeric scale (featurize.SingleTableEncoder) — measured
@@ -108,6 +115,10 @@ class Estimator:
         self.mesh = mesh
         self.dist_block_size = dist_block_size
         self.chunk_norm = bool(chunk_norm)
+        self.nystrom_m = nystrom_m
+        if mesh is not None and nystrom_m is not None:
+            raise ValueError("mesh and nystrom_m are mutually exclusive "
+                             "scale-out tiers; pick one")
         self.spec = spec if spec is not None else reference_kernel()
 
         if stats is None:
@@ -142,6 +153,11 @@ class Estimator:
         # end — alpha ~ y/K blows past fp32 max. The scale must match the
         # DATA; extends beyond the fitted coverage are guarded loudly in
         # extend_with_lines.)
+        if self.nystrom_m is not None:
+            from nngp_tpu.gp import fit_nystrom
+            return fit_nystrom(self.spec, x, y,
+                               num_inducing=self.nystrom_m,
+                               diag_reg=self.diag_reg, get=self.kernel_type)
         if self.mesh is None:
             return fit_gp(self.spec, x, y, diag_reg=self.diag_reg,
                           get=self.kernel_type)
@@ -156,6 +172,19 @@ class Estimator:
         (non-SPD Gram from corrupt inputs shows up as NaNs in L/alpha) —
         the reference has no failure detection at all (SURVEY.md section 5)."""
         p = self.posterior
+        if not hasattr(p, "l"):
+            # Nystrom tier: the model is (whitened weights, inverse factor)
+            probes = jnp.stack([
+                jnp.isfinite(p.beta_w).all(),
+                jnp.isfinite(p.ic).all(),
+            ])
+            ok_b, ok_ic = np.asarray(probes)
+            if not (ok_b and ok_ic):
+                raise FloatingPointError(
+                    "Nystrom fit produced non-finite state (beta finite: "
+                    f"{bool(ok_b)}, ic finite: {bool(ok_ic)}). "
+                    "Check training cards > 0 and feature encodings.")
+            return
         g2e = getattr(p, "g2e", None)
         if g2e is not None:
             # Block-cyclic storage: storage row s holds elimination row
@@ -201,6 +230,36 @@ class Estimator:
         self.encoder = MultiJoinEncoder(self.stats, chunk_norm=self.chunk_norm)
         self._fast = self._try_fast_encoder()
         arrs = np.load(os.path.join(ckpt_dir, "posterior.npz"))
+        if "nystrom" in meta:
+            if mesh is not None:
+                raise ValueError(
+                    "checkpoint holds a Nystrom posterior (single-chip); "
+                    "restore without mesh")
+            from nngp_tpu.gp import NystromPosterior
+            d = meta["nystrom"]
+            self.mesh = None
+            self.dist_block_size = None
+            self.nystrom_m = int(arrs["x_m"].shape[0])
+            ntk = "m1_w" in arrs
+            self.posterior = NystromPosterior(
+                x_m=jnp.asarray(arrs["x_m"]),
+                w_solve=jnp.asarray(arrs["w_solve"]),
+                ic=jnp.asarray(arrs["ic"]),
+                beta_w=jnp.asarray(arrs["beta_w"]),
+                reg=jnp.asarray(arrs["reg"]),
+                c_raw=jnp.asarray(arrs["c_raw"]),
+                b_w=jnp.asarray(arrs["b_w"]),
+                diag_sum=jnp.asarray(arrs["diag_sum"]),
+                m1_w=jnp.asarray(arrs["m1_w"]) if ntk else None,
+                w_kmm=jnp.asarray(arrs["w_kmm"]) if ntk else None,
+                spec=self.spec, get=self.kernel_type,
+                diag_reg=self.diag_reg,
+                num_train=int(d["num_train"]),
+                input_scale=float(d["input_scale"]),
+                precision=d["precision"],
+                rank_rtol=float(d["rank_rtol"]),
+                panel_size=int(d["panel_size"]))
+            return self
         if "distributed" in meta:
             if mesh is None:
                 raise ValueError(
@@ -238,6 +297,7 @@ class Estimator:
                 input_scale=float(d.get("input_scale", 1.0)))
             self.mesh = mesh
             self.dist_block_size = b
+            self.nystrom_m = None
             return self
         if mesh is not None:
             raise ValueError(
@@ -246,6 +306,7 @@ class Estimator:
                 "model, or restore without mesh")
         self.mesh = None
         self.dist_block_size = None
+        self.nystrom_m = None
         k_tt = jnp.asarray(arrs["k_tt_nngp"]) if "k_tt_nngp" in arrs else None
         if "l_block_starts" in meta:
             from nngp_tpu.ops.linalg import BlockLowerTriangular
@@ -282,7 +343,24 @@ class Estimator:
             "chunk_norm": self.chunk_norm,
         }
         p = self.posterior
-        if self.mesh is not None:
+        if self.nystrom_m is not None:
+            meta["nystrom"] = {
+                "num_train": int(p.num_train),
+                "input_scale": float(p.input_scale),
+                "precision": p.precision,
+                "rank_rtol": float(p.rank_rtol),
+                "panel_size": int(p.panel_size),
+            }
+            arrs = dict(
+                x_m=np.asarray(p.x_m), w_solve=np.asarray(p.w_solve),
+                ic=np.asarray(p.ic), beta_w=np.asarray(p.beta_w),
+                reg=np.asarray(p.reg), c_raw=np.asarray(p.c_raw),
+                b_w=np.asarray(p.b_w), diag_sum=np.asarray(p.diag_sum),
+            )
+            if p.m1_w is not None:
+                arrs["m1_w"] = np.asarray(p.m1_w)
+                arrs["w_kmm"] = np.asarray(p.w_kmm)
+        elif self.mesh is not None:
             meta["distributed"] = {"block_size": int(p.block_size),
                                    "axis_name": p.axis_name,
                                    "mesh_size": int(self.mesh.devices.size),
@@ -323,7 +401,11 @@ class Estimator:
         """Warm-up prediction on the train set (compiles the predict program;
         mirrors `/root/reference/neuroestimator/estimator/estimator.py:37-40`)."""
         x_warm = getattr(self.posterior, "x_train", None)
-        if x_warm is None:
+        if x_warm is None and hasattr(self.posterior, "x_m"):
+            # Nystrom tier: warm up on the inducing rows (m x m cross Gram)
+            x_warm = self.posterior.x_m
+            mean, std = self.posterior.predict_mean_std(x_warm)
+        elif x_warm is None:
             # distributed posterior: the (n, n) warm-up cross Gram stays
             # row-sharded (n^2/p per device) — full train set is fine
             x_warm = self.posterior.x_storage

@@ -400,3 +400,49 @@ def test_estimator_chunk_norm_native_parity_and_roundtrip(tmp_path):
     assert added == 1
     m3, s3 = est.predict(lines)
     assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)
+
+
+# ------------------------------------------------------------- nystrom tier
+@pytest.mark.parametrize("kernel_type", ["nngp", "ntk"])
+def test_estimator_nystrom_serves_and_roundtrips(tmp_path, kernel_type):
+    """Estimator(nystrom_m=...) fits/serves/extends/checkpoints from the
+    streaming Nystrom/DTC posterior (gp/nystrom.py). With m = n the tier
+    equals the exact posterior, so predictions must track the exact
+    Estimator closely."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, kernel_type=kernel_type, nystrom_m=60)
+    est.load_model(verbose=False)
+    exact = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                      verbose=False, kernel_type=kernel_type)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+             "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    mean, std = est.predict(lines)
+    me, se = exact.predict(lines)
+    np.testing.assert_allclose(mean, me, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(std, se, rtol=1e-3, atol=1e-6)
+
+    ckpt = tmp_path / f"ny_ckpt_{kernel_type}"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.nystrom_m == 60
+    mean2, std2 = est2.predict(lines)
+    np.testing.assert_allclose(mean2, mean, rtol=1e-12)
+    np.testing.assert_allclose(std2, std, rtol=1e-12)
+
+    # online extension folds new labels into the streamed moments exactly
+    n0 = est2.posterior.num_train
+    added = est2.extend_with_lines([
+        "ta,tb@x,3.0,1.0@@ta,tb,id@2000",
+        "ta,tb@x,8.0,2.0@@ta,tb,id@6000",
+    ])
+    assert added == 2 and est2.posterior.num_train == n0 + 2
+    m3, s3 = est2.predict(lines)
+    assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)
+
+
+def test_estimator_nystrom_rejects_mesh(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                  verbose=False, nystrom_m=32, mesh=object())

@@ -1,0 +1,166 @@
+"""Nystrom/DTC approximate posterior (`gp/nystrom.py`).
+
+Anchor: with the inducing set = the full train set the construction is
+algebraically the exact posterior, so it must match `fit_gp` (both gets) to
+jitter-level tolerance. Below that, approximation sanity, exact online
+extend, prescale compensation, and ridge semantics.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nngp_tpu.gp import fit_gp
+from nngp_tpu.gp.nystrom import fit_nystrom, select_inducing
+from nngp_tpu.models.kernel_spec import KernelSpec, Dense, Relu, mlp, \
+    reference_kernel
+
+
+def _data(n=96, d=6, m_test=24, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, scale, (n, d)).astype(np.float64)
+    y = np.sin(x.sum(axis=1))[:, None] + 0.1 * rng.standard_normal((n, 1))
+    xt = rng.uniform(0, scale, (m_test, d)).astype(np.float64)
+    return x, y, xt
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_full_inducing_recovers_exact_posterior(get):
+    x, y, xt = _data()
+    spec = reference_kernel()
+    exact = fit_gp(spec, x, y, get=get)
+    approx = fit_nystrom(spec, x, y, num_inducing=x.shape[0], get=get,
+                         rank_rtol=1e-14, panel_size=37)
+    m0, s0 = exact.predict_mean_std(jnp.asarray(xt))
+    m1, s1 = approx.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_full_cov_matches_exact(get):
+    x, y, xt = _data(n=60, m_test=10)
+    spec = reference_kernel()
+    exact = fit_gp(spec, x, y, get=get)
+    approx = fit_nystrom(spec, x, y, num_inducing=x.shape[0], get=get,
+                         rank_rtol=1e-14)
+    _, c0 = exact.predict(jnp.asarray(xt), compute_cov=True)
+    _, c1 = approx.predict(jnp.asarray(xt), compute_cov=True)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                               rtol=1e-5, atol=1e-8)
+    # mean-only path
+    m_only = approx.predict(jnp.asarray(xt), compute_cov=False)
+    m_full, _ = approx.predict(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(m_only), np.asarray(m_full))
+
+
+def test_approximation_improves_with_m():
+    x, y, xt = _data(n=240, m_test=40, seed=3)
+    spec = reference_kernel()
+    exact = fit_gp(spec, x, y)
+    m_ref, _ = exact.predict_mean_std(jnp.asarray(xt))
+    errs = []
+    for m in (20, 80, 240):
+        post = fit_nystrom(spec, x, y, num_inducing=m, rank_rtol=1e-14)
+        m_a, s_a = post.predict_mean_std(jnp.asarray(xt))
+        assert np.all(np.isfinite(np.asarray(m_a)))
+        assert np.all(np.asarray(s_a) >= 0)
+        errs.append(float(np.max(np.abs(np.asarray(m_a) - np.asarray(m_ref)))))
+    assert errs[2] < errs[0]
+    assert errs[2] < 1e-5          # m = n: exact
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_extend_equals_refit_same_inducing(get):
+    """Moments are sums over rows, so extend == refit with the same
+    inducing set and ridge — exactly."""
+    x, y, _ = _data(n=120, seed=5)
+    x2, y2, xt = _data(n=32, seed=6)
+    spec = KernelSpec(mlp(depth=2))
+    base = fit_nystrom(spec, x, y, num_inducing=48, get=get, seed=9,
+                       diag_reg=1e-3, diag_reg_absolute_scale=True)
+    ext = base.extend(x2, y2)
+    assert ext.num_train == 152
+
+    # "refit" with the SAME inducing rows: base's set indexes rows < 120,
+    # which are unchanged in the concatenated array
+    idx = select_inducing(120, 48, seed=9)
+    xa = np.concatenate([x, x2])
+    ya = np.concatenate([y, y2])
+    from nngp_tpu.gp import nystrom as nmod
+    x_m = xa[idx]
+    np.testing.assert_allclose(np.asarray(base.x_m), x_m)  # inducing fixed
+    c, b, m1, dsum = nmod._stream_moments(
+        spec, get, "highest", base.x_m, base.w_solve, base.w_kmm, xa, ya, 64)
+    np.testing.assert_allclose(np.asarray(ext.c_raw), np.asarray(c),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ext.b_w), np.asarray(b),
+                               rtol=1e-10, atol=1e-10)
+    if get == "ntk":
+        np.testing.assert_allclose(np.asarray(ext.m1_w), np.asarray(m1),
+                                   rtol=1e-10, atol=1e-10)
+    me, se = ext.predict_mean_std(jnp.asarray(xt))
+    assert np.all(np.isfinite(np.asarray(me)))
+    assert np.all(np.isfinite(np.asarray(se)))
+
+
+def test_panel_size_invariance():
+    x, y, xt = _data(n=100, seed=2)
+    spec = reference_kernel()
+    p1 = fit_nystrom(spec, x, y, num_inducing=30, panel_size=7)
+    p2 = fit_nystrom(spec, x, y, num_inducing=30, panel_size=1000)
+    m1, s1 = p1.predict_mean_std(jnp.asarray(xt))
+    m2, s2 = p2.predict_mean_std(jnp.asarray(xt))
+    # panelization only reorders the fp64 moment sums; the difference is
+    # amplified by the whitened system's condition (~lam_max * n / reg),
+    # hence the loose-looking tolerance on an exact-reordering test
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_input_scale_compensation():
+    """A forced power-of-two prescale must leave mean/std unchanged for the
+    scale-equivariant relu spec (same contract as GPPosterior)."""
+    x, y, xt = _data(n=90, scale=1000.0, seed=7)
+    spec = KernelSpec((Dense(512), Relu(), Dense(1)))
+    raw = fit_nystrom(spec, x, y, num_inducing=40, input_scale=1.0)
+    scaled = fit_nystrom(spec, x, y, num_inducing=40, input_scale=64.0)
+    m0, s0 = raw.predict_mean_std(jnp.asarray(xt))
+    m1, s1 = scaled.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-7, atol=1e-10)
+
+
+def test_relative_ridge_semantics():
+    """reg = diag_reg * mean(TRUE solve-kernel diag) — same semantics as
+    the exact fit, independent of the inducing count."""
+    x, y, _ = _data(n=80)
+    spec = reference_kernel()
+    exact = fit_gp(spec, x, y, diag_reg=1e-2)
+    approx = fit_nystrom(spec, x, y, num_inducing=20, diag_reg=1e-2)
+    np.testing.assert_allclose(float(approx.reg), float(exact.reg),
+                               rtol=1e-9)
+
+
+def test_chunked_predict_matches_batch():
+    x, y, xt = _data(n=100, m_test=50)
+    spec = reference_kernel()
+    post = fit_nystrom(spec, x, y, num_inducing=32)
+    mb, sb = post.predict_mean_std(jnp.asarray(xt))
+    mc, sc = post.predict_mean_std_chunked(xt, chunk=16)
+    np.testing.assert_allclose(np.asarray(mc).ravel(),
+                               np.asarray(mb).ravel(), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sc).ravel(),
+                               np.asarray(sb).ravel(), rtol=1e-8)
+
+
+def test_bad_get_raises():
+    x, y, _ = _data(n=20)
+    with pytest.raises(ValueError, match="get"):
+        fit_nystrom(reference_kernel(), x, y, get="gp")
