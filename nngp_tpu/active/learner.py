@@ -34,7 +34,8 @@ class ActiveLearner:
                  active_iters: int = 3, kernel_type: str = "nngp",
                  biased_sample: bool = True, diag_reg: float = 1e-3,
                  refit: str = None, seed: int = 10,
-                 mesh=None, dist_block_size=None, input_scale=None):
+                 mesh=None, dist_block_size=None, input_scale=None,
+                 nystrom_m=None):
         """mesh: optional jax.sharding.Mesh — fit/predict with the
         row-sharded distributed posterior. Any train-set / selection size
         works (the distributed layout pads with inert rows). refit defaults
@@ -46,7 +47,13 @@ class ActiveLearner:
         `gp.posterior.input_scale_for_bound(encoder.max_abs_bound(), ...)`
         — skips the per-refit data probe (a blocking device fetch when the
         pools live on device) and guarantees every later acquisition fits
-        the factor's scale."""
+        the factor's scale.
+
+        nystrom_m: run the loop on the streaming Nystrom/DTC tier
+        (gp/nystrom.py) with this many inducing rows — O(m^2) device state
+        at any pool/train size, and acquisition rounds extend EXACTLY for
+        that model class (moments are row sums). With mesh, the moment
+        panels shard across chips."""
         if refit is None:
             refit = "incremental"
         if refit not in ("incremental", "full"):
@@ -61,10 +68,17 @@ class ActiveLearner:
         self.mesh = mesh
         self.dist_block_size = dist_block_size
         self.input_scale = input_scale
+        self.nystrom_m = nystrom_m
         self.key = jax.random.PRNGKey(seed)
         self.pred_stat = PredictionStatistics()
 
     def train(self, x_train, y_train) -> GPPosterior:
+        if self.nystrom_m is not None:
+            from nngp_tpu.gp import fit_nystrom
+            return fit_nystrom(self.spec, x_train, y_train,
+                               num_inducing=self.nystrom_m,
+                               diag_reg=self.diag_reg, get=self.kernel_type,
+                               input_scale=self.input_scale, mesh=self.mesh)
         if self.mesh is not None:
             # any n: distributed_fit pads to the layout quantum internally
             from nngp_tpu.parallel import distributed_fit

@@ -43,9 +43,14 @@ def build_parser():
     p.add_argument("--diag_reg", type=float, default=1e-3)
     p.add_argument("--x64", action="store_true")
     p.add_argument("--mesh_devices", type=int, default=0,
-                   help="run over an n-device mesh with the row-sharded "
-                        "distributed posterior (0 = single chip); train and "
-                        "budget sizes are snapped to multiples of the mesh")
+                   help="run over an n-device mesh (0 = single chip): the "
+                        "row-sharded distributed posterior, or sharded "
+                        "moment streaming with --nystrom_m; any train/"
+                        "budget size works (inert padding / panel masks)")
+    p.add_argument("--nystrom_m", type=int, default=None,
+                   help="run the loop on the streaming Nystrom/DTC tier "
+                        "with this many inducing rows (O(m^2) device "
+                        "state at any n; exact moment extends per round)")
     return p
 
 
@@ -67,22 +72,18 @@ def main(argv=None):
 
     spec = KernelSpec(mlp(args.depth, args.width, args.activation))
     mesh = None
-    refit = args.refit
     if args.mesh_devices:
+        # any n / any budget: the distributed layout pads with inert rows,
+        # and acquisition rounds stay incremental via the block-cyclic
+        # append (DistributedPosterior.extend) — no snapping, no forced
+        # full refits
         from nngp_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh_devices)
-        refit = "full"           # block-cyclic factor has no cheap append
-        p_sz = args.mesh_devices
-        keep = x_tr.shape[0] - x_tr.shape[0] % p_sz
-        if keep == 0:
-            raise SystemExit(
-                f"--mesh_devices {p_sz}: train split has only "
-                f"{x_tr.shape[0]} rows — need at least one row per device")
-        x_tr, y_tr = x_tr[:keep], y_tr[:keep]
     learner = ActiveLearner(
         spec, budget=args.budget, active_iters=args.active_iters,
         kernel_type=args.kernel_type, biased_sample=args.biased_sample,
-        diag_reg=args.diag_reg, refit=refit, mesh=mesh)
+        diag_reg=args.diag_reg, refit=args.refit, mesh=mesh,
+        nystrom_m=args.nystrom_m)
     post, history = learner.active_train(x_tr, y_tr, x_pool, y_pool,
                                          x_val, y_val, infos_val)
     return history

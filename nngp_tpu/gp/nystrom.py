@@ -57,7 +57,7 @@ serving story as the exact tier's block-Cholesky append.
 """
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -72,31 +72,74 @@ _DEFAULT_PANEL = 16384
 
 def _default_rank_rtol(dtype) -> float:
     # K_mm eigenpairs below rank_rtol * lam_max are dropped from the
-    # whitening basis: with fp32 kernels their content is rounding noise
-    # (entries carry ~1e-7 relative error). fp64 keeps essentially all.
-    return 1e-14 if dtype == jnp.float64 else 1e-6
+    # whitening basis. Measured on the fp32 forest workload (10.8k train,
+    # experiments/nystrom_acc10k8*.log): accuracy improves MONOTONICALLY as
+    # the cut loosens — m=2048 median q 3.56 (1e-5) -> 2.89 (1e-6) -> 2.71
+    # (1e-8); m=4096 @ 1e-8 reaches 2.64 vs exact 2.60 — and stds stay
+    # finite, because the host solve stage's eigenvalue clamping already
+    # owns the noise floor. 1e-8 keeps the tail that carries signal while
+    # still dropping the strictly-rounding directions.
+    return 1e-14 if dtype == jnp.float64 else 1e-8
+
+
+def _panel_delta(spec, get, precision, x_m, w_solve, w_kmm, x_p, y_p, mask):
+    """Whitened-moment contribution of one row panel. Masked rows (the
+    zero-padded tail) contribute exactly zero. Pure function of the rows —
+    the single-device and mesh-sharded accumulators both call this."""
+    with jax.default_matmul_precision(precision):
+        nngp_pm, ntk_pm = spec.kernel_fn(x_p, x_m, ("nngp", "ntk"))
+        solve_pm = ntk_pm if get == "ntk" else nngp_pm
+        psi = w_solve.T @ (solve_pm * mask[:, None]).T      # (k, p)
+        dc = psi @ psi.T
+        db = psi @ (y_p * mask[:, None])
+        if get == "ntk":
+            psi_k = w_kmm.T @ (nngp_pm * mask[:, None]).T   # (k2, p)
+            dm1 = psi_k @ (w_solve.T @ ntk_pm.T).T
+        else:
+            dm1 = jnp.zeros((w_kmm.shape[1], w_solve.shape[1]), x_p.dtype)
+        # relative-ridge trace of the TRUE solve-kernel diagonal (same
+        # semantics as the exact fit: r = diag_reg * mean(diag))
+        dn, dt = apply_diag_recursion(input_diag(x_p), spec.layers)
+        dvec = dt if get == "ntk" else dn
+        dd = jnp.sum(dvec * mask)
+    return dc, db, dm1, dd
 
 
 @partial(jax.jit, static_argnames=("spec", "get", "precision"))
 def _accumulate_panel(spec, get, precision, x_m, w_solve, w_kmm,
                       x_p, y_p, mask, c_raw, b_w, m1_w, diag_sum):
-    """One streamed panel: whitened moments += panel contribution. Masked
-    rows (the zero-padded tail) contribute exactly zero."""
-    with jax.default_matmul_precision(precision):
-        nngp_pm, ntk_pm = spec.kernel_fn(x_p, x_m, ("nngp", "ntk"))
-        solve_pm = ntk_pm if get == "ntk" else nngp_pm
-        psi = w_solve.T @ (solve_pm * mask[:, None]).T      # (k, p)
-        c_raw = c_raw + psi @ psi.T
-        b_w = b_w + psi @ (y_p * mask[:, None])
-        if get == "ntk":
-            psi_k = w_kmm.T @ (nngp_pm * mask[:, None]).T   # (k2, p)
-            m1_w = m1_w + psi_k @ (w_solve.T @ ntk_pm.T).T
-        # relative-ridge trace of the TRUE solve-kernel diagonal (same
-        # semantics as the exact fit: r = diag_reg * mean(diag))
-        dn, dt = apply_diag_recursion(input_diag(x_p), spec.layers)
-        dvec = dt if get == "ntk" else dn
-        diag_sum = diag_sum + jnp.sum(dvec * mask)
-    return c_raw, b_w, m1_w, diag_sum
+    """One streamed panel: whitened moments += panel contribution."""
+    dc, db, dm1, dd = _panel_delta(spec, get, precision, x_m, w_solve,
+                                   w_kmm, x_p, y_p, mask)
+    return c_raw + dc, b_w + db, m1_w + dm1, diag_sum + dd
+
+
+@lru_cache(maxsize=None)
+def _sharded_panel_fn(mesh, axis_name, spec, get, precision):
+    """Compiled mesh-sharded panel accumulator: panel rows are sharded over
+    `axis_name`, each device computes its local whitened moments on its own
+    MXU, and one psum over ICI reduces the (k, k)-sized deltas — comm is
+    O(k^2) per panel, independent of n. The small replicated accumulators
+    ride through so each panel is ONE dispatch. (Caches the compiled
+    FUNCTION per (mesh, spec, ...) — never traced arrays.)"""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def body(x_m, w_solve, w_kmm, x_p, y_p, mask,
+             c_raw, b_w, m1_w, diag_sum):
+        dc, db, dm1, dd = _panel_delta(spec, get, precision, x_m, w_solve,
+                                       w_kmm, x_p, y_p, mask)
+        return (c_raw + jax.lax.psum(dc, axis_name),
+                b_w + jax.lax.psum(db, axis_name),
+                m1_w + jax.lax.psum(dm1, axis_name),
+                diag_sum + jax.lax.psum(dd, axis_name))
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name, None), P(axis_name, None),
+                  P(axis_name), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()))
+    return jax.jit(fn)
 
 
 def _whiten_basis(kmm64: np.ndarray, rank_rtol: float) -> np.ndarray:
@@ -169,6 +212,12 @@ class NystromPosterior:
                                          default=1e-6)
     panel_size: int = dataclasses.field(metadata=dict(static=True),
                                         default=_DEFAULT_PANEL)
+    # runtime-only: moment streaming shards panel rows over this mesh
+    # (never serialized — reattach after checkpoint restore)
+    mesh: Optional[object] = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    mesh_axis: str = dataclasses.field(metadata=dict(static=True),
+                                       default="data")
 
     @property
     def num_inducing(self) -> int:
@@ -256,7 +305,7 @@ class NystromPosterior:
             self.spec, self.get, self.precision, self.x_m,
             self.w_solve, self.w_kmm, x_new, y_new, self.panel_size,
             c_raw=self.c_raw, b_w=self.b_w, m1_w=self.m1_w,
-            diag_sum=self.diag_sum)
+            diag_sum=self.diag_sum, mesh=self.mesh, mesh_axis=self.mesh_axis)
         # keep the fit-time ridge: the relative reg is defined by the
         # fit-time trace (same policy as GPPosterior.extend)
         ic, beta_w = _finalize_host(c_raw, b_w, self.reg, self.x_m.dtype)
@@ -268,9 +317,11 @@ class NystromPosterior:
 
 def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
                     panel_size, c_raw=None, b_w=None, m1_w=None,
-                    diag_sum=None):
+                    diag_sum=None, mesh=None, mesh_axis="data"):
     """Host panel loop over (x, y): zero-pad the tail to the static panel
-    shape and mask it out, so every panel reuses ONE compiled program."""
+    shape and mask it out, so every panel reuses ONE compiled program.
+    With `mesh`, panel rows are sharded over `mesh_axis` and the moment
+    deltas psum over ICI (`_sharded_panel_fn`) — same math, p-way panels."""
     dt = x_m.dtype
     k = w_solve.shape[1]
     n = x.shape[0]
@@ -280,12 +331,18 @@ def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
         m1_w = (jnp.zeros((w_kmm.shape[1], k), dt) if get == "ntk" else None)
         diag_sum = jnp.zeros((), dt)
     if get != "ntk":
-        # _accumulate_panel wants concrete operands even when unused
+        # the accumulators want concrete operands even when unused
         m1_acc = jnp.zeros((0, k), dt)
         w_kmm_acc = jnp.zeros((x_m.shape[0], 0), dt)
     else:
         m1_acc, w_kmm_acc = m1_w, w_kmm
     p = min(panel_size, max(n, 1))
+    if mesh is not None:
+        q = mesh.shape[mesh_axis]
+        p = -(-p // q) * q          # shard_map needs p % q == 0; pad covers
+        panel_fn = _sharded_panel_fn(mesh, mesh_axis, spec, get, precision)
+    else:
+        panel_fn = partial(_accumulate_panel, spec, get, precision)
     for s in range(0, n, p):
         e = min(s + p, n)
         x_p = np.asarray(x[s:e])
@@ -297,8 +354,8 @@ def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
                                                 x_p.dtype)])
             y_p = np.concatenate([y_p, np.zeros((pad, 1), y_p.dtype)])
             mask = np.concatenate([mask, np.zeros(pad, mask.dtype)])
-        c_raw, b_w, m1_acc, diag_sum = _accumulate_panel(
-            spec, get, precision, x_m, w_solve, w_kmm_acc,
+        c_raw, b_w, m1_acc, diag_sum = panel_fn(
+            x_m, w_solve, w_kmm_acc,
             jnp.asarray(x_p, dt), jnp.asarray(y_p, dt),
             jnp.asarray(mask, dt), c_raw, b_w, m1_acc, diag_sum)
     return c_raw, b_w, (m1_acc if get == "ntk" else None), diag_sum
@@ -318,7 +375,8 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
                 panel_size: int = _DEFAULT_PANEL,
                 rank_rtol: Optional[float] = None,
                 input_scale: Optional[float] = None,
-                precision: str = "highest") -> NystromPosterior:
+                precision: str = "highest",
+                mesh=None, mesh_axis: str = "data") -> NystromPosterior:
     """Streaming Nystrom/DTC fit. O(n m^2) MXU flops, O(m^2 + panel*m)
     device memory — n is unbounded by HBM (the row panels stream from
     host). With num_inducing >= n this IS the exact posterior (up to the
@@ -328,6 +386,14 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     precision: 'highest' (default; fp32 6-pass MXU accumulation) or 'high'
     (3-pass, ~2x faster moments) — measure q-error parity at forest scale
     before trusting 'high' on a new workload.
+
+    mesh: optional jax.sharding.Mesh — shard every panel's rows over
+    `mesh_axis` so the O(n m^2) moment flops data-parallelize across
+    chips; each panel's (k, k) deltas psum over ICI (comm O(k^2)/panel,
+    independent of n). Moments are row sums, so the sharded fit is
+    bit-equivalent math to the single-device panel loop (same whitening,
+    same host solve stage); `extend` stays sharded through the posterior's
+    `mesh` field.
     """
     if get not in ("nngp", "ntk"):
         raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
@@ -349,7 +415,8 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
 
     w_solve, w_kmm = _inducing_bases(spec, get, float(rank_rtol), x_m)
     c_raw, b_w, m1_w, diag_sum = _stream_moments(
-        spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size)
+        spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size,
+        mesh=mesh, mesh_axis=mesh_axis)
     if diag_reg_absolute_scale:
         reg = jnp.asarray(diag_reg, x_m.dtype)
     else:
@@ -360,4 +427,5 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         c_raw=c_raw, b_w=b_w, diag_sum=diag_sum, m1_w=m1_w,
         w_kmm=w_kmm, spec=spec, get=get, diag_reg=diag_reg, num_train=n,
         input_scale=float(input_scale), precision=precision,
-        rank_rtol=float(rank_rtol), panel_size=panel_size)
+        rank_rtol=float(rank_rtol), panel_size=panel_size,
+        mesh=mesh, mesh_axis=mesh_axis)

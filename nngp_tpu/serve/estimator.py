@@ -100,8 +100,9 @@ class Estimator:
         nystrom_m: fit the streaming Nystrom/DTC tier (gp/nystrom.py) with
         this many inducing rows instead of the exact posterior — O(m^2)
         device state at any n, for train sets beyond the exact fit's
-        single-chip edge when no mesh is available. Mutually exclusive
-        with mesh.
+        single-chip edge. Combined with mesh, the panel moments shard over
+        the mesh (psum over ICI) instead of using the exact row-sharded
+        distributed posterior.
 
         chunk_norm: rescale packed categorical chunk slots onto the
         [0, 1000] numeric scale (featurize.SingleTableEncoder) — measured
@@ -116,9 +117,6 @@ class Estimator:
         self.dist_block_size = dist_block_size
         self.chunk_norm = bool(chunk_norm)
         self.nystrom_m = nystrom_m
-        if mesh is not None and nystrom_m is not None:
-            raise ValueError("mesh and nystrom_m are mutually exclusive "
-                             "scale-out tiers; pick one")
         self.spec = spec if spec is not None else reference_kernel()
 
         if stats is None:
@@ -157,7 +155,8 @@ class Estimator:
             from nngp_tpu.gp import fit_nystrom
             return fit_nystrom(self.spec, x, y,
                                num_inducing=self.nystrom_m,
-                               diag_reg=self.diag_reg, get=self.kernel_type)
+                               diag_reg=self.diag_reg, get=self.kernel_type,
+                               mesh=self.mesh)
         if self.mesh is None:
             return fit_gp(self.spec, x, y, diag_reg=self.diag_reg,
                           get=self.kernel_type)
@@ -231,13 +230,11 @@ class Estimator:
         self._fast = self._try_fast_encoder()
         arrs = np.load(os.path.join(ckpt_dir, "posterior.npz"))
         if "nystrom" in meta:
-            if mesh is not None:
-                raise ValueError(
-                    "checkpoint holds a Nystrom posterior (single-chip); "
-                    "restore without mesh")
+            # mesh is runtime config, not checkpoint state: restoring with
+            # one reattaches sharded moment streaming for extend
             from nngp_tpu.gp import NystromPosterior
             d = meta["nystrom"]
-            self.mesh = None
+            self.mesh = mesh
             self.dist_block_size = None
             self.nystrom_m = int(arrs["x_m"].shape[0])
             ntk = "m1_w" in arrs
@@ -258,7 +255,8 @@ class Estimator:
                 input_scale=float(d["input_scale"]),
                 precision=d["precision"],
                 rank_rtol=float(d["rank_rtol"]),
-                panel_size=int(d["panel_size"]))
+                panel_size=int(d["panel_size"]),
+                mesh=mesh)
             return self
         if "distributed" in meta:
             if mesh is None:

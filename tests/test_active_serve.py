@@ -441,8 +441,34 @@ def test_estimator_nystrom_serves_and_roundtrips(tmp_path, kernel_type):
     assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)
 
 
-def test_estimator_nystrom_rejects_mesh(tmp_path):
+def test_estimator_nystrom_over_mesh_matches_single_device(tmp_path):
+    """Estimator(nystrom_m=..., mesh=...) shards the moment panels over the
+    mesh; serving output matches the single-device Nystrom tier, and a
+    restore with mesh reattaches sharded streaming for extends."""
+    from nngp_tpu.parallel import make_mesh
     stats, qdir = _toy_schema_files(tmp_path)
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
-                  verbose=False, nystrom_m=32, mesh=object())
+    mesh = make_mesh()
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, nystrom_m=48, mesh=mesh)
+    ref = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, nystrom_m=48)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+             "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    mean, std = est.predict(lines)
+    m0, s0 = ref.predict(lines)
+    np.testing.assert_allclose(mean, m0, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(std, s0, rtol=1e-6, atol=1e-9)
+
+    ckpt = tmp_path / "ny_mesh_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt), mesh=mesh)
+    assert est2.posterior.mesh is mesh
+    n0 = est2.posterior.num_train
+    added = est2.extend_with_lines([
+        "ta,tb@x,3.0,1.0@@ta,tb,id@2000",
+        "ta,tb@x,8.0,2.0@@ta,tb,id@6000",
+    ])
+    assert added == 2 and est2.posterior.num_train == n0 + 2
+    assert est2.posterior.mesh is mesh
+    m3, s3 = est2.predict(lines)
+    assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)

@@ -164,3 +164,66 @@ def test_bad_get_raises():
     x, y, _ = _data(n=20)
     with pytest.raises(ValueError, match="get"):
         fit_nystrom(reference_kernel(), x, y, get="gp")
+
+
+# ---------------------------------------------------------------- mesh tier
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_sharded_moments_match_single_device(get):
+    """Moment deltas are row sums, so sharding panel rows over the mesh and
+    psum-ing must reproduce the single-device fit to reduction-order
+    jitter."""
+    from nngp_tpu.parallel import make_mesh
+    x, y, xt = _data(n=200, seed=11)
+    spec = reference_kernel()
+    ref = fit_nystrom(spec, x, y, num_inducing=64, get=get, panel_size=48)
+    sh = fit_nystrom(spec, x, y, num_inducing=64, get=get, panel_size=48,
+                     mesh=make_mesh())
+    # per-device partial sums + psum reorder the fp64 reduction; the NTK
+    # moments see ~1e-8 relative jitter from the cancellation-heavier sums
+    np.testing.assert_allclose(np.asarray(sh.c_raw), np.asarray(ref.c_raw),
+                               rtol=1e-6, atol=1e-9)
+    m0, s0 = ref.predict_mean_std(jnp.asarray(xt))
+    m1, s1 = sh.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_extend_matches_single_device():
+    """The posterior carries its mesh: extend streams sharded too, and the
+    ragged new-row count (not divisible by 8) rides the panel zero-pad."""
+    from nngp_tpu.parallel import make_mesh
+    x, y, _ = _data(n=120, seed=12)
+    x2, y2, xt = _data(n=37, seed=13)       # 37 % 8 != 0
+    spec = reference_kernel()
+    ref = fit_nystrom(spec, x, y, num_inducing=40, panel_size=64)
+    sh = fit_nystrom(spec, x, y, num_inducing=40, panel_size=64,
+                     mesh=make_mesh())
+    assert sh.mesh is not None
+    ref_e = ref.extend(x2, y2)
+    sh_e = sh.extend(x2, y2)
+    assert sh_e.mesh is sh.mesh             # replace() keeps the mesh
+    m0, s0 = ref_e.predict_mean_std(jnp.asarray(xt))
+    m1, s1 = sh_e.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_active_learner_on_nystrom_tier():
+    """ActiveLearner(nystrom_m=...) runs the full acquisition loop on the
+    streaming tier; incremental rounds use the exact moment extend."""
+    from nngp_tpu.active import ActiveLearner
+    x, y, _ = _data(n=100, seed=20)
+    xp, yp, _ = _data(n=60, seed=21)
+    xv, yv, _ = _data(n=30, seed=22)
+    spec = reference_kernel()
+    learner = ActiveLearner(spec, budget=16, active_iters=2,
+                            biased_sample=False, nystrom_m=32)
+    post, history = learner.active_train(x, y, xp, yp, xv, yv, printer=None)
+    assert post.num_train == 100 + 2 * 16
+    assert len(history) == 2
+    assert all(np.isfinite(h["val_mse"]) for h in history)
