@@ -204,6 +204,33 @@ def main():
     del pn
 
     if not fast:
+        # Streaming Nystrom/DTC tier (gp/nystrom.py): unbounded-n fits in
+        # O(m^2) device state — forest accuracy + warm fit at m=1024 (the
+        # warm time is host-eigh-bound; BASELINE.md has the 1M-row ladder).
+        try:
+            from nngp_tpu.gp import fit_nystrom
+            import time as _tn
+            pny = fit_nystrom(spec, x_tr, y_tr, num_inducing=1024,
+                              input_scale=s_forest)
+            sync(pny.beta_w)
+            best_ny = float("inf")
+            for _ in range(2):
+                t0 = _tn.perf_counter()
+                pny = fit_nystrom(spec, x_tr, y_tr, num_inducing=1024,
+                                  input_scale=s_forest)
+                sync(pny.beta_w)
+                best_ny = min(best_ny, _tn.perf_counter() - t0)
+            mny, _sny = pny.predict_mean_std(x_te_d)
+            qny = symmetric_qerror(np.asarray(mny).ravel()
+                                   - np.asarray(y_te).ravel())
+            extras["nystrom_m1024_fit_s"] = round(best_ny, 6)
+            extras["nystrom_m1024_median_qerror"] = round(
+                float(np.median(qny)), 4)
+            del pny
+        except Exception as e:               # pragma: no cover - TPU only
+            extras["nystrom_m1024_fit_s"] = None
+            extras["nystrom_m1024_error"] = type(e).__name__
+
         # Scale rows: 2x and 3x train set (random features — wall-clock
         # only). 32,400 runs on the block-factor path (column blocks end to
         # end); guarded so a compile hiccup can't sink the whole bench line.

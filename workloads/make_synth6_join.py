@@ -104,10 +104,14 @@ def build_tables(seed=29):
     return dfs, col_types, names
 
 
-def main():
+def main(per_arity=3000, out_name="synth6_join_data",
+         stats_name="synth6_stats"):
+    """Defaults reproduce the committed 18k workload bit-for-bit; a larger
+    --per_arity (same per-arity RNG streams) EXTENDS it, e.g. 25000/arity
+    = 150k labeled queries for the beyond-one-chip Nystrom-tier runs."""
     here = os.path.dirname(os.path.abspath(__file__))
-    out_dir = os.path.join(here, "synth6_join_data")
-    stats_dir = os.path.join(here, "synth6_stats")
+    out_dir = os.path.join(here, out_name)
+    stats_dir = os.path.join(here, stats_name)
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(stats_dir, exist_ok=True)
     dfs, col_types, names = build_tables()
@@ -123,7 +127,7 @@ def main():
     # one OS process per arity, exactly the reference's offline fan-out
     # (`/root/reference/JoinQuerySampler.py:596-602`); deterministic since
     # each arity owns its forked RNG stream and its own output file
-    procs = sampler.parallel_sampler(3000, out_dir, data_centric=True)
+    procs = sampler.parallel_sampler(per_arity, out_dir, data_centric=True)
     for p in procs:
         p.join()
     for k in range(1, 7):
@@ -133,4 +137,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per_arity", type=int, default=3000)
+    ap.add_argument("--out_name", type=str, default="synth6_join_data")
+    ap.add_argument("--stats_name", type=str, default="synth6_stats")
+    a = ap.parse_args()
+    main(a.per_arity, a.out_name, a.stats_name)
