@@ -52,7 +52,13 @@ def main(argv=None):
     p.add_argument("--stream_wait_ms", type=float, default=5.0)
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="fit + serve row-sharded over an n-device mesh "
-                        "(0 = single chip); n_train must divide the mesh")
+                        "(0 = single chip); any n_train works (inert-row "
+                        "padding). With --nystrom_m, shards the moment "
+                        "panels instead")
+    p.add_argument("--nystrom_m", type=int, default=None,
+                   help="serve from the streaming Nystrom/DTC tier with "
+                        "this many inducing rows (O(m^2) device state at "
+                        "any train-set size)")
     args = p.parse_args(argv)
 
     from nngp_tpu.serve import Estimator
@@ -71,7 +77,8 @@ def main(argv=None):
                         use_aux=args.use_aux,
                         q_error_threshold=args.q_error_threshold,
                         coef_var_threshold=args.coef_var_threshold,
-                        stats_dir=args.stats_dir, mesh=mesh)
+                        stats_dir=args.stats_dir, mesh=mesh,
+                        nystrom_m=args.nystrom_m)
         if args.ckpt:
             est.save(args.ckpt)
     est.load_model()

@@ -51,6 +51,11 @@ def build_parser():
                    help="raw CSV dir (optional; stats fall back to query scan "
                         "/ stats JSON)")
     p.add_argument("--diag_reg", type=float, default=1e-3)
+    p.add_argument("--select_reg", type=str, default=None,
+                   help="comma-separated diag_reg candidates: refit per "
+                        "candidate, print the exact-GP log-evidence table, "
+                        "keep the argmax (gp.select_diag_reg; the reference "
+                        "pins diag_reg=1e-3)")
     p.add_argument("--nystrom_m", type=int, default=None,
                    help="fit the streaming Nystrom/DTC tier with this many "
                         "inducing rows instead of the exact posterior — "
@@ -201,6 +206,22 @@ def main(argv=None):
                 # (max|x|) runs for free instead of a blocking device fetch
                 return fit_gp(spec, x_tr, y_tr,
                               diag_reg=args.diag_reg, get=args.kernel_type)
+        if args.select_reg:
+            # evidence-based ridge selection (pins diag_reg for the timed
+            # fits below; works for the exact tier)
+            if args.nystrom_m:
+                raise SystemExit("--select_reg selects on the exact "
+                                 "posterior; drop --nystrom_m (the Nystrom "
+                                 "tier has posterior.log_evidence())")
+            from nngp_tpu.gp import select_diag_reg
+            cands = [float(v) for v in args.select_reg.split(",")]
+            best, scores = select_diag_reg(spec, x_tr, y_tr,
+                                           candidates=cands,
+                                           get=args.kernel_type)
+            for r, mll in sorted(scores.items()):
+                tag = "  <-- selected" if r == float(best.diag_reg) else ""
+                print(f"diag_reg={r:g}: log evidence {mll:.2f}{tag}")
+            args.diag_reg = float(best.diag_reg)
         with timer.measure(
                 "kernel construction (fit: Gram + Cholesky, cold)") as h:
             post = _fit()

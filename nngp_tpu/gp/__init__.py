@@ -1,4 +1,5 @@
-from nngp_tpu.gp.posterior import GPPosterior, fit_gp
+from nngp_tpu.gp.posterior import GPPosterior, fit_gp, select_diag_reg
 from nngp_tpu.gp.nystrom import NystromPosterior, fit_nystrom
 
-__all__ = ["GPPosterior", "fit_gp", "NystromPosterior", "fit_nystrom"]
+__all__ = ["GPPosterior", "fit_gp", "select_diag_reg",
+           "NystromPosterior", "fit_nystrom"]

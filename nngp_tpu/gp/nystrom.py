@@ -102,16 +102,17 @@ def _panel_delta(spec, get, precision, x_m, w_solve, w_kmm, x_p, y_p, mask):
         dn, dt = apply_diag_recursion(input_diag(x_p), spec.layers)
         dvec = dt if get == "ntk" else dn
         dd = jnp.sum(dvec * mask)
-    return dc, db, dm1, dd
+        dy2 = jnp.sum((y_p * mask[:, None]) ** 2)
+    return dc, db, dm1, dd, dy2
 
 
 @partial(jax.jit, static_argnames=("spec", "get", "precision"))
 def _accumulate_panel(spec, get, precision, x_m, w_solve, w_kmm,
-                      x_p, y_p, mask, c_raw, b_w, m1_w, diag_sum):
+                      x_p, y_p, mask, c_raw, b_w, m1_w, diag_sum, yty):
     """One streamed panel: whitened moments += panel contribution."""
-    dc, db, dm1, dd = _panel_delta(spec, get, precision, x_m, w_solve,
-                                   w_kmm, x_p, y_p, mask)
-    return c_raw + dc, b_w + db, m1_w + dm1, diag_sum + dd
+    dc, db, dm1, dd, dy2 = _panel_delta(spec, get, precision, x_m, w_solve,
+                                        w_kmm, x_p, y_p, mask)
+    return c_raw + dc, b_w + db, m1_w + dm1, diag_sum + dd, yty + dy2
 
 
 @lru_cache(maxsize=None)
@@ -126,19 +127,20 @@ def _sharded_panel_fn(mesh, axis_name, spec, get, precision):
     from jax.experimental.shard_map import shard_map
 
     def body(x_m, w_solve, w_kmm, x_p, y_p, mask,
-             c_raw, b_w, m1_w, diag_sum):
-        dc, db, dm1, dd = _panel_delta(spec, get, precision, x_m, w_solve,
-                                       w_kmm, x_p, y_p, mask)
+             c_raw, b_w, m1_w, diag_sum, yty):
+        dc, db, dm1, dd, dy2 = _panel_delta(spec, get, precision, x_m,
+                                            w_solve, w_kmm, x_p, y_p, mask)
         return (c_raw + jax.lax.psum(dc, axis_name),
                 b_w + jax.lax.psum(db, axis_name),
                 m1_w + jax.lax.psum(dm1, axis_name),
-                diag_sum + jax.lax.psum(dd, axis_name))
+                diag_sum + jax.lax.psum(dd, axis_name),
+                yty + jax.lax.psum(dy2, axis_name))
 
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis_name, None), P(axis_name, None),
-                  P(axis_name), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()))
+                  P(axis_name), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()))
     return jax.jit(fn)
 
 
@@ -218,6 +220,12 @@ class NystromPosterior:
         metadata=dict(static=True), default=None)
     mesh_axis: str = dataclasses.field(metadata=dict(static=True),
                                        default="data")
+    # streamed sum of y^2 (prescale-independent: y is never scaled) — the
+    # one extra moment the closed-form DTC evidence needs. None on
+    # posteriors fitted before evidence tracking (old checkpoints);
+    # extend keeps it None then, so a stale partial sum can never
+    # masquerade as the real quadratic term.
+    yty: Optional[jax.Array] = None
 
     @property
     def num_inducing(self) -> int:
@@ -301,23 +309,58 @@ class NystromPosterior:
             y_new = y_new[:, None]
         if self.input_scale != 1.0:
             x_new = x_new * (1.0 / self.input_scale)
-        c_raw, b_w, m1_w, diag_sum = _stream_moments(
+        c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
             self.spec, self.get, self.precision, self.x_m,
             self.w_solve, self.w_kmm, x_new, y_new, self.panel_size,
             c_raw=self.c_raw, b_w=self.b_w, m1_w=self.m1_w,
-            diag_sum=self.diag_sum, mesh=self.mesh, mesh_axis=self.mesh_axis)
+            diag_sum=self.diag_sum, yty=self.yty,
+            mesh=self.mesh, mesh_axis=self.mesh_axis)
         # keep the fit-time ridge: the relative reg is defined by the
         # fit-time trace (same policy as GPPosterior.extend)
         ic, beta_w = _finalize_host(c_raw, b_w, self.reg, self.x_m.dtype)
         return dataclasses.replace(
             self, ic=ic, beta_w=beta_w,
             c_raw=c_raw, b_w=b_w, m1_w=m1_w, diag_sum=diag_sum,
+            yty=(yty if self.yty is not None else None),
             num_train=self.num_train + x_new.shape[0])
+
+    # ------------------------------------------------------- model evidence
+    def log_evidence(self) -> float:
+        """Closed-form log evidence of the fitted DTC model
+        y ~ N(0, Q + r I), Q = Psi Psi^T the Nystrom approximation — the
+        approximate-tier counterpart of `GPPosterior.
+        log_marginal_likelihood`, for selecting m / rank_rtol / diag_reg.
+
+        Everything is already in the whitened moments (host fp64, exact
+        given them):
+          quad   = y^T (Q + rI)^-1 y = (y^T y - |ic^T b_w|^2) / r  (Woodbury)
+          logdet = (n - k) log r + logdet(C + rI),
+                   logdet(C + rI) = -2 log|det ic|
+        With an input prescale the raw-unit solve kernel is scale^2 times
+        the stored one, adding n log scale^2 and dividing quad by scale^2
+        (y itself is never scaled)."""
+        if self.yty is None:
+            raise ValueError(
+                "log_evidence needs the streamed y^T y moment; this "
+                "posterior predates evidence tracking — refit")
+        n, k = self.num_train, self.rank
+        r = float(self.reg)
+        ic64 = np.asarray(self.ic, np.float64)
+        b64 = np.asarray(self.b_w, np.float64)
+        h = (ic64.T @ b64).ravel()
+        quad = (float(self.yty) - float(h @ h)) / r
+        sign, logabs = np.linalg.slogdet(ic64)
+        logdet = (n - k) * np.log(r) - 2.0 * logabs
+        if self.input_scale != 1.0:
+            s2 = float(self.input_scale) ** 2
+            quad /= s2
+            logdet += n * np.log(s2)
+        return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
 
 
 def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
                     panel_size, c_raw=None, b_w=None, m1_w=None,
-                    diag_sum=None, mesh=None, mesh_axis="data"):
+                    diag_sum=None, yty=None, mesh=None, mesh_axis="data"):
     """Host panel loop over (x, y): zero-pad the tail to the static panel
     shape and mask it out, so every panel reuses ONE compiled program.
     With `mesh`, panel rows are sharded over `mesh_axis` and the moment
@@ -330,6 +373,8 @@ def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
         b_w = jnp.zeros((k, 1), dt)
         m1_w = (jnp.zeros((w_kmm.shape[1], k), dt) if get == "ntk" else None)
         diag_sum = jnp.zeros((), dt)
+    if yty is None:
+        yty = jnp.zeros((), dt)
     if get != "ntk":
         # the accumulators want concrete operands even when unused
         m1_acc = jnp.zeros((0, k), dt)
@@ -354,11 +399,11 @@ def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
                                                 x_p.dtype)])
             y_p = np.concatenate([y_p, np.zeros((pad, 1), y_p.dtype)])
             mask = np.concatenate([mask, np.zeros(pad, mask.dtype)])
-        c_raw, b_w, m1_acc, diag_sum = panel_fn(
+        c_raw, b_w, m1_acc, diag_sum, yty = panel_fn(
             x_m, w_solve, w_kmm_acc,
             jnp.asarray(x_p, dt), jnp.asarray(y_p, dt),
-            jnp.asarray(mask, dt), c_raw, b_w, m1_acc, diag_sum)
-    return c_raw, b_w, (m1_acc if get == "ntk" else None), diag_sum
+            jnp.asarray(mask, dt), c_raw, b_w, m1_acc, diag_sum, yty)
+    return c_raw, b_w, (m1_acc if get == "ntk" else None), diag_sum, yty
 
 
 def select_inducing(n: int, m: int, seed: int = 0) -> np.ndarray:
@@ -414,7 +459,7 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         rank_rtol = _default_rank_rtol(x_m.dtype)
 
     w_solve, w_kmm = _inducing_bases(spec, get, float(rank_rtol), x_m)
-    c_raw, b_w, m1_w, diag_sum = _stream_moments(
+    c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
         spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size,
         mesh=mesh, mesh_axis=mesh_axis)
     if diag_reg_absolute_scale:
@@ -428,4 +473,4 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         w_kmm=w_kmm, spec=spec, get=get, diag_reg=diag_reg, num_train=n,
         input_scale=float(input_scale), precision=precision,
         rank_rtol=float(rank_rtol), panel_size=panel_size,
-        mesh=mesh, mesh_axis=mesh_axis)
+        mesh=mesh, mesh_axis=mesh_axis, yty=yty)

@@ -302,6 +302,30 @@ class GPPosterior:
         capping m; this path is O(chunk * n) memory)."""
         return chunked_predict(self.predict_mean_std, x_test, chunk)
 
+    # ------------------------------------------------------- model evidence
+    @jax.jit
+    def log_marginal_likelihood(self):
+        """Exact GP log evidence log p(y | X) of the fitted model
+        N(0, K_solve + reg I) in RAW input units — free given the factor:
+        -0.5 (y^T alpha + 2 sum log diag L + n log 2pi). The reference has
+        no model selection at all (diag_reg pinned at 1e-3,
+        `/root/reference/train.py:171`); this powers `select_diag_reg`.
+
+        With an input prescale the stored system is the raw one divided by
+        scale^2, so the raw-unit evidence adds n log scale^2 to the logdet
+        and divides the quadratic term by scale^2 (exact: the scale is a
+        power of two)."""
+        n = self.num_train
+        diag = (self.l.diagonal() if hasattr(self.l, "blocks")
+                else jnp.diagonal(self.l))
+        quad = jnp.sum(self.y_train * self.alpha)
+        logdet = 2.0 * jnp.sum(jnp.log(diag))
+        if self.input_scale != 1.0:
+            s2 = jnp.asarray(self.input_scale, diag.dtype) ** 2
+            quad = quad / s2
+            logdet = logdet + n * jnp.log(s2)
+        return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
+
     # --------------------------------------------------------------- extend
     @jax.jit
     def extend(self, x_new, y_new):
@@ -544,3 +568,29 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         diag_reg=diag_reg,
         input_scale=float(input_scale),
     )
+
+
+def select_diag_reg(spec: KernelSpec, x_train, y_train,
+                    candidates=(1e-4, 3e-4, 1e-3, 3e-3, 1e-2),
+                    get: str = "nngp", input_scale: Optional[float] = None):
+    """Ridge selection by exact GP evidence: refit per candidate (warm
+    fits reuse the compiled program — ~50 ms each on the chip at 10.8k)
+    and keep the `diag_reg` with the highest `log_marginal_likelihood`.
+
+    Returns (best_posterior, {diag_reg: mll}). Model selection the
+    reference cannot do — its ridge is hard-coded
+    (`/root/reference/train.py:171`)."""
+    scores = {}
+    best_post, best_mll = None, -np.inf
+    for r in candidates:
+        post = fit_gp(spec, x_train, y_train, diag_reg=float(r), get=get,
+                      input_scale=input_scale)
+        mll = float(post.log_marginal_likelihood())
+        scores[float(r)] = mll
+        if np.isfinite(mll) and mll > best_mll:
+            best_post, best_mll = post, mll
+    if best_post is None:
+        raise FloatingPointError(
+            "no candidate diag_reg produced a finite evidence — check the "
+            "feature scale / input_scale")
+    return best_post, scores

@@ -256,7 +256,8 @@ class Estimator:
                 precision=d["precision"],
                 rank_rtol=float(d["rank_rtol"]),
                 panel_size=int(d["panel_size"]),
-                mesh=mesh)
+                mesh=mesh,
+                yty=(jnp.asarray(arrs["yty"]) if "yty" in arrs else None))
             return self
         if "distributed" in meta:
             if mesh is None:
@@ -355,6 +356,8 @@ class Estimator:
                 reg=np.asarray(p.reg), c_raw=np.asarray(p.c_raw),
                 b_w=np.asarray(p.b_w), diag_sum=np.asarray(p.diag_sum),
             )
+            if p.yty is not None:
+                arrs["yty"] = np.asarray(p.yty)
             if p.m1_w is not None:
                 arrs["m1_w"] = np.asarray(p.m1_w)
                 arrs["w_kmm"] = np.asarray(p.w_kmm)

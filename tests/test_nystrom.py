@@ -92,7 +92,7 @@ def test_extend_equals_refit_same_inducing(get):
     from nngp_tpu.gp import nystrom as nmod
     x_m = xa[idx]
     np.testing.assert_allclose(np.asarray(base.x_m), x_m)  # inducing fixed
-    c, b, m1, dsum = nmod._stream_moments(
+    c, b, m1, dsum, _yty = nmod._stream_moments(
         spec, get, "highest", base.x_m, base.w_solve, base.w_kmm, xa, ya, 64)
     np.testing.assert_allclose(np.asarray(ext.c_raw), np.asarray(c),
                                rtol=1e-10, atol=1e-10)
