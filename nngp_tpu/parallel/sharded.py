@@ -217,6 +217,24 @@ class DistributedPosterior:
     def _unpermute(self, arr):
         return jnp.take(arr, _e2s_device(self.g2e), axis=0)[: self.num_train]
 
+    @jax.jit
+    def log_marginal_likelihood(self):
+        """Exact GP log evidence in raw units — same quantity as
+        `GPPosterior.log_marginal_likelihood`, computed from the sharded
+        factor without gathering it: pivots live at l[s, g2e[s]] (cyclic
+        storage), inert pad rows have pivot 1 / alpha 0 / y 0 so they
+        contribute exactly nothing to either term."""
+        n_pad = self.num_padded
+        diag = self.l[jnp.arange(n_pad), jnp.asarray(self.g2e)]
+        quad = jnp.sum(self.y_storage * self.alpha)
+        logdet = 2.0 * jnp.sum(jnp.log(diag))
+        n = self.num_train
+        if self.input_scale != 1.0:
+            s2 = jnp.asarray(self.input_scale, diag.dtype) ** 2
+            quad = quad / s2
+            logdet = logdet + n * jnp.log(s2)
+        return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
+
     def _cross_grams(self, x_test):
         """(nngp, ntk) cross Grams of shape (n, n_te), TRAIN-row sharded in
         storage order — the large-n predict layout (n*n_te/p per device).

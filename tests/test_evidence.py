@@ -109,6 +109,20 @@ def test_nystrom_evidence_scale_invariant_and_extend():
     assert np.isfinite(ext.log_evidence())
 
 
+def test_distributed_mll_matches_dense_with_padding():
+    """The sharded evidence must equal the dense oracle at a ragged n
+    (inert pad rows: pivot 1, alpha 0 — zero contribution)."""
+    from nngp_tpu.parallel import distributed_fit, make_mesh
+    x, y = _data(n=61, seed=15)           # 61 % 8 != 0 -> padding engaged
+    spec = reference_kernel()
+    mesh = make_mesh()
+    dist = distributed_fit(spec, x, y, mesh, 1e-3, "nngp", block_size=4)
+    assert dist.num_padded > dist.num_train
+    want = _dense_mll(spec, x, y, float(dist.reg), "nngp")
+    np.testing.assert_allclose(float(dist.log_marginal_likelihood()), want,
+                               rtol=1e-8)
+
+
 def test_nystrom_evidence_none_yty_raises():
     """A posterior restored from a pre-evidence checkpoint (yty=None) must
     refuse — and extend must not resurrect a partial sum."""
