@@ -102,9 +102,18 @@ class ActiveLearner:
             printer=printer)
         return mse
 
+    # pools larger than this predict in chunks: one (pool, n) or (pool, m)
+    # cross Gram would otherwise spike device memory in a selection step
+    # that is latency-insensitive anyway
+    CHUNKED_POOL_MIN = 32768
+
     def select(self, post: GPPosterior, x_pool):
         """Acquisition indices into the pool (device-side)."""
-        mean, std = post.predict_mean_std(x_pool)
+        if x_pool.shape[0] > self.CHUNKED_POOL_MIN:
+            mean, std = post.predict_mean_std_chunked(np.asarray(x_pool))
+            mean, std = jnp.asarray(mean), jnp.asarray(std)
+        else:
+            mean, std = post.predict_mean_std(x_pool)
         # coefficient-of-variation normalization (`ActiveLearner.py:47`)
         std = std / jnp.max(mean)
         num_pool = x_pool.shape[0]

@@ -67,6 +67,10 @@ def main(argv=None):
                     "mse": round(float(np.mean(errors ** 2)), 4),
                     "median_q": round(float(np.median(q)), 4),
                     "p95_q": round(float(np.quantile(q, 0.95)), 4),
+                    # label-free architecture comparison: exact GP log
+                    # evidence of the fitted model (free given the factor)
+                    "log_evidence": round(
+                        float(post.log_marginal_likelihood()), 2),
                 }
                 results.append(row)
                 print(json.dumps(row), flush=True)

@@ -39,6 +39,20 @@ def test_active_learning_improves_val_mse(refit, biased):
     assert mse0 < mse_base  # more (selected) data must help on this toy task
 
 
+def test_select_chunked_pool_matches_direct(monkeypatch):
+    """Above CHUNKED_POOL_MIN the selection predicts the pool in chunks;
+    with deterministic top-k acquisition the indices must be identical."""
+    x, y = _toy_data(260, seed=3)
+    learner = ActiveLearner(reference_kernel(), budget=25,
+                            biased_sample=False)
+    post = learner.train(jnp.asarray(x[:60]), jnp.asarray(y[:60]))
+    pool = jnp.asarray(x[60:])
+    direct = np.asarray(learner.select(post, pool))
+    monkeypatch.setattr(ActiveLearner, "CHUNKED_POOL_MIN", 32)
+    chunked = np.asarray(learner.select(post, pool))
+    np.testing.assert_array_equal(np.sort(chunked), np.sort(direct))
+
+
 def test_active_incremental_tracks_full_refit():
     """Incremental extend and full refit should give very close val MSE."""
     x, y = _toy_data(240, seed=1)
