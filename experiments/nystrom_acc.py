@@ -17,6 +17,7 @@ max_train = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 ms = [int(v) for v in sys.argv[2].split(",")] if len(sys.argv) > 2 else [512]
 rtols = ([float(v) for v in sys.argv[3].split(",")] if len(sys.argv) > 3
          else [1e-6, 1e-5, 1e-4])
+get = sys.argv[4] if len(sys.argv) > 4 else "nngp"
 
 x, y, infos, _ = load_single_table_workload(
     "workloads/forest_data", relation="forest", name="forest",
@@ -27,17 +28,18 @@ spec = reference_kernel()
 yv = np.asarray(y_te).ravel()
 xt = jnp.asarray(x_te)
 
-exact = fit_gp(spec, x_tr, y_tr)
+exact = fit_gp(spec, x_tr, y_tr, get=get)
 m0, s0 = exact.predict_mean_std(xt)
 q = symmetric_qerror(np.asarray(m0).ravel() - yv)
-print(f"exact n={x_tr.shape[0]}: median q {np.median(q):.4f} "
+print(f"exact n={x_tr.shape[0]} get={get}: median q {np.median(q):.4f} "
       f"p95 {np.quantile(q, 0.95):.4f}", flush=True)
 del exact, m0, s0
 
 for m in ms:
     for rt in rtols:
         t0 = time.time()
-        post = fit_nystrom(spec, x_tr, y_tr, num_inducing=m, rank_rtol=rt)
+        post = fit_nystrom(spec, x_tr, y_tr, num_inducing=m, rank_rtol=rt,
+                           get=get)
         sync(post.beta_w)
         t_fit = time.time() - t0
         mm, ss = post.predict_mean_std(xt)

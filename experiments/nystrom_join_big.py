@@ -30,9 +30,12 @@ exact_n = int(sys.argv[1]) if len(sys.argv) > 1 else 64800
 ms = ([int(v) for v in sys.argv[2].split(",")] if len(sys.argv) > 2
       else [2048, 4096])
 chunk_norm = "--chunk_norm" in sys.argv
+if "--x64" in sys.argv:                 # CPU fp64 (reference numerics)
+    jax.config.update("jax_enable_x64", True)
+dt = np.float64 if "--x64" in sys.argv else np.float32
 
 x, y, infos, enc = load_multi_join_workload(
-    "workloads/synth6_big_data", schema_name="synth6", dtype=np.float32,
+    "workloads/synth6_big_data", schema_name="synth6", dtype=dt,
     chunk_norm=chunk_norm)
 x_tr, y_tr, _, x_te, y_te, _, *_r = train_test_val_split(
     x, y, train_frac=0.6, test_frac=0.2, all_query_infos=infos)

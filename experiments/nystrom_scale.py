@@ -48,7 +48,7 @@ for n in ns:
     sync(w_solve)
     t_bases = time.time() - t0
     t0 = time.time()
-    c_raw, b_w, _, dsum = _stream_moments(
+    c_raw, b_w, _, dsum, _yty = _stream_moments(
         spec, "nngp", "highest", x_m, w_solve, w_kmm, xs,
         np.asarray(y), post.panel_size)
     sync(c_raw)

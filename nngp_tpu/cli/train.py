@@ -222,8 +222,14 @@ def main(argv=None):
                 tag = "  <-- selected" if r == float(best.diag_reg) else ""
                 print(f"diag_reg={r:g}: log evidence {mll:.2f}{tag}")
             args.diag_reg = float(best.diag_reg)
-        with timer.measure(
-                "kernel construction (fit: Gram + Cholesky, cold)") as h:
+        # honest labels: after --select_reg the fit program is already
+        # compiled (the sweep fit every candidate), so the first timed fit
+        # below is warm, not cold
+        cold_label = ("kernel construction (fit: Gram + Cholesky, cold)"
+                      if not args.select_reg else
+                      "kernel construction (fit; warm — compiled during "
+                      "--select_reg sweep)")
+        with timer.measure(cold_label) as h:
             post = _fit()
             h["out"] = post.beta_w if args.nystrom_m else post.l
         with prof:

@@ -152,6 +152,14 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
         precision=precision)
 
 
+@jax.jit
+def _gauss_mll_terms(diag, y, alpha):
+    """(y^T alpha, 2 sum log diag): the two device reductions of the exact
+    GP evidence. Standalone on raw arrays so its jit cache keys on SHAPES
+    only — every ridge candidate in `select_diag_reg` hits one program."""
+    return jnp.sum(y * alpha), 2.0 * jnp.sum(jnp.log(diag))
+
+
 def chunked_predict(predict_fn, x_test, chunk: int = 8192):
     """Run a (mean, std) batch-predict callable over arbitrarily large test
     sets, `chunk` rows per device dispatch. Tail blocks are padded to the
@@ -303,8 +311,7 @@ class GPPosterior:
         return chunked_predict(self.predict_mean_std, x_test, chunk)
 
     # ------------------------------------------------------- model evidence
-    @jax.jit
-    def log_marginal_likelihood(self):
+    def log_marginal_likelihood(self) -> float:
         """Exact GP log evidence log p(y | X) of the fitted model
         N(0, K_solve + reg I) in RAW input units — free given the factor:
         -0.5 (y^T alpha + 2 sum log diag L + n log 2pi). The reference has
@@ -314,16 +321,20 @@ class GPPosterior:
         With an input prescale the stored system is the raw one divided by
         scale^2, so the raw-unit evidence adds n log scale^2 to the logdet
         and divides the quadratic term by scale^2 (exact: the scale is a
-        power of two)."""
+        power of two). Host compensation on purpose: the device part
+        (`_gauss_mll_terms`) is keyed on shapes only, so a ridge sweep
+        reuses ONE compiled program across candidates (diag_reg is a
+        static pytree field — a self-jitted method would recompile per
+        candidate on a tunnel where compiles cost seconds-to-minutes)."""
         n = self.num_train
         diag = (self.l.diagonal() if hasattr(self.l, "blocks")
                 else jnp.diagonal(self.l))
-        quad = jnp.sum(self.y_train * self.alpha)
-        logdet = 2.0 * jnp.sum(jnp.log(diag))
+        quad, logdet = _gauss_mll_terms(diag, self.y_train, self.alpha)
+        quad, logdet = float(quad), float(logdet)
         if self.input_scale != 1.0:
-            s2 = jnp.asarray(self.input_scale, diag.dtype) ** 2
-            quad = quad / s2
-            logdet = logdet + n * jnp.log(s2)
+            s2 = float(self.input_scale) ** 2
+            quad /= s2
+            logdet += n * np.log(s2)
         return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
 
     # --------------------------------------------------------------- extend
@@ -380,7 +391,7 @@ class GPPosterior:
         )
 
 
-@partial(jax.jit, static_argnames=("spec", "get", "diag_reg", "absolute",
+@partial(jax.jit, static_argnames=("spec", "get", "absolute",
                                    "fused_min_n", "block_min_n",
                                    "mono_max_n"))
 def _fit_impl(x, y, spec, get, diag_reg, absolute,
@@ -573,24 +584,29 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
 def select_diag_reg(spec: KernelSpec, x_train, y_train,
                     candidates=(1e-4, 3e-4, 1e-3, 3e-3, 1e-2),
                     get: str = "nngp", input_scale: Optional[float] = None):
-    """Ridge selection by exact GP evidence: refit per candidate (warm
-    fits reuse the compiled program — ~50 ms each on the chip at 10.8k)
-    and keep the `diag_reg` with the highest `log_marginal_likelihood`.
+    """Ridge selection by exact GP evidence: refit per candidate and keep
+    the `diag_reg` with the highest `log_marginal_likelihood`. diag_reg is
+    a TRACED operand of the fit program and the evidence reductions key on
+    shapes only, so the first candidate pays the one compile and the rest
+    are warm refits (~50 ms each on the chip at 10.8k). At most ONE factor
+    is live at a time — candidates are scored and dropped, the winner
+    refit at the end (holding two n^2 factors OOMs large-n fits).
 
     Returns (best_posterior, {diag_reg: mll}). Model selection the
     reference cannot do — its ridge is hard-coded
     (`/root/reference/train.py:171`)."""
     scores = {}
-    best_post, best_mll = None, -np.inf
     for r in candidates:
         post = fit_gp(spec, x_train, y_train, diag_reg=float(r), get=get,
                       input_scale=input_scale)
-        mll = float(post.log_marginal_likelihood())
-        scores[float(r)] = mll
-        if np.isfinite(mll) and mll > best_mll:
-            best_post, best_mll = post, mll
-    if best_post is None:
+        scores[float(r)] = post.log_marginal_likelihood()
+        del post
+    finite = {r: v for r, v in scores.items() if np.isfinite(v)}
+    if not finite:
         raise FloatingPointError(
             "no candidate diag_reg produced a finite evidence — check the "
             "feature scale / input_scale")
+    best_r = max(finite, key=finite.get)
+    best_post = fit_gp(spec, x_train, y_train, diag_reg=best_r, get=get,
+                       input_scale=input_scale)
     return best_post, scores
