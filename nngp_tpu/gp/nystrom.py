@@ -324,6 +324,46 @@ class NystromPosterior:
             yty=(yty if self.yty is not None else None),
             num_train=self.num_train + x_new.shape[0])
 
+    def forget(self, x_old, y_old):
+        """EXACT decremental learning: remove previously-incorporated rows
+        by subtracting their moment contributions and re-running the k x k
+        solve stage — the mirror of `extend`, same O(s m^2 + m^3) cost.
+        forget(extend(rows)) is bit-equivalent math to never having added
+        them (moments are plain sums; tests/test_nystrom.py), enabling
+        sliding-window serving and feedback expiry. The inducing set keeps
+        its x rows either way — DTC never requires inducing points to be
+        training points. Rows must match what was originally streamed
+        (same features/labels), or the moments go inconsistent; there is
+        no way to detect a mismatch here.
+
+        The exact tier has no cheap counterpart (a Cholesky DOWNdate is
+        numerically unstable at this conditioning); the reference refits
+        from scratch for any change."""
+        x_old = np.asarray(x_old)
+        y_old = np.asarray(y_old, dtype=x_old.dtype)
+        if y_old.ndim == 1:
+            y_old = y_old[:, None]
+        if x_old.shape[0] > self.num_train:
+            raise ValueError(
+                f"forget({x_old.shape[0]} rows) exceeds num_train "
+                f"({self.num_train})")
+        if self.input_scale != 1.0:
+            x_old = x_old * (1.0 / self.input_scale)
+        dc, db, dm1, dd, dy2 = _stream_moments(
+            self.spec, self.get, self.precision, self.x_m,
+            self.w_solve, self.w_kmm, x_old, y_old, self.panel_size,
+            mesh=self.mesh, mesh_axis=self.mesh_axis)
+        c_raw = self.c_raw - dc
+        b_w = self.b_w - db
+        m1_w = self.m1_w - dm1 if self.get == "ntk" else None
+        ic, beta_w = _finalize_host(c_raw, b_w, self.reg, self.x_m.dtype)
+        return dataclasses.replace(
+            self, ic=ic, beta_w=beta_w,
+            c_raw=c_raw, b_w=b_w, m1_w=m1_w,
+            diag_sum=self.diag_sum - dd,
+            yty=(self.yty - dy2 if self.yty is not None else None),
+            num_train=self.num_train - x_old.shape[0])
+
     # ------------------------------------------------------- model evidence
     def log_evidence(self) -> float:
         """Closed-form log evidence of the fitted DTC model

@@ -454,12 +454,9 @@ class Estimator:
                   if l.strip()]
         return self.encoder.encode_batch(parsed, dtype=self.dtype)
 
-    def extend_with_lines(self, labeled_lines: Sequence[str]):
-        """Online learning: fold freshly-labeled queries (the aux-feedback
-        loop's `query@...@card` lines) into the posterior with an O(n^2 k)
-        block-Cholesky extension — no CSVs, no refit, no restart. The
-        reference can only retrain from scratch with a new Estimator
-        (SURVEY.md section 3.3)."""
+    def _encode_labeled_lines(self, labeled_lines, op_name: str):
+        """Shared parse/encode for the online-learning surfaces: labeled
+        `query@...@card` lines -> (x, cards), card >= 1 enforced."""
         if self._fast is not None:
             x, cards, *_ = self._fast.encode_multi("\n".join(labeled_lines),
                                                    with_card=True,
@@ -476,8 +473,18 @@ class Estimator:
             x = self.encoder.encode_batch(parsed, dtype=self.dtype)
             cards = np.asarray(cards, dtype=np.float64)
         if np.any(cards < 1):
-            raise ValueError("extend_with_lines requires card >= 1 on every "
+            raise ValueError(f"{op_name} requires card >= 1 on every "
                              "labeled line (log2 of 0 is -inf)")
+        return x, cards
+
+    def extend_with_lines(self, labeled_lines: Sequence[str]):
+        """Online learning: fold freshly-labeled queries (the aux-feedback
+        loop's `query@...@card` lines) into the posterior with an O(n^2 k)
+        block-Cholesky extension — no CSVs, no refit, no restart. The
+        reference can only retrain from scratch with a new Estimator
+        (SURVEY.md section 3.3)."""
+        x, cards = self._encode_labeled_lines(labeled_lines,
+                                              "extend_with_lines")
         # A factor fitted through __init__ uses the encoder's layout bound,
         # which covers ANY encodable line; a restored checkpoint from an
         # older data-probed fit may carry a smaller input_scale. Guard here
@@ -499,6 +506,32 @@ class Estimator:
         candidate = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
         # validate BEFORE installing so a bad batch cannot corrupt a live
         # server (the old posterior stays authoritative on failure)
+        old = self.posterior
+        try:
+            self.posterior = candidate
+            self._validate_fit()
+        except FloatingPointError:
+            self.posterior = old
+            raise
+        return x.shape[0]
+
+    def forget_with_lines(self, labeled_lines: Sequence[str]):
+        """Online FORGETTING (Nystrom tier only): remove previously-
+        incorporated labeled queries — expired feedback, sliding-window
+        serving — by exact moment subtraction (`NystromPosterior.forget`,
+        O(s m^2 + m^3)). Lines must be the same query@...@card lines that
+        were trained/extended in. The exact tier refuses: a Cholesky
+        downdate is unstable at this conditioning, refit instead (the
+        reference refits for ANY change)."""
+        if not hasattr(self.posterior, "forget"):
+            raise NotImplementedError(
+                "forget_with_lines requires the streaming Nystrom tier "
+                "(Estimator(nystrom_m=...)); the exact factor has no "
+                "stable downdate — refit a fresh Estimator instead")
+        x, cards = self._encode_labeled_lines(labeled_lines,
+                                              "forget_with_lines")
+        y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
+        candidate = self.posterior.forget(x, y)
         old = self.posterior
         try:
             self.posterior = candidate

@@ -455,6 +455,32 @@ def test_estimator_nystrom_serves_and_roundtrips(tmp_path, kernel_type):
     assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)
 
 
+def test_estimator_nystrom_forget_inverts_extend(tmp_path):
+    """forget_with_lines removes exactly what extend_with_lines added (the
+    exact tier refuses with a clear error)."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, nystrom_m=60)
+    lines_q = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+               "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    m0, s0 = est.predict(lines_q)
+    fb = ["ta,tb@x,3.0,1.0@@ta,tb,id@2000",
+          "ta,tb@x,8.0,2.0@@ta,tb,id@6000"]
+    n0 = est.posterior.num_train
+    est.extend_with_lines(fb)
+    assert est.posterior.num_train == n0 + 2
+    removed = est.forget_with_lines(fb)
+    assert removed == 2 and est.posterior.num_train == n0
+    m1, s1 = est.predict(lines_q)
+    np.testing.assert_allclose(m1, m0, rtol=1e-8)
+    np.testing.assert_allclose(s1, s0, rtol=1e-8)
+
+    exact = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                      verbose=False)
+    with pytest.raises(NotImplementedError, match="Nystrom"):
+        exact.forget_with_lines(fb)
+
+
 def test_estimator_nystrom_over_mesh_matches_single_device(tmp_path):
     """Estimator(nystrom_m=..., mesh=...) shards the moment panels over the
     mesh; serving output matches the single-device Nystrom tier, and a

@@ -106,6 +106,60 @@ def test_extend_equals_refit_same_inducing(get):
     assert np.all(np.isfinite(np.asarray(se)))
 
 
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_forget_inverts_extend(get):
+    """Decremental learning: forget(extend(rows)) must reproduce the base
+    posterior's predictions (moments are sums — exact removal up to fp
+    reassociation)."""
+    x, y, xt = _data(n=120, seed=30)
+    x2, y2, _ = _data(n=33, seed=31)
+    spec = KernelSpec(mlp(depth=2))
+    base = fit_nystrom(spec, x, y, num_inducing=40, get=get)
+    rt = base.extend(x2, y2).forget(x2, y2)
+    assert rt.num_train == base.num_train
+    m0, s0 = base.predict_mean_std(jnp.asarray(xt))
+    m1, s1 = rt.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-7, atol=1e-10)
+    if base.yty is not None:
+        np.testing.assert_allclose(float(rt.yty), float(base.yty),
+                                   rtol=1e-10)
+
+
+def test_forget_equals_refit_on_remainder():
+    """Sliding window: forgetting the head rows equals refitting on the
+    tail with the same inducing set and ridge."""
+    from nngp_tpu.gp import nystrom as nmod
+    x, y, xt = _data(n=150, seed=32)
+    spec = reference_kernel()
+    full = fit_nystrom(spec, x, y, num_inducing=30, seed=3,
+                       diag_reg_absolute_scale=True)
+    slid = full.forget(x[:50], y[:50])
+    assert slid.num_train == 100
+
+    # refit on the tail, pinning the SAME inducing rows and ridge
+    idx = nmod.select_inducing(150, 30, seed=3)
+    c, b, _m1, _d, _y2 = nmod._stream_moments(
+        spec, "nngp", "highest", full.x_m, full.w_solve, full.w_kmm,
+        x[50:], y[50:], 64)
+    np.testing.assert_allclose(np.asarray(slid.c_raw), np.asarray(c),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(slid.b_w), np.asarray(b),
+                               rtol=1e-9, atol=1e-12)
+    m, s = slid.predict_mean_std(jnp.asarray(xt))
+    assert np.all(np.isfinite(np.asarray(m)))
+    assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_forget_too_many_rows_raises():
+    x, y, _ = _data(n=30)
+    post = fit_nystrom(reference_kernel(), x, y, num_inducing=10)
+    with pytest.raises(ValueError, match="exceeds num_train"):
+        post.forget(np.concatenate([x, x]), np.concatenate([y, y]))
+
+
 def test_panel_size_invariance():
     x, y, xt = _data(n=100, seed=2)
     spec = reference_kernel()
