@@ -155,23 +155,79 @@ def _whiten_basis(kmm64: np.ndarray, rank_rtol: float) -> np.ndarray:
     return v[:, keep] / np.sqrt(lam[keep])[None, :]
 
 
+def _lam_max_estimate(sym64: np.ndarray, iters: int = 16) -> float:
+    """Power-iteration lambda_max of a symmetric PSD matrix — O(iters m^2),
+    negligible next to any factorization of it."""
+    v = np.full(sym64.shape[0], 1.0 / np.sqrt(sym64.shape[0]))
+    lam = 0.0
+    for _ in range(iters):
+        w = sym64 @ v
+        lam = float(v @ w)
+        nrm = float(np.linalg.norm(w))
+        if nrm == 0.0:
+            return 0.0
+        v = w / nrm
+    return max(lam, float(np.max(np.diag(sym64))))
+
+
+def _whiten_basis_chol(kmm64: np.ndarray, rank_rtol: float) -> np.ndarray:
+    """Jittered-Cholesky whitening basis W = chol(K_mm + j I)^-T (m, m):
+    W^T K_mm W = I - j W W^T ~= I, with j = rank_rtol * lam_max escalated
+    10x until the factorization succeeds (fp32 kernel noise can leave the
+    fp64 copy slightly indefinite). The standard "jittered Nystrom"
+    regularization — it DAMPS the noise directions the eigh basis DROPS.
+    ~5x cheaper than eigh on this image's single core (m=2048: chol+trtri
+    1.3 s vs eigh 3.5 s) and the speed default: measured q-error parity
+    with the eigh basis on the fp32 forest workload
+    (experiments/nystrom_whiten_ab.log)."""
+    from scipy.linalg import lapack
+
+    sym = 0.5 * (kmm64 + kmm64.T)
+    m = sym.shape[0]
+    lam_max = _lam_max_estimate(sym)
+    if lam_max <= 0.0:
+        raise ValueError(
+            "K_mm has non-positive spectrum — degenerate inducing set "
+            "(all-identical rows?)")
+    jitter = rank_rtol * lam_max
+    for _ in range(8):
+        try:
+            ell = np.linalg.cholesky(sym + jitter * np.eye(m))
+        except np.linalg.LinAlgError:
+            jitter *= 10.0
+            continue
+        li, info = lapack.dtrtri(ell, lower=1)
+        if info != 0:
+            jitter *= 10.0
+            continue
+        return np.ascontiguousarray(li.T)
+    raise np.linalg.LinAlgError(
+        "K_mm not factorizable even at jitter "
+        f"{jitter:.3e} (lam_max ~ {lam_max:.3e})")
+
+
 _BASES_CACHE = {}                       # host numpy results only
 _BASES_CACHE_MAX = 4
 
 
-def _inducing_bases(spec, get, rank_rtol, x_m):
+def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol"):
     """Host-fp64 whitening bases from the device-computed K_mm kernels.
 
+    whiten='chol' (default): jittered-Cholesky basis, ~5x cheaper on host;
+    whiten='eigh': eigenvalue-truncated basis (the semantics anchor).
+
     Cached on the VALUE of the inducing set (sha1 of its bytes + spec/get/
-    rtol): the eigh costs seconds on this image's single CPU core, and
-    repeated fits with the same inducing rows (active-learning full
-    refits, best-of-N timing loops) would otherwise pay it every time.
-    The cache holds HOST numpy arrays (never traced values — see the
-    CLAUDE.md lru_cache rule) and is tiny (<= 4 entries of ~m*k floats)."""
+    rtol/whiten): the factorization costs seconds on this image's single
+    CPU core, and repeated fits with the same inducing rows (active-
+    learning full refits, best-of-N timing loops) would otherwise pay it
+    every time. The cache holds HOST numpy arrays (never traced values —
+    see the CLAUDE.md lru_cache rule) and is tiny (<= 4 entries of ~m*k
+    floats)."""
     import hashlib
 
+    basis_fn = _whiten_basis_chol if whiten == "chol" else _whiten_basis
     x_np = np.asarray(x_m)
-    key = (spec, get, float(rank_rtol), str(x_np.dtype), x_np.shape,
+    key = (spec, get, float(rank_rtol), whiten, str(x_np.dtype), x_np.shape,
            hashlib.sha1(x_np.tobytes()).hexdigest())
     hit = _BASES_CACHE.get(key)
     if hit is not None:
@@ -182,11 +238,11 @@ def _inducing_bases(spec, get, rank_rtol, x_m):
 
     if get == "ntk":
         kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
-        w_kmm_np = _whiten_basis(np.asarray(kmm_nngp, np.float64), rank_rtol)
+        w_kmm_np = basis_fn(np.asarray(kmm_nngp, np.float64), rank_rtol)
     else:
         kmm_solve = spec.kernel_fn(x_m, x_m, "nngp")
         w_kmm_np = None
-    w_solve_np = _whiten_basis(np.asarray(kmm_solve, np.float64), rank_rtol)
+    w_solve_np = basis_fn(np.asarray(kmm_solve, np.float64), rank_rtol)
     if len(_BASES_CACHE) >= _BASES_CACHE_MAX:
         _BASES_CACHE.pop(next(iter(_BASES_CACHE)))
     _BASES_CACHE[key] = (w_solve_np, w_kmm_np)
@@ -196,13 +252,31 @@ def _inducing_bases(spec, get, rank_rtol, x_m):
 
 
 def _finalize_host(c_raw, b_w, reg, dtype):
-    """Host-fp64 k x k solve stage with eigenvalue clamping: returns
-    (ic, beta) where ic ic^T = (clamp(C) + r I)^-1 and beta = that @ b."""
-    c64 = np.asarray(c_raw, np.float64)
-    lam, v = np.linalg.eigh(0.5 * (c64 + c64.T))
-    lam = np.maximum(lam, 0.0)          # fp32 accumulation noise -> prior
-    inv_sqrt = 1.0 / np.sqrt(lam + float(reg))
-    ic64 = v * inv_sqrt[None, :]
+    """Host-fp64 k x k solve stage: returns (ic, beta) with
+    ic ic^T = (C + r I)^-1 and beta = that @ b. Cholesky first (~3x
+    cheaper than eigh on this single-core host; any square-root factor of
+    the inverse serves predict/evidence identically). If fp32 accumulation
+    noise left C + rI indefinite, fall back to the eigenvalue-clamped
+    inverse root: noise directions (lam ~ eps * lam_max < 0 possible)
+    revert to the PRIOR (1/r) instead of breaking the factorization —
+    robust at any n."""
+    from scipy.linalg import lapack
+
+    c64 = 0.5 * (np.asarray(c_raw, np.float64)
+                 + np.asarray(c_raw, np.float64).T)
+    ic64 = None
+    try:
+        ell = np.linalg.cholesky(c64 + float(reg) * np.eye(c64.shape[0]))
+        li, info = lapack.dtrtri(ell, lower=1)
+        if info == 0:
+            ic64 = np.ascontiguousarray(li.T)
+    except np.linalg.LinAlgError:
+        pass
+    if ic64 is None:
+        lam, v = np.linalg.eigh(c64)
+        lam = np.maximum(lam, 0.0)      # fp32 accumulation noise -> prior
+        inv_sqrt = 1.0 / np.sqrt(lam + float(reg))
+        ic64 = v * inv_sqrt[None, :]
     beta64 = ic64 @ (ic64.T @ np.asarray(b_w, np.float64))
     return jnp.asarray(ic64, dtype), jnp.asarray(beta64, dtype)
 
@@ -485,7 +559,7 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
                 panel_size: int = _DEFAULT_PANEL,
                 rank_rtol: Optional[float] = None,
                 input_scale: Optional[float] = None,
-                precision: str = "highest",
+                precision: str = "highest", whiten: str = "chol",
                 mesh=None, mesh_axis: str = "data") -> NystromPosterior:
     """Streaming Nystrom/DTC fit. O(n m^2) MXU flops, O(m^2 + panel*m)
     device memory — n is unbounded by HBM (the row panels stream from
@@ -496,6 +570,11 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     precision: 'highest' (default; fp32 6-pass MXU accumulation) or 'high'
     (3-pass, ~2x faster moments) — measure q-error parity at forest scale
     before trusting 'high' on a new workload.
+
+    whiten: 'chol' (default) jittered-Cholesky whitening basis — ~5x
+    cheaper host stage, rank always m; 'eigh' the eigenvalue-truncated
+    basis (rank <= m). Measured q-error parity between the two on the
+    fp32 forest workload (experiments/nystrom_whiten_ab.log).
 
     mesh: optional jax.sharding.Mesh — shard every panel's rows over
     `mesh_axis` so the O(n m^2) moment flops data-parallelize across
@@ -523,7 +602,10 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     if rank_rtol is None:
         rank_rtol = _default_rank_rtol(x_m.dtype)
 
-    w_solve, w_kmm = _inducing_bases(spec, get, float(rank_rtol), x_m)
+    if whiten not in ("chol", "eigh"):
+        raise ValueError(f"whiten must be 'chol' or 'eigh', got {whiten!r}")
+    w_solve, w_kmm = _inducing_bases(spec, get, float(rank_rtol), x_m,
+                                     whiten=whiten)
     c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
         spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size,
         mesh=mesh, mesh_axis=mesh_axis)

@@ -220,6 +220,32 @@ def test_bad_get_raises():
         fit_nystrom(reference_kernel(), x, y, get="gp")
 
 
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_whiten_chol_matches_eigh(get):
+    """The jittered-Cholesky basis and the eigenvalue-truncated basis span
+    the same column space at full rank; predictions must agree to the
+    jitter scale (jitter = rank_rtol * lam_max damps vs drops the noise
+    directions — see _whiten_basis_chol)."""
+    x, y, xt = _data(n=140, seed=40)
+    spec = reference_kernel()
+    pe = fit_nystrom(spec, x, y, num_inducing=48, get=get, whiten="eigh")
+    pc = fit_nystrom(spec, x, y, num_inducing=48, get=get, whiten="chol")
+    m0, s0 = pe.predict_mean_std(jnp.asarray(xt))
+    m1, s1 = pc.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(pc.log_evidence()),
+                               float(pe.log_evidence()), rtol=1e-4)
+
+
+def test_bad_whiten_raises():
+    x, y, _ = _data(n=20)
+    with pytest.raises(ValueError, match="whiten"):
+        fit_nystrom(reference_kernel(), x, y, whiten="qr")
+
+
 # ---------------------------------------------------------------- mesh tier
 
 @pytest.mark.parametrize("get", ["nngp", "ntk"])
