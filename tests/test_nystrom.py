@@ -246,6 +246,85 @@ def test_bad_whiten_raises():
         fit_nystrom(reference_kernel(), x, y, whiten="qr")
 
 
+# ------------------------------------------------------ RPCholesky selection
+
+def _skewed_data(n_dense=220, n_rare=24, d=6, seed=0):
+    """One dense cluster + scattered rare rows: uniform selection starves
+    the rare region, RPCholesky must not."""
+    rng = np.random.default_rng(seed)
+    dense = 0.05 * rng.standard_normal((n_dense, d)) + 0.3
+    rare = rng.uniform(-4, 4, (n_rare, d))
+    x = np.concatenate([dense, rare]).astype(np.float64)
+    y = np.sin(x.sum(axis=1))[:, None]
+    return x, y
+
+
+def _nystrom_trace_err(spec, x, idx):
+    """Exact fp64 residual trace tr(K - K_nm K_mm^+ K_mn)."""
+    k = np.asarray(spec.kernel_fn(jnp.asarray(x), jnp.asarray(x), "nngp"),
+                   np.float64)
+    kmm = k[np.ix_(idx, idx)]
+    knm = k[:, idx]
+    lam, v = np.linalg.eigh(0.5 * (kmm + kmm.T))
+    keep = lam > 1e-12 * max(lam[-1], 0.0)
+    w = v[:, keep] / np.sqrt(lam[keep])[None, :]
+    psi = knm @ w
+    return float(np.trace(k) - np.sum(psi * psi))
+
+
+def test_rpchol_selection_well_formed():
+    from nngp_tpu.gp.nystrom import select_inducing_rpchol
+    x, _ = _skewed_data()
+    spec = reference_kernel()
+    idx = select_inducing_rpchol(spec, x, 24, seed=1)
+    assert idx.ndim == 1 and len(idx) <= 24
+    assert len(np.unique(idx)) == len(idx)
+    assert np.all(idx == np.sort(idx))
+    assert idx.min() >= 0 and idx.max() < x.shape[0]
+    idx2 = select_inducing_rpchol(spec, x, 24, seed=1)
+    np.testing.assert_array_equal(idx, idx2)   # seeded-deterministic
+    # m >= n short-circuits to the identity
+    np.testing.assert_array_equal(
+        select_inducing_rpchol(spec, x[:10], 32), np.arange(10))
+
+
+def test_rpchol_beats_uniform_on_skewed_data():
+    """RPCholesky is near trace-optimal; on clustered+rare data it must
+    dominate seeded-uniform selection (averaged over seeds so the test is
+    about the METHOD, not one lucky draw)."""
+    from nngp_tpu.gp.nystrom import select_inducing, select_inducing_rpchol
+    x, _ = _skewed_data()
+    spec = reference_kernel()
+    m = 20
+    uni = np.mean([_nystrom_trace_err(spec, x, select_inducing(
+        x.shape[0], m, seed=s)) for s in range(4)])
+    rp = np.mean([_nystrom_trace_err(spec, x, select_inducing_rpchol(
+        spec, x, m, seed=s, block=8)) for s in range(4)])
+    assert rp < 0.5 * uni, (rp, uni)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_fit_nystrom_rpchol_end_to_end(get):
+    x, y = _skewed_data(seed=5)
+    xt = x[::7] + 0.01
+    spec = reference_kernel()
+    post = fit_nystrom(spec, x, y, num_inducing=32, get=get,
+                       inducing="rpchol")
+    assert post.num_inducing <= 32
+    m, s = post.predict_mean_std(jnp.asarray(xt))
+    assert np.all(np.isfinite(np.asarray(m)))
+    assert np.all(np.isfinite(np.asarray(s))) and np.all(np.asarray(s) >= 0)
+    # extend stays exact regardless of how the inducing set was chosen
+    ext = post.extend(x[:16], y[:16])
+    assert ext.num_train == post.num_train + 16
+
+
+def test_bad_inducing_raises():
+    x, y, _ = _data(n=20)
+    with pytest.raises(ValueError, match="inducing"):
+        fit_nystrom(reference_kernel(), x, y, inducing="kmeans")
+
+
 # ---------------------------------------------------------------- mesh tier
 
 @pytest.mark.parametrize("get", ["nngp", "ntk"])
