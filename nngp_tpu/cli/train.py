@@ -62,6 +62,14 @@ def build_parser():
                         "O(n m^2) flops / O(m^2) device state, for train "
                         "sets beyond the exact fit's single-chip edge "
                         "(gp/nystrom.py)")
+    p.add_argument("--learn_hyper", action="store_true",
+                   help="learn (w0, w, b, diag_reg) by exact-MLL gradient "
+                        "descent before fitting (gp.hyperopt; multi-start "
+                        "Adam, one compiled dispatch) — overrides "
+                        "--w_std/--b_std/--diag_reg with the learned values")
+    p.add_argument("--hyper_steps", type=int, default=100)
+    p.add_argument("--hyper_points", type=int, default=4096,
+                   help="training-row subsample the MLL is optimized on")
     p.add_argument("--depth", type=int, default=1, help="hidden layers")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--activation", type=str, default="relu", choices=["relu", "erf"])
@@ -191,6 +199,22 @@ def main(argv=None):
     else:
         spec = KernelSpec(mlp(args.depth, args.width, args.activation,
                               args.w_std, args.b_std))
+        if args.learn_hyper:
+            from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+            with timer.measure("hyperparameter learning (exact MLL)") as h:
+                res = fit_kernel_hyperparams(
+                    x_tr, y_tr, depth=args.depth, activation=args.activation,
+                    get=args.kernel_type, steps=args.hyper_steps,
+                    max_points=args.hyper_points, width=args.width,
+                    init=(args.w_std, args.w_std, max(args.b_std, 0.1),
+                          args.diag_reg))
+                h["out"] = res.nll_history
+            print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
+                  f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
+                  f"(log evidence {res.log_evidence:.2f} on "
+                  f"{res.num_points} rows)")
+            spec = res.spec
+            args.diag_reg = res.diag_reg
         print("memory:", memory_usage_gb())
         if args.nystrom_m:
             from nngp_tpu.gp import fit_nystrom
