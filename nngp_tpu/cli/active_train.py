@@ -41,6 +41,13 @@ def build_parser():
     p.add_argument("--activation", type=str, default="relu",
                    choices=["relu", "erf"])
     p.add_argument("--diag_reg", type=float, default=1e-3)
+    p.add_argument("--learn_hyper", action="store_true",
+                   help="learn (w0, w, b, diag_reg) by exact-MLL gradient "
+                        "descent on the initial train split before the "
+                        "acquisition loop (gp.hyperopt) — overrides "
+                        "--diag_reg with the learned ridge")
+    p.add_argument("--hyper_steps", type=int, default=100)
+    p.add_argument("--hyper_points", type=int, default=4096)
     p.add_argument("--x64", action="store_true")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="run over an n-device mesh (0 = single chip): the "
@@ -71,6 +78,20 @@ def main(argv=None):
     print(f"train {x_tr.shape}  pool {x_pool.shape}  val {x_val.shape}")
 
     spec = KernelSpec(mlp(args.depth, args.width, args.activation))
+    input_scale = None
+    if args.learn_hyper:
+        from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+        res = fit_kernel_hyperparams(
+            x_tr, y_tr, depth=args.depth, activation=args.activation,
+            get=args.kernel_type, steps=args.hyper_steps,
+            max_points=args.hyper_points, width=args.width)
+        print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
+              f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
+              f"(log evidence {res.log_evidence:.2f})")
+        spec = res.spec
+        kw = res.fit_kwargs()
+        args.diag_reg = kw["diag_reg"]
+        input_scale = kw.get("input_scale")
     mesh = None
     if args.mesh_devices:
         # any n / any budget: the distributed layout pads with inert rows,
@@ -83,7 +104,7 @@ def main(argv=None):
         spec, budget=args.budget, active_iters=args.active_iters,
         kernel_type=args.kernel_type, biased_sample=args.biased_sample,
         diag_reg=args.diag_reg, refit=args.refit, mesh=mesh,
-        nystrom_m=args.nystrom_m)
+        nystrom_m=args.nystrom_m, input_scale=input_scale)
     post, history = learner.active_train(x_tr, y_tr, x_pool, y_pool,
                                          x_val, y_val, infos_val)
     return history

@@ -91,7 +91,9 @@ class Estimator:
                  dtype=np.float32, verbose: bool = True,
                  mesh=None, dist_block_size: Optional[int] = None,
                  chunk_norm: bool = False,
-                 nystrom_m: Optional[int] = None):
+                 nystrom_m: Optional[int] = None,
+                 learn_hyper: bool = False, hyper_steps: int = 100,
+                 hyper_points: int = 4096):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
@@ -107,7 +109,13 @@ class Estimator:
         chunk_norm: rescale packed categorical chunk slots onto the
         [0, 1000] numeric scale (featurize.SingleTableEncoder) — measured
         3.4x median q-error on the 6-table join workload; off = bit-exact
-        reference encoding."""
+        reference encoding.
+
+        learn_hyper: learn (w0, w, b, diag_reg) by exact-MLL gradient
+        descent on (a subsample of) the training queries before fitting
+        (gp/hyperopt.py) — replaces `spec`'s Dense stds and `diag_reg`
+        with the learned values. Requires fp32-safe feature magnitudes:
+        with packed categorical chunks, pass chunk_norm=True."""
         self.schema_name = schema_name
         self.chunk_size = chunk_size
         self.kernel_type = kernel_type
@@ -139,8 +147,42 @@ class Estimator:
         x, y = self.encoder.transform_to_arrays(queries, cards, dtype=dtype)
         if verbose:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
+        if learn_hyper:
+            self._learn_hyperparams(x, y, hyper_steps, hyper_points, verbose)
         self.posterior = self._fit(x, y)
         self._validate_fit()
+
+    def _learn_hyperparams(self, x, y, steps, max_points, verbose):
+        """Replace self.spec / self.diag_reg with exact-MLL-learned values
+        (gp/hyperopt.py). The learned spec round-trips through checkpoints
+        unchanged — save() already serializes Dense (w_std, b_std)."""
+        acts = [l for l in self.spec.layers if isinstance(l, Activation)]
+        denses = [l for l in self.spec.layers if isinstance(l, Dense)]
+        if not acts or len(denses) != len(acts) + 1 or len(
+                {a.name for a in acts}) != 1:
+            raise ValueError(
+                "learn_hyper requires an mlp-shaped spec "
+                "((Dense, Activation)*depth + Dense, one activation); got "
+                f"{self.spec.layers}")
+        max_abs = float(np.max(np.abs(x))) if x.size else 0.0
+        if max_abs > _EXTEND_MAX_SCALED_ABS:
+            raise ValueError(
+                f"learn_hyper: max|feature| = {max_abs:.3g} exceeds the "
+                "fp32-safe range (squared Gram entries overflow); pass "
+                "chunk_norm=True to put packed categorical chunks on the "
+                "[0, 1000] scale")
+        from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+        res = fit_kernel_hyperparams(
+            x, y, depth=len(acts), activation=acts[0].name,
+            get=self.kernel_type, steps=steps, max_points=max_points,
+            width=denses[0].width)
+        if verbose:
+            print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
+                  f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
+                  f"(log evidence {res.log_evidence:.2f} on "
+                  f"{res.num_points} rows)")
+        self.spec = res.spec
+        self.diag_reg = res.diag_reg
 
     def _fit(self, x, y):
         # x/y arrive as HOST numpy: the fp32 prescale probe (max|x|) runs

@@ -512,3 +512,48 @@ def test_estimator_nystrom_over_mesh_matches_single_device(tmp_path):
     assert est2.posterior.mesh is mesh
     m3, s3 = est2.predict(lines)
     assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)
+
+
+def test_estimator_learn_hyper_and_checkpoint(tmp_path):
+    """Estimator(learn_hyper=True) fits with MLL-learned (w0, w, b, reg)
+    (gp/hyperopt.py) and the learned spec survives checkpoint restore."""
+    from nngp_tpu.models.kernel_spec import Dense
+
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, learn_hyper=True, hyper_steps=25,
+                    hyper_points=48)
+    denses = [l for l in est.spec.layers if isinstance(l, Dense)]
+    # learned values moved off the reference defaults (w=1, b=0, reg=1e-3)
+    assert denses[0].b_std > 0.0
+    assert est.diag_reg != 1e-3
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    mean, std = est.predict(lines)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+
+    ckpt = tmp_path / "hyper_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert [(l.w_std, l.b_std) for l in est2.spec.layers
+            if isinstance(l, Dense)] == [(l.w_std, l.b_std) for l in denses]
+    m2, s2 = est2.predict(lines)
+    np.testing.assert_allclose(m2, mean, rtol=1e-12)
+    np.testing.assert_allclose(s2, std, rtol=1e-12)
+
+
+def test_estimator_learn_hyper_guards(tmp_path):
+    from nngp_tpu.models.kernel_spec import Dense, KernelSpec
+
+    stats, qdir = _toy_schema_files(tmp_path)
+    # non-mlp-shaped spec is rejected up front
+    with pytest.raises(ValueError, match="mlp-shaped"):
+        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                  verbose=False, learn_hyper=True,
+                  spec=KernelSpec((Dense(1, 1.0, 0.0),)))
+    # fp32-unsafe feature magnitudes (raw packed chunks) are rejected with
+    # a chunk_norm pointer instead of overflowing the squared Gram
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    with pytest.raises(ValueError, match="chunk_norm"):
+        est._learn_hyperparams(np.array([[2.0 ** 30]]), np.zeros((1, 1)),
+                               steps=1, max_points=8, verbose=False)

@@ -96,3 +96,12 @@ def test_train_cli_config_file(tmp_path):
     profile = main(["--config", str(path),
                     "--query_path", os.path.join(WORKLOAD, "forest_data")])
     assert np.isfinite(profile["median"])
+
+
+def test_active_train_cli_learn_hyper():
+    from nngp_tpu.cli.active_train import main
+    history = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
+                    "--budget", "50", "--active_iters", "1",
+                    "--learn_hyper", "--hyper_steps", "5",
+                    "--hyper_points", "128"])
+    assert len(history) == 1 and np.isfinite(history[0]["val_mse"])
