@@ -183,6 +183,8 @@ class HyperoptResult:
     w: float
     b: float
     num_points: int                  # subsample size the MLL was scored on
+    depth: int = 1
+    activation: str = "relu"
 
     def fit_kwargs(self) -> dict:
         """Ready-to-splat kwargs for `fit_gp` / `fit_nystrom`. b != 0 breaks
@@ -255,4 +257,35 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
     return HyperoptResult(
         spec=spec, diag_reg=reg, log_evidence=-float(final),
         nll_history=np.asarray(hist), w0=w0, w=w, b=b,
-        num_points=int(x.shape[0]))
+        num_points=int(x.shape[0]), depth=depth, activation=activation)
+
+
+def select_kernel(x, y, depths: Tuple[int, ...] = (1, 2, 3),
+                  activations: Tuple[str, ...] = ("relu", "erf"),
+                  get: str = "nngp", verbose=None,
+                  **kwargs) -> Tuple[HyperoptResult, list]:
+    """Discrete model selection by evidence: run `fit_kernel_hyperparams`
+    for every (depth, activation) and return (best, all_results) ranked by
+    log evidence. Bayesian-complete selection — the continuous parameters
+    are optimized per structure, then structures compete on evidence; no
+    validation split is consumed (the reference's only structure choice is
+    a hard-coded 1-hidden-layer ReLU stack, `/root/reference/train.py:161-164`).
+
+    Evidences are comparable across configs because every run scores the
+    SAME seeded subsample (`seed`/`max_points` in kwargs). Each (depth,
+    activation) is a different program, so this costs one compile per
+    config (30-300 s each through the TPU tunnel — on-device the math is
+    sub-second; prefer CPU or a warm cache for wide grids)."""
+    results = []
+    for d in depths:
+        for a in activations:
+            res = fit_kernel_hyperparams(x, y, depth=d, activation=a,
+                                         get=get, **kwargs)
+            results.append(res)
+            if verbose:
+                verbose(f"depth={d} act={a}: log evidence "
+                        f"{res.log_evidence:.2f} (w0={res.w0:.3f} "
+                        f"w={res.w:.3f} b={res.b:.3f} "
+                        f"reg={res.diag_reg:.2e})")
+    results.sort(key=lambda r: r.log_evidence, reverse=True)
+    return results[0], results

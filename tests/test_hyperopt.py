@@ -104,3 +104,26 @@ def test_subsample_cap():
     x, y = _data(n=60)
     res = fit_kernel_hyperparams(x, y, steps=5, max_points=32)
     assert res.num_points == 32
+
+
+def test_select_kernel_ranks_by_evidence():
+    from nngp_tpu.gp import select_kernel
+    x, y = _data(n=100, seed=13)
+    best, all_res = select_kernel(x, y, depths=(1, 2),
+                                  activations=("relu",), steps=25)
+    assert len(all_res) == 2 and best is all_res[0]
+    evs = [r.log_evidence for r in all_res]
+    assert evs == sorted(evs, reverse=True)
+    assert {(r.depth, r.activation) for r in all_res} == {(1, "relu"),
+                                                          (2, "relu")}
+
+
+def test_result_plugs_into_nystrom_tier():
+    from nngp_tpu.gp import fit_nystrom
+    x, y = _data(n=120, seed=9)
+    xt, _ = _data(n=15, seed=10)
+    res = fit_kernel_hyperparams(x, y, steps=20)
+    post = fit_nystrom(res.spec, x, y, num_inducing=32, **res.fit_kwargs())
+    m, s = post.predict_mean_std(jnp.asarray(xt))
+    assert np.all(np.isfinite(np.asarray(m)))
+    assert np.all(np.isfinite(np.asarray(s)))
