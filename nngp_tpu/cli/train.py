@@ -70,6 +70,12 @@ def build_parser():
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096,
                    help="training-row subsample the MLL is optimized on")
+    p.add_argument("--select_kernel", action="store_true",
+                   help="evidence-ranked model selection over (depth in "
+                        "1..3) x (relu, erf) with learned hyperparameters "
+                        "per structure (gp.hyperopt.select_kernel) — "
+                        "overrides --depth/--activation/--w_std/--b_std/"
+                        "--diag_reg; one compile per structure")
     p.add_argument("--depth", type=int, default=1, help="hidden layers")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--activation", type=str, default="relu", choices=["relu", "erf"])
@@ -199,7 +205,24 @@ def main(argv=None):
     else:
         spec = KernelSpec(mlp(args.depth, args.width, args.activation,
                               args.w_std, args.b_std))
-        if args.learn_hyper:
+        if args.select_kernel:
+            from nngp_tpu.gp.hyperopt import select_kernel
+            with timer.measure("kernel selection (evidence grid)") as h:
+                res, ranked = select_kernel(
+                    x_tr, y_tr, get=args.kernel_type,
+                    steps=args.hyper_steps, max_points=args.hyper_points,
+                    width=args.width, verbose=print)
+                h["out"] = [(r.depth, r.activation, r.log_evidence)
+                            for r in ranked]
+            print(f"selected kernel: depth={res.depth} "
+                  f"activation={res.activation}")
+            print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
+                  f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
+                  f"(log evidence {res.log_evidence:.2f} on "
+                  f"{res.num_points} rows)")
+            spec = res.spec
+            args.diag_reg = res.diag_reg
+        elif args.learn_hyper:
             from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
             with timer.measure("hyperparameter learning (exact MLL)") as h:
                 res = fit_kernel_hyperparams(

@@ -105,3 +105,17 @@ def test_active_train_cli_learn_hyper():
                     "--learn_hyper", "--hyper_steps", "5",
                     "--hyper_points", "128"])
     assert len(history) == 1 and np.isfinite(history[0]["val_mse"])
+
+
+def test_train_cli_select_kernel(monkeypatch):
+    from nngp_tpu.cli import train as train_cli
+    from nngp_tpu.gp.hyperopt import select_kernel
+
+    def tiny_select(x, y, **kw):
+        kw.update(depths=(1,), activations=("relu",), steps=4,
+                  max_points=64)
+        return select_kernel(x, y, **kw)
+
+    monkeypatch.setattr("nngp_tpu.gp.hyperopt.select_kernel", tiny_select)
+    train_cli.main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
+                    "--max_num_train", "300", "--select_kernel"])
