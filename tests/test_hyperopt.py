@@ -127,3 +127,19 @@ def test_result_plugs_into_nystrom_tier():
     m, s = post.predict_mean_std(jnp.asarray(xt))
     assert np.all(np.isfinite(np.asarray(m)))
     assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_fp32_path_matches_fp64():
+    """The TPU path runs fp32 (eps=1e-6 clamp): the optimization must stay
+    finite and land near the fp64 optimum on the same data."""
+    x, y = _data(n=100, seed=21)
+    r64 = fit_kernel_hyperparams(x, y, steps=40)
+    r32 = fit_kernel_hyperparams(x.astype(np.float32),
+                                 y.astype(np.float32), steps=40)
+    assert np.all(np.isfinite(r32.nll_history))
+    # same basin: hyperparameters within a few percent, evidence within
+    # a nat of the fp64 run
+    np.testing.assert_allclose(
+        [r32.w0, r32.w, r32.b, r32.diag_reg],
+        [r64.w0, r64.w, r64.b, r64.diag_reg], rtol=0.05)
+    assert abs(r32.log_evidence - r64.log_evidence) < 1.0
