@@ -143,3 +143,18 @@ def test_fp32_path_matches_fp64():
         [r32.w0, r32.w, r32.b, r32.diag_reg],
         [r64.w0, r64.w, r64.b, r64.diag_reg], rtol=0.05)
     assert abs(r32.log_evidence - r64.log_evidence) < 1.0
+
+
+def test_degenerate_inputs_stay_finite():
+    """Constant targets and tiny n are legal inputs (a cold-start server
+    may fit on a handful of queries): the optimization must not NaN."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (6, 3))
+    res = fit_kernel_hyperparams(x, np.zeros((6, 1)), steps=10)
+    assert np.isfinite(res.log_evidence)
+    assert all(np.isfinite(v) for v in (res.w0, res.w, res.b, res.diag_reg))
+    # single restart (init reg equal to the only entry in reg_restarts)
+    res2 = fit_kernel_hyperparams(x, rng.standard_normal((6, 1)), steps=10,
+                                  init=(1.0, 1.0, 0.1, 0.3),
+                                  reg_restarts=(0.3,))
+    assert np.isfinite(res2.log_evidence)
