@@ -112,15 +112,15 @@ def _build_layers(depth, activation, width, w0, w, b):
     return tuple(layers)
 
 
-def _nll(theta, x, y, depth, activation, width, get, duals):
+def _nll(theta, k0, d1, y, depth, activation, width, get, duals):
     """Exact negative log evidence of N(0, K + reg*mean(diag)*I) with the
-    kernel built from traced hyperparameters. Smooth in theta."""
+    kernel built from traced hyperparameters. Smooth in theta. Takes the
+    theta-independent input moments (k0 = x x^T/d, d1 = its diagonal) so
+    the n^2 d input matmul is paid once per optimization, not per step."""
     w0, w, b, reg_rel = (jnp.exp(theta["log_w0"]), jnp.exp(theta["log_w"]),
                          jnp.exp(theta["log_b"]), jnp.exp(theta["log_reg"]))
     layers = _build_layers(depth, activation, width, w0, w, b)
-    n = x.shape[0]
-    k0 = input_gram(x, x)
-    d1 = input_diag(x)
+    n = k0.shape[0]
     nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1[:, None],
                                 d1[None, :], layers, duals=duals)
     k = ntk if get == "ntk" else nngp
@@ -149,26 +149,35 @@ def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps):
     rejected by optax.apply_if_finite — that trajectory continues from its
     last good iterate."""
     duals = _grad_safe_duals(eps)
-    loss = partial(_nll, x=x, y=y, depth=depth, activation=activation,
-                   width=width, get=get, duals=duals)
-    opt = optax.apply_if_finite(optax.adam(lr), max_consecutive_errors=8)
+    # HIGHEST matmul precision throughout: on TPU the default 1-pass bf16
+    # matmuls inside the per-step Cholesky/solves NaN at the [0,1000]
+    # feature scale (same measured failure mode as the main fit and the
+    # DKL trainer — CLAUDE.md MXU precision notes).
+    with jax.default_matmul_precision("highest"):
+        k0 = input_gram(x, x)
+        d1 = input_diag(x)
+        loss = partial(_nll, k0=k0, d1=d1, y=y, depth=depth,
+                       activation=activation, width=width, get=get,
+                       duals=duals)
+        opt = optax.apply_if_finite(optax.adam(lr), max_consecutive_errors=8)
 
-    def run_one(theta0):
-        def step(carry, _):
-            theta, state = carry
-            val, grad = jax.value_and_grad(loss)(theta)
-            updates, state = opt.update(grad, state, theta)
-            theta = optax.apply_updates(theta, updates)
-            return (theta, state), val
+        def run_one(theta0):
+            def step(carry, _):
+                theta, state = carry
+                val, grad = jax.value_and_grad(loss)(theta)
+                updates, state = opt.update(grad, state, theta)
+                theta = optax.apply_updates(theta, updates)
+                return (theta, state), val
 
-        (theta, _), hist = jax.lax.scan(step, (theta0, opt.init(theta0)),
-                                        None, length=steps)
-        return theta, hist, loss(theta)
+            (theta, _), hist = jax.lax.scan(step, (theta0, opt.init(theta0)),
+                                            None, length=steps)
+            return theta, hist, loss(theta)
 
-    thetas, hists, finals = jax.vmap(run_one)(theta0s)
-    best = jnp.nanargmin(jnp.where(jnp.isfinite(finals), finals, jnp.inf))
-    return (jax.tree_util.tree_map(lambda a: a[best], thetas),
-            hists[best], finals[best])
+        thetas, hists, finals = jax.vmap(run_one)(theta0s)
+        best = jnp.nanargmin(jnp.where(jnp.isfinite(finals), finals,
+                                       jnp.inf))
+        return (jax.tree_util.tree_map(lambda a: a[best], thetas),
+                hists[best], finals[best])
 
 
 @dataclasses.dataclass(frozen=True)

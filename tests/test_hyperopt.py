@@ -35,8 +35,11 @@ def test_loss_matches_exact_evidence_at_pinned_values():
              "log_w": jnp.log(jnp.asarray(w)),
              "log_b": jnp.log(jnp.asarray(b)),
              "log_reg": jnp.log(jnp.asarray(reg))}
+    from nngp_tpu.ops.gram import input_diag, input_gram
+    k0, d1 = input_gram(jnp.asarray(x), jnp.asarray(x)), input_diag(
+        jnp.asarray(x))
     for get in ("nngp", "ntk"):
-        nll = float(_nll(theta, jnp.asarray(x), jnp.asarray(y), 2, "relu",
+        nll = float(_nll(theta, k0, d1, jnp.asarray(y), 2, "relu",
                          512, get, _grad_safe_duals(1e-12)))
         spec = KernelSpec(_build_layers(2, "relu", 512, w0, w, b))
         post = fit_gp(spec, x, y, diag_reg=reg, get=get, input_scale=1.0)
