@@ -116,6 +116,9 @@ def _apply_config_defaults(p, config_path):
         width=cfg.kernel.width, activation=cfg.kernel.activation,
         w_std=cfg.kernel.w_std, b_std=cfg.kernel.b_std,
         diag_reg=cfg.kernel.diag_reg,
+        learn_hyper=cfg.kernel.learn_hyper,
+        hyper_steps=cfg.kernel.hyper_steps,
+        hyper_points=cfg.kernel.hyper_points,
         relations=cfg.workload.relations, names=cfg.workload.names,
         schema_name=cfg.workload.schema_name,
         query_path=cfg.workload.query_path, data_path=cfg.workload.data_path,

@@ -20,6 +20,12 @@ class KernelConfig:
     w_std: float = 1.0
     b_std: float = 0.0
     diag_reg: float = 1e-3
+    # exact-MLL hyperparameter learning (gp/hyperopt.py): when learn_hyper
+    # is set the fit uses the learned (w0, w, b, diag_reg) instead of the
+    # pinned values above
+    learn_hyper: bool = False
+    hyper_steps: int = 100
+    hyper_points: int = 4096
 
 
 @dataclasses.dataclass
