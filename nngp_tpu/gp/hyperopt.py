@@ -237,8 +237,17 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         vmapped batch and the best final evidence wins, still one
         dispatch. init's own diag_reg is always included.
     """
+    max_abs = float(np.max(np.abs(np.asarray(x)))) if np.size(x) else 0.0
     x = jnp.asarray(x)
     y = jnp.asarray(y)
+    if x.dtype != jnp.float64 and max_abs > 2.0 ** 20:
+        # packed categorical chunks reach 2^64: their squared fp32 Gram
+        # entries overflow, and the learned spec (b != 0) is not scale
+        # equivariant, so the fit-time prescale cannot rescue it either
+        raise ValueError(
+            f"fit_kernel_hyperparams: max|feature| = {max_abs:.3g} "
+            "overflows squared fp32 Gram entries; encode with "
+            "chunk_norm=True (or pass fp64 inputs on CPU)")
     if y.ndim == 1:
         y = y[:, None]
     n = x.shape[0]

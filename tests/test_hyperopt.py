@@ -161,3 +161,15 @@ def test_degenerate_inputs_stay_finite():
                                   init=(1.0, 1.0, 0.1, 0.3),
                                   reg_restarts=(0.3,))
     assert np.isfinite(res2.log_evidence)
+
+
+def test_fp32_magnitude_guard():
+    """Raw packed categorical chunks (up to 2^64) must be rejected in fp32
+    with a chunk_norm pointer, and accepted in fp64."""
+    x = np.array([[2.0 ** 40, 1.0], [3.0, 2.0 ** 39]], np.float32)
+    y = np.ones((2, 1), np.float32)
+    with pytest.raises(ValueError, match="chunk_norm"):
+        fit_kernel_hyperparams(x, y, steps=2)
+    res = fit_kernel_hyperparams(x.astype(np.float64),
+                                 y.astype(np.float64), steps=2)
+    assert np.isfinite(res.log_evidence)
