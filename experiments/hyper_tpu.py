@@ -56,3 +56,11 @@ for steps, pts in ((100, 2048), (100, 4096)):
     qerr(res.spec, res.diag_reg, **{k: v for k, v in res.fit_kwargs().items()
                                     if k == "input_scale"},
          tag=f"learned n={pts}")
+
+# NTK mode: one dispatch as well (fp32 on-chip vs the fp64 CPU log)
+t0 = time.perf_counter()
+rn = fit_kernel_hyperparams(x_tr, y_tr, get="ntk", steps=100,
+                            max_points=2048)
+print(f"hyperopt ntk n=2048: cold {time.perf_counter() - t0:.1f}s "
+      f"w0={rn.w0:.4f} w={rn.w:.4f} b={rn.b:.4f} reg={rn.diag_reg:.3e} "
+      f"logev={rn.log_evidence:.1f}", flush=True)
