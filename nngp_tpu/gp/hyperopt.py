@@ -112,14 +112,9 @@ def _build_layers(depth, activation, width, w0, w, b):
     return tuple(layers)
 
 
-def _nll(theta, k0, d1, y, depth, activation, width, get, duals):
-    """Exact negative log evidence of N(0, K + reg*mean(diag)*I) with the
-    kernel built from traced hyperparameters. Smooth in theta. Takes the
-    theta-independent input moments (k0 = x x^T/d, d1 = its diagonal) so
-    the n^2 d input matmul is paid once per optimization, not per step."""
-    w0, w, b, reg_rel = (jnp.exp(theta["log_w0"]), jnp.exp(theta["log_w"]),
-                         jnp.exp(theta["log_b"]), jnp.exp(theta["log_reg"]))
-    layers = _build_layers(depth, activation, width, w0, w, b)
+def _nll_from_moments(k0, d1, y, layers, get, duals, reg_rel):
+    """Exact negative log evidence of N(0, K + reg*mean(diag)*I) given the
+    input moments and a (traced-hyperparameter) layer stack."""
     n = k0.shape[0]
     nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1[:, None],
                                 d1[None, :], layers, duals=duals)
@@ -138,9 +133,34 @@ def _nll(theta, k0, d1, y, depth, activation, width, get, duals):
     return 0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
 
 
+def _nll(theta, k0, d1, y, depth, activation, width, get, duals):
+    """Scalar-hyperparameter loss. Smooth in theta. Takes the
+    theta-independent input moments (k0 = x x^T/d, d1 = its diagonal) so
+    the n^2 d input matmul is paid once per optimization, not per step."""
+    w0, w, b, reg_rel = (jnp.exp(theta["log_w0"]), jnp.exp(theta["log_w"]),
+                         jnp.exp(theta["log_b"]), jnp.exp(theta["log_reg"]))
+    layers = _build_layers(depth, activation, width, w0, w, b)
+    return _nll_from_moments(k0, d1, y, layers, get, duals, reg_rel)
+
+
+def _nll_ard(theta, x, y, depth, activation, width, get, duals):
+    """ARD loss: a learned per-feature input scale s (the first Dense sees
+    x * s, so s subsumes the scalar w0 — k0 enters only through the scaled
+    inputs). The n^2 d input matmul is s-dependent and re-runs per step —
+    cheap at subsample sizes (2048^2 x d)."""
+    s = jnp.exp(theta["log_s"])
+    w, b, reg_rel = (jnp.exp(theta["log_w"]), jnp.exp(theta["log_b"]),
+                     jnp.exp(theta["log_reg"]))
+    xs = x * s[None, :]
+    layers = _build_layers(depth, activation, width, 1.0, w, b)
+    return _nll_from_moments(input_gram(xs, xs), input_diag(xs), y, layers,
+                             get, duals, reg_rel)
+
+
 @partial(jax.jit, static_argnames=("depth", "activation", "width", "get",
-                                   "steps", "lr", "eps"))
-def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps):
+                                   "steps", "lr", "eps", "ard"))
+def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps,
+              ard=False):
     """ONE dispatch: `steps` Adam iterations of the exact-MLL loss via
     lax.scan, vmapped over a BATCH of restarts (leading axis of theta0s —
     the evidence is multimodal in the ridge: a small-reg init settles into
@@ -154,11 +174,16 @@ def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps):
     # feature scale (same measured failure mode as the main fit and the
     # DKL trainer — CLAUDE.md MXU precision notes).
     with jax.default_matmul_precision("highest"):
-        k0 = input_gram(x, x)
-        d1 = input_diag(x)
-        loss = partial(_nll, k0=k0, d1=d1, y=y, depth=depth,
-                       activation=activation, width=width, get=get,
-                       duals=duals)
+        if ard:
+            loss = partial(_nll_ard, x=x, y=y, depth=depth,
+                           activation=activation, width=width, get=get,
+                           duals=duals)
+        else:
+            k0 = input_gram(x, x)
+            d1 = input_diag(x)
+            loss = partial(_nll, k0=k0, d1=d1, y=y, depth=depth,
+                           activation=activation, width=width, get=get,
+                           duals=duals)
         opt = optax.apply_if_finite(optax.adam(lr), max_consecutive_errors=8)
 
         def run_one(theta0):
@@ -194,6 +219,10 @@ class HyperoptResult:
     num_points: int                  # subsample size the MLL was scored on
     depth: int = 1
     activation: str = "relu"
+    # ARD mode: learned per-feature input scale (None for scalar w0 mode).
+    # The kernel was learned on x * feature_scale — apply `scale_inputs`
+    # to EVERY x that meets this spec (fit, predict, extend).
+    feature_scale: Optional[np.ndarray] = None
 
     def fit_kwargs(self) -> dict:
         """Ready-to-splat kwargs for `fit_gp` / `fit_nystrom`. b != 0 breaks
@@ -202,6 +231,12 @@ class HyperoptResult:
         if self.b != 0.0:
             kw["input_scale"] = 1.0
         return kw
+
+    def scale_inputs(self, x):
+        """Apply the learned ARD feature scaling (identity in scalar mode)."""
+        if self.feature_scale is None:
+            return x
+        return x * jnp.asarray(self.feature_scale, dtype=jnp.asarray(x).dtype)
 
 
 def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
@@ -212,7 +247,9 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
                            (1.0, 1.0, 0.1, 1e-3),
                            reg_restarts: Tuple[float, ...] =
                            (1e-3, 3e-2, 0.3),
-                           eps: Optional[float] = None) -> HyperoptResult:
+                           eps: Optional[float] = None,
+                           ard: bool = False,
+                           init_feature_scale=None) -> HyperoptResult:
     """Learn (w0, w, b, diag_reg) for an `mlp(depth, activation)` kernel by
     maximizing the exact log evidence on (a subsample of) the training set.
 
@@ -236,8 +273,21 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         than the 0.05 init) — `reg_restarts` ridge inits run as one
         vmapped batch and the best final evidence wins, still one
         dispatch. init's own diag_reg is always included.
+      * ard=True learns a PER-FEATURE input scale s (d parameters; the
+        first Dense sees x * s, so s subsumes the scalar w0 — the
+        principled version of the chunk_norm heuristic). The result's
+        `feature_scale` must be applied to every input that meets the
+        spec: `post = fit_gp(res.spec, res.scale_inputs(x), y, ...)` and
+        likewise at predict/extend. `init_feature_scale` seeds s (e.g.
+        1000/max_abs per column to start at chunk_norm-like geometry —
+        recommended for wildly mixed-scale features, since Adam moves
+        log_s only ~lr per step).
     """
-    max_abs = float(np.max(np.abs(np.asarray(x)))) if np.size(x) else 0.0
+    if ard and init_feature_scale is not None:
+        scaled_probe = np.abs(np.asarray(x)) * np.asarray(init_feature_scale)
+        max_abs = float(np.max(scaled_probe)) if np.size(x) else 0.0
+    else:
+        max_abs = float(np.max(np.abs(np.asarray(x)))) if np.size(x) else 0.0
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     if x.dtype != jnp.float64 and max_abs > 2.0 ** 20:
@@ -260,22 +310,36 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
     regs = [float(init[3])] + [r for r in reg_restarts
                                if float(r) != float(init[3])]
     theta0s = {
-        "log_w0": jnp.log(jnp.full(len(regs), init[0], x.dtype)),
         "log_w": jnp.log(jnp.full(len(regs), init[1], x.dtype)),
         "log_b": jnp.log(jnp.full(len(regs), init[2], x.dtype)),
         "log_reg": jnp.log(jnp.asarray(regs, x.dtype)),
     }
+    if ard:
+        s0 = (jnp.full(x.shape[1], float(init[0]), x.dtype)
+              if init_feature_scale is None
+              else jnp.asarray(init_feature_scale, x.dtype))
+        theta0s["log_s"] = jnp.broadcast_to(
+            jnp.log(s0)[None, :], (len(regs), x.shape[1]))
+    else:
+        theta0s["log_w0"] = jnp.log(jnp.full(len(regs), init[0], x.dtype))
     theta, hist, final = _optimize(x, y, theta0s, depth, activation, width,
-                                   get, steps, float(lr), float(eps))
-    w0 = float(np.exp(theta["log_w0"]))
+                                   get, steps, float(lr), float(eps),
+                                   ard=ard)
     w = float(np.exp(theta["log_w"]))
     b = float(np.exp(theta["log_b"]))
     reg = float(np.exp(theta["log_reg"]))
+    feature_scale = None
+    if ard:
+        w0 = 1.0
+        feature_scale = np.exp(np.asarray(theta["log_s"], np.float64))
+    else:
+        w0 = float(np.exp(theta["log_w0"]))
     spec = KernelSpec(_build_layers(depth, activation, width, w0, w, b))
     return HyperoptResult(
         spec=spec, diag_reg=reg, log_evidence=-float(final),
         nll_history=np.asarray(hist), w0=w0, w=w, b=b,
-        num_points=int(x.shape[0]), depth=depth, activation=activation)
+        num_points=int(x.shape[0]), depth=depth, activation=activation,
+        feature_scale=feature_scale)
 
 
 def select_kernel(x, y, depths: Tuple[int, ...] = (1, 2, 3),

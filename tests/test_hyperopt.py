@@ -173,3 +173,54 @@ def test_fp32_magnitude_guard():
     res = fit_kernel_hyperparams(x.astype(np.float64),
                                  y.astype(np.float64), steps=2)
     assert np.isfinite(res.log_evidence)
+
+
+def test_ard_constant_scale_equals_scalar_loss():
+    """With s = w0 * ones the ARD loss must equal the scalar loss exactly
+    (the first Dense sees the same scaled inputs either way)."""
+    from nngp_tpu.gp.hyperopt import _nll_ard
+    from nngp_tpu.ops.gram import input_diag, input_gram
+    x, y = _data(n=50, seed=30)
+    xd, yd = jnp.asarray(x), jnp.asarray(y)
+    w0, w, b, reg = 0.7, 1.3, 0.2, 1e-2
+    duals = _grad_safe_duals(1e-12)
+    base = {"log_w": jnp.log(jnp.asarray(w)),
+            "log_b": jnp.log(jnp.asarray(b)),
+            "log_reg": jnp.log(jnp.asarray(reg))}
+    scalar = _nll(dict(base, log_w0=jnp.log(jnp.asarray(w0))),
+                  input_gram(xd, xd), input_diag(xd), yd, 1, "relu", 512,
+                  "nngp", duals)
+    ard = _nll_ard(dict(base, log_s=jnp.full(x.shape[1], jnp.log(w0))),
+                   xd, yd, 1, "relu", 512, "nngp", duals)
+    np.testing.assert_allclose(float(ard), float(scalar), rtol=1e-10)
+
+
+def test_ard_recovers_relevant_feature():
+    """y depends on feature 0 only: the learned per-feature scale must
+    weight it far above the pure-noise dims."""
+    rng = np.random.default_rng(31)
+    x = rng.uniform(0, 1, (200, 6))
+    y = np.sin(4 * x[:, :1]) + 0.02 * rng.standard_normal((200, 1))
+    res = fit_kernel_hyperparams(x, y, steps=200, ard=True)
+    s = res.feature_scale
+    assert s.shape == (6,)
+    assert s[0] > 3.0 * np.max(s[1:]), s
+    # the result plugs into the exact tier through scale_inputs
+    post = fit_gp(res.spec, res.scale_inputs(x), y, **res.fit_kwargs())
+    m, sd = post.predict_mean_std(res.scale_inputs(jnp.asarray(x[:10])))
+    assert np.all(np.isfinite(np.asarray(m)))
+    assert np.all(np.isfinite(np.asarray(sd)))
+
+
+def test_ard_init_feature_scale_tames_magnitudes():
+    """Mixed-scale features with a data-driven init pass the fp32 guard
+    and stay finite."""
+    rng = np.random.default_rng(32)
+    x = np.hstack([rng.uniform(0, 1000, (60, 2)),
+                   rng.uniform(0, 2.0 ** 40, (60, 1))]).astype(np.float32)
+    y = rng.standard_normal((60, 1)).astype(np.float32)
+    init_s = (1000.0 / np.maximum(np.abs(x).max(axis=0), 1e-6))
+    res = fit_kernel_hyperparams(x, y, steps=10, ard=True,
+                                 init_feature_scale=init_s)
+    assert np.all(np.isfinite(res.feature_scale))
+    assert np.isfinite(res.log_evidence)
