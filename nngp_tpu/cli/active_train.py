@@ -48,6 +48,10 @@ def build_parser():
                         "--diag_reg with the learned ridge")
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096)
+    p.add_argument("--ard", action="store_true",
+                   help="with --learn_hyper: learn a PER-FEATURE input "
+                        "scale by evidence (ARD); train/pool/val features "
+                        "are rescaled by the learned vector")
     p.add_argument("--x64", action="store_true")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="run over an n-device mesh (0 = single chip): the "
@@ -84,7 +88,7 @@ def main(argv=None):
         res = fit_kernel_hyperparams(
             x_tr, y_tr, depth=args.depth, activation=args.activation,
             get=args.kernel_type, steps=args.hyper_steps,
-            max_points=args.hyper_points, width=args.width)
+            max_points=args.hyper_points, width=args.width, ard=args.ard)
         print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
               f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
               f"(log evidence {res.log_evidence:.2f})")
@@ -92,6 +96,11 @@ def main(argv=None):
         kw = res.fit_kwargs()
         args.diag_reg = kw["diag_reg"]
         input_scale = kw.get("input_scale")
+        if res.feature_scale is not None:
+            s = res.feature_scale
+            x_tr = x_tr * s.astype(x_tr.dtype)
+            x_pool = x_pool * s.astype(x_pool.dtype)
+            x_val = x_val * s.astype(x_val.dtype)
     mesh = None
     if args.mesh_devices:
         # any n / any budget: the distributed layout pads with inert rows,

@@ -70,6 +70,10 @@ def build_parser():
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096,
                    help="training-row subsample the MLL is optimized on")
+    p.add_argument("--ard", action="store_true",
+                   help="with --learn_hyper: learn a PER-FEATURE input "
+                        "scale by evidence (ARD) — train and test features "
+                        "are rescaled by the learned vector before the fit")
     p.add_argument("--select_kernel", action="store_true",
                    help="evidence-ranked model selection over (depth in "
                         "1..3) x (relu, erf) with learned hyperparameters "
@@ -119,6 +123,7 @@ def _apply_config_defaults(p, config_path):
         learn_hyper=cfg.kernel.learn_hyper,
         hyper_steps=cfg.kernel.hyper_steps,
         hyper_points=cfg.kernel.hyper_points,
+        ard=cfg.kernel.hyper_ard,
         relations=cfg.workload.relations, names=cfg.workload.names,
         schema_name=cfg.workload.schema_name,
         query_path=cfg.workload.query_path, data_path=cfg.workload.data_path,
@@ -233,7 +238,7 @@ def main(argv=None):
                     get=args.kernel_type, steps=args.hyper_steps,
                     max_points=args.hyper_points, width=args.width,
                     init=(args.w_std, args.w_std, max(args.b_std, 0.1),
-                          args.diag_reg))
+                          args.diag_reg), ard=args.ard)
                 h["out"] = res.nll_history
             print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
                   f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
@@ -241,6 +246,12 @@ def main(argv=None):
                   f"{res.num_points} rows)")
             spec = res.spec
             args.diag_reg = res.diag_reg
+            if res.feature_scale is not None:
+                s = res.feature_scale
+                print(f"learned ARD feature scale: range "
+                      f"[{s.min():.3g}, {s.max():.3g}]")
+                x_tr = x_tr * s.astype(x_tr.dtype)
+                x_te = x_te * s.astype(x_te.dtype)
         print("memory:", memory_usage_gb())
         if args.nystrom_m:
             from nngp_tpu.gp import fit_nystrom

@@ -93,7 +93,7 @@ class Estimator:
                  chunk_norm: bool = False,
                  nystrom_m: Optional[int] = None,
                  learn_hyper: bool = False, hyper_steps: int = 100,
-                 hyper_points: int = 4096):
+                 hyper_points: int = 4096, hyper_ard: bool = False):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
@@ -115,7 +115,14 @@ class Estimator:
         descent on (a subsample of) the training queries before fitting
         (gp/hyperopt.py) — replaces `spec`'s Dense stds and `diag_reg`
         with the learned values. Requires fp32-safe feature magnitudes:
-        with packed categorical chunks, pass chunk_norm=True."""
+        with packed categorical chunks, pass chunk_norm=True.
+
+        hyper_ard: with learn_hyper, learn a PER-FEATURE input scale by
+        evidence (ARD — the principled replacement for the chunk_norm
+        heuristic; measured median q 2.69 -> 2.32 and p95 33 -> 28 on the
+        synth6 join, BASELINE.md). The learned `feature_scale` is applied
+        to every encoded query (fit, predict, extend, forget) and rides
+        through checkpoints."""
         self.schema_name = schema_name
         self.chunk_size = chunk_size
         self.kernel_type = kernel_type
@@ -147,15 +154,22 @@ class Estimator:
         x, y = self.encoder.transform_to_arrays(queries, cards, dtype=dtype)
         if verbose:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
+        self.feature_scale = None
         if learn_hyper:
-            self._learn_hyperparams(x, y, hyper_steps, hyper_points, verbose)
+            self._learn_hyperparams(x, y, hyper_steps, hyper_points, verbose,
+                                    ard=hyper_ard)
+            x = self._apply_feature_scale(x)
+        elif hyper_ard:
+            raise ValueError("hyper_ard requires learn_hyper=True")
         self.posterior = self._fit(x, y)
         self._validate_fit()
 
-    def _learn_hyperparams(self, x, y, steps, max_points, verbose):
+    def _learn_hyperparams(self, x, y, steps, max_points, verbose,
+                           ard: bool = False):
         """Replace self.spec / self.diag_reg with exact-MLL-learned values
         (gp/hyperopt.py). The learned spec round-trips through checkpoints
-        unchanged — save() already serializes Dense (w_std, b_std)."""
+        unchanged — save() already serializes Dense (w_std, b_std); an ARD
+        feature_scale is serialized alongside it in meta.json."""
         acts = [l for l in self.spec.layers if isinstance(l, Activation)]
         denses = [l for l in self.spec.layers if isinstance(l, Dense)]
         if not acts or len(denses) != len(acts) + 1 or len(
@@ -175,7 +189,9 @@ class Estimator:
         res = fit_kernel_hyperparams(
             x, y, depth=len(acts), activation=acts[0].name,
             get=self.kernel_type, steps=steps, max_points=max_points,
-            width=denses[0].width)
+            width=denses[0].width, ard=ard)
+        if res.feature_scale is not None:
+            self.feature_scale = np.asarray(res.feature_scale, np.float64)
         if verbose:
             print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
                   f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
@@ -268,6 +284,8 @@ class Estimator:
             self.spec = reference_kernel()
         self.stats = [TableStats.from_json(s) for s in meta["stats"]]
         self.chunk_norm = bool(meta.get("chunk_norm", False))
+        self.feature_scale = (np.asarray(meta["feature_scale"], np.float64)
+                              if "feature_scale" in meta else None)
         self.encoder = MultiJoinEncoder(self.stats, chunk_norm=self.chunk_norm)
         self._fast = self._try_fast_encoder()
         arrs = np.load(os.path.join(ckpt_dir, "posterior.npz"))
@@ -383,6 +401,8 @@ class Estimator:
             "stats": [s.to_json() for s in self.stats],
             "chunk_norm": self.chunk_norm,
         }
+        if self.feature_scale is not None:
+            meta["feature_scale"] = [float(v) for v in self.feature_scale]
         p = self.posterior
         if self.nystrom_m is not None:
             meta["nystrom"] = {
@@ -487,14 +507,23 @@ class Estimator:
             x = x * scale
         return x
 
+    def _apply_feature_scale(self, x: np.ndarray) -> np.ndarray:
+        """ARD: the kernel was learned (and the posterior fitted) on
+        x * feature_scale — EVERY encoded query must get the same scaling
+        or its cross-Gram meets the factor in the wrong geometry."""
+        if self.feature_scale is None:
+            return x
+        return x * self.feature_scale.astype(x.dtype)
+
     def encode_lines(self, query_lines: Sequence[str]) -> np.ndarray:
         if self._fast is not None:
             x, *_ = self._fast.encode_multi("\n".join(query_lines),
                                             with_card=False, dtype=self.dtype)
-            return self._apply_chunk_norm(x)
+            return self._apply_feature_scale(self._apply_chunk_norm(x))
         parsed = [self.encoder.parse_line_without_card(l) for l in query_lines
                   if l.strip()]
-        return self.encoder.encode_batch(parsed, dtype=self.dtype)
+        return self._apply_feature_scale(
+            self.encoder.encode_batch(parsed, dtype=self.dtype))
 
     def _encode_labeled_lines(self, labeled_lines, op_name: str):
         """Shared parse/encode for the online-learning surfaces: labeled
@@ -517,7 +546,7 @@ class Estimator:
         if np.any(cards < 1):
             raise ValueError(f"{op_name} requires card >= 1 on every "
                              "labeled line (log2 of 0 is -inf)")
-        return x, cards
+        return self._apply_feature_scale(x), cards
 
     def extend_with_lines(self, labeled_lines: Sequence[str]):
         """Online learning: fold freshly-labeled queries (the aux-feedback

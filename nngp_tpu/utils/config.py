@@ -26,6 +26,8 @@ class KernelConfig:
     learn_hyper: bool = False
     hyper_steps: int = 100
     hyper_points: int = 4096
+    # ARD: learn a per-feature input scale by evidence alongside (w, b, reg)
+    hyper_ard: bool = False
 
 
 @dataclasses.dataclass

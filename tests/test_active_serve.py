@@ -541,6 +541,51 @@ def test_estimator_learn_hyper_and_checkpoint(tmp_path):
     np.testing.assert_allclose(s2, std, rtol=1e-12)
 
 
+def test_estimator_ard_feature_scale_roundtrip(tmp_path):
+    """Estimator(learn_hyper=True, hyper_ard=True) learns a per-feature
+    input scale and applies it CONSISTENTLY on every surface: the fit, the
+    serving encode, the online extend, and across checkpoint restore — a
+    dropped scale on any one path would silently mis-scale its Gram."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, learn_hyper=True, hyper_steps=20,
+                    hyper_points=48, hyper_ard=True)
+    raw = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    s = est.feature_scale
+    assert s is not None and s.shape == (raw.posterior.x_train.shape[1],)
+    assert np.all(s > 0)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    # serving encode carries the learned scale (vs the unscaled estimator)
+    np.testing.assert_allclose(est.encode_lines(lines),
+                               raw.encode_lines(lines) * s, rtol=1e-12)
+    mean, std = est.predict(lines)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+
+    ckpt = tmp_path / "ard_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    np.testing.assert_allclose(est2.feature_scale, s, rtol=1e-12)
+    m2, s2 = est2.predict(lines)
+    np.testing.assert_allclose(m2, mean, rtol=1e-12)
+    np.testing.assert_allclose(s2, std, rtol=1e-12)
+    # online extend encodes through the same scale: both estimators fold in
+    # the same labeled line and keep agreeing exactly
+    labeled = ["ta,tb@x,3.0,1.0@@ta,tb,id@2000"]
+    est.extend_with_lines(labeled)
+    est2.extend_with_lines(labeled)
+    np.testing.assert_allclose(
+        np.asarray(est2.posterior.x_train[-1]),
+        np.asarray(est.posterior.x_train[-1]), rtol=1e-12)
+    m3, _ = est.predict(lines)
+    m4, _ = est2.predict(lines)
+    np.testing.assert_allclose(m4, m3, rtol=1e-10)
+    # hyper_ard without learn_hyper is a configuration error
+    with pytest.raises(ValueError, match="learn_hyper"):
+        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                  verbose=False, hyper_ard=True)
+
+
 def test_estimator_learn_hyper_guards(tmp_path):
     from nngp_tpu.models.kernel_spec import Dense, KernelSpec
 

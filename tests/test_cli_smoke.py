@@ -107,6 +107,16 @@ def test_active_train_cli_learn_hyper():
     assert len(history) == 1 and np.isfinite(history[0]["val_mse"])
 
 
+def test_train_cli_learn_hyper_ard():
+    """--learn_hyper --ard: per-feature scales learned and applied to the
+    train/test features before the fit."""
+    from nngp_tpu.cli.train import main
+    profile = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
+                    "--max_num_train", "200", "--learn_hyper", "--ard",
+                    "--hyper_steps", "4", "--hyper_points", "64"])
+    assert np.isfinite(profile["median"])
+
+
 def test_train_cli_select_kernel(monkeypatch):
     from nngp_tpu.cli import train as train_cli
     from nngp_tpu.gp.hyperopt import select_kernel
