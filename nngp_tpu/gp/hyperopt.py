@@ -157,10 +157,70 @@ def _nll_ard(theta, x, y, depth, activation, width, get, duals):
                              get, duals, reg_rel)
 
 
+def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals):
+    """Exact negative log evidence of the DTC/Nystrom model the streaming
+    tier actually serves (`gp/nystrom.py`): y ~ N(0, Q + r I) with
+    Q = K_nm K_mm^-1 K_mn over the FIRST m subsample rows as inducing
+    points (the subsample is already seeded-random, so a prefix is a
+    uniform draw — matching `select_inducing`'s uniform default).
+
+    Maximizing the exact-GP evidence tunes a different model than the DTC
+    tier serves, and measurably loses there (BASELINE.md 90k Nystrom
+    transferability row); this loss optimizes the served model itself.
+    Cost per step O(n m^2 + m^3) vs the exact loss's O(n^3).
+
+    Differentiability: same grad-safe duals; K_mm's diagonal is replaced
+    by the exact smooth `apply_diag_recursion` values (rho=1), and the
+    K_nm rows that coincide with inducing rows are handled by the clamp.
+    Both Choleskys are jittered relative to the model's own scales; a
+    blown-up iterate is rejected by optax.apply_if_finite upstream."""
+    if "log_s" in theta:
+        x = x * jnp.exp(theta["log_s"])[None, :]
+        w0 = 1.0
+    else:
+        w0 = jnp.exp(theta["log_w0"])
+    w, b, reg_rel = (jnp.exp(theta["log_w"]), jnp.exp(theta["log_b"]),
+                     jnp.exp(theta["log_reg"]))
+    layers = _build_layers(depth, activation, width, w0, w, b)
+    n = x.shape[0]
+    x_m = x[:m]
+    d_all = input_diag(x)
+    d_m = d_all[:m]
+    dn, dt = apply_diag_recursion(d_all, layers)
+    dvec = dt if get == "ntk" else dn
+    r = reg_rel * jnp.mean(dvec)
+
+    k0_mm = input_gram(x_m, x_m)
+    nngp_mm, ntk_mm = apply_recursion(k0_mm, jnp.zeros_like(k0_mm),
+                                      d_m[:, None], d_m[None, :], layers,
+                                      duals=duals)
+    k_mm = ntk_mm if get == "ntk" else nngp_mm
+    idx = jnp.arange(m)
+    k_mm = k_mm.at[idx, idx].set(dvec[:m])
+    jitter = (1e-10 if x.dtype == jnp.float64 else 1e-6) * jnp.mean(dvec[:m])
+    l_mm = jnp.linalg.cholesky(k_mm + jitter * jnp.eye(m, dtype=x.dtype))
+
+    k0_nm = input_gram(x, x_m)
+    nngp_nm, ntk_nm = apply_recursion(k0_nm, jnp.zeros_like(k0_nm),
+                                      d_all[:, None], d_m[None, :], layers,
+                                      duals=duals)
+    k_nm = ntk_nm if get == "ntk" else nngp_nm
+    psi = jax.scipy.linalg.solve_triangular(l_mm, k_nm.T, lower=True)
+    c = psi @ psi.T
+    b_m = psi @ y
+    l_c = jnp.linalg.cholesky(c + r * jnp.eye(m, dtype=x.dtype))
+    t = jax.scipy.linalg.solve_triangular(l_c, b_m, lower=True)
+    quad = (jnp.sum(y * y) - jnp.sum(t * t)) / r
+    logdet = ((n - m) * jnp.log(r)
+              + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_c))))
+    return 0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+
+
 @partial(jax.jit, static_argnames=("depth", "activation", "width", "get",
-                                   "steps", "lr", "eps", "ard"))
+                                   "steps", "lr", "eps", "ard", "objective",
+                                   "dtc_m"))
 def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps,
-              ard=False):
+              ard=False, objective="exact", dtc_m=0):
     """ONE dispatch: `steps` Adam iterations of the exact-MLL loss via
     lax.scan, vmapped over a BATCH of restarts (leading axis of theta0s —
     the evidence is multimodal in the ridge: a small-reg init settles into
@@ -174,7 +234,12 @@ def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps,
     # feature scale (same measured failure mode as the main fit and the
     # DKL trainer — CLAUDE.md MXU precision notes).
     with jax.default_matmul_precision("highest"):
-        if ard:
+        if objective == "dtc":
+            # handles scalar AND ARD parameterizations via the theta keys
+            loss = partial(_nll_dtc, x=x, y=y, m=dtc_m, depth=depth,
+                           activation=activation, width=width, get=get,
+                           duals=duals)
+        elif ard:
             loss = partial(_nll_ard, x=x, y=y, depth=depth,
                            activation=activation, width=width, get=get,
                            duals=duals)
@@ -223,6 +288,9 @@ class HyperoptResult:
     # The kernel was learned on x * feature_scale — apply `scale_inputs`
     # to EVERY x that meets this spec (fit, predict, extend).
     feature_scale: Optional[np.ndarray] = None
+    # which evidence the hypers maximized: "exact" (full GP) or "dtc"
+    # (the streaming Nystrom tier's own model, gp/nystrom.py)
+    objective: str = "exact"
 
     def fit_kwargs(self) -> dict:
         """Ready-to-splat kwargs for `fit_gp` / `fit_nystrom`. b != 0 breaks
@@ -249,7 +317,9 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
                            (1e-3, 3e-2, 0.3),
                            eps: Optional[float] = None,
                            ard: bool = False,
-                           init_feature_scale=None) -> HyperoptResult:
+                           init_feature_scale=None,
+                           objective: str = "exact",
+                           dtc_m: int = 512) -> HyperoptResult:
     """Learn (w0, w, b, diag_reg) for an `mlp(depth, activation)` kernel by
     maximizing the exact log evidence on (a subsample of) the training set.
 
@@ -282,6 +352,12 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         1000/max_abs per column to start at chunk_norm-like geometry —
         recommended for wildly mixed-scale features, since Adam moves
         log_s only ~lr per step).
+      * objective='dtc' maximizes the evidence of the DTC/Nystrom model
+        (dtc_m inducing rows — the first rows of the seeded subsample)
+        instead of the exact GP: use it when the hypers will serve the
+        streaming tier (`fit_nystrom` / Estimator(nystrom_m=...)) — the
+        exact-GP optimum measurably loses there (BASELINE.md 90k row).
+        O(n m^2) per step; composes with ard=True.
     """
     if ard and init_feature_scale is not None:
         scaled_probe = np.abs(np.asarray(x)) * np.asarray(init_feature_scale)
@@ -322,9 +398,14 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
             jnp.log(s0)[None, :], (len(regs), x.shape[1]))
     else:
         theta0s["log_w0"] = jnp.log(jnp.full(len(regs), init[0], x.dtype))
+    if objective not in ("exact", "dtc"):
+        raise ValueError(
+            f"objective must be 'exact' or 'dtc', got {objective!r}")
+    dtc_m = min(int(dtc_m), int(x.shape[0])) if objective == "dtc" else 0
     theta, hist, final = _optimize(x, y, theta0s, depth, activation, width,
                                    get, steps, float(lr), float(eps),
-                                   ard=ard)
+                                   ard=ard, objective=objective,
+                                   dtc_m=dtc_m)
     w = float(np.exp(theta["log_w"]))
     b = float(np.exp(theta["log_b"]))
     reg = float(np.exp(theta["log_reg"]))
@@ -339,7 +420,7 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         spec=spec, diag_reg=reg, log_evidence=-float(final),
         nll_history=np.asarray(hist), w0=w0, w=w, b=b,
         num_points=int(x.shape[0]), depth=depth, activation=activation,
-        feature_scale=feature_scale)
+        feature_scale=feature_scale, objective=objective)
 
 
 def select_kernel(x, y, depths: Tuple[int, ...] = (1, 2, 3),

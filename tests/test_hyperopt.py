@@ -224,3 +224,86 @@ def test_ard_init_feature_scale_tames_magnitudes():
                                  init_feature_scale=init_s)
     assert np.all(np.isfinite(res.feature_scale))
     assert np.isfinite(res.log_evidence)
+
+
+def test_dtc_loss_matches_dense_oracle():
+    """-_nll_dtc == the closed-form DTC evidence computed densely in numpy
+    (Q = K_nm K_mm^-1 K_mn, y ~ N(0, Q + rI)) at pinned hyperparameters —
+    the same model `NystromPosterior.log_evidence` scores after a fit."""
+    from nngp_tpu.gp.hyperopt import _nll_dtc
+    from nngp_tpu.models.kernel_spec import apply_diag_recursion
+    x, y = _data(n=48, seed=40)
+    m = 12
+    w0, w, b, reg = 1.1, 0.8, 0.25, 4e-3
+    theta = {"log_w0": jnp.log(jnp.asarray(w0)),
+             "log_w": jnp.log(jnp.asarray(w)),
+             "log_b": jnp.log(jnp.asarray(b)),
+             "log_reg": jnp.log(jnp.asarray(reg))}
+    for get in ("nngp", "ntk"):
+        nll = float(_nll_dtc(theta, jnp.asarray(x), jnp.asarray(y), m,
+                             2, "relu", 512, get, _grad_safe_duals(1e-12)))
+        # dense fp64 oracle through the production kernel path
+        spec = KernelSpec(_build_layers(2, "relu", 512, w0, w, b))
+        from nngp_tpu.ops.gram import input_diag
+        knm = np.asarray(spec.kernel_fn(jnp.asarray(x), jnp.asarray(x[:m]),
+                                        ("nngp", "ntk"))[get == "ntk"],
+                         np.float64)
+        kmm = knm[:m].copy()
+        dn, dt = apply_diag_recursion(input_diag(jnp.asarray(x)), spec.layers)
+        dvec = np.asarray(dt if get == "ntk" else dn, np.float64)
+        np.fill_diagonal(kmm, dvec[:m])
+        r = reg * dvec.mean()
+        q = knm @ np.linalg.solve(kmm, knm.T)
+        cov = q + r * np.eye(len(x))
+        sign, logdet = np.linalg.slogdet(cov)
+        quad = float(y[:, 0] @ np.linalg.solve(cov, y[:, 0]))
+        oracle = 0.5 * (quad + logdet + len(x) * np.log(2 * np.pi))
+        np.testing.assert_allclose(nll, oracle, rtol=1e-6)
+
+
+def test_dtc_loss_equals_exact_at_full_rank():
+    """With m == n the Nystrom model IS the exact GP (Q = K), so the DTC
+    loss must reduce to the exact loss."""
+    from nngp_tpu.gp.hyperopt import _nll_dtc
+    from nngp_tpu.ops.gram import input_diag, input_gram
+    x, y = _data(n=40, seed=41)
+    xd, yd = jnp.asarray(x), jnp.asarray(y)
+    theta = {"log_w0": jnp.log(jnp.asarray(0.9)),
+             "log_w": jnp.log(jnp.asarray(1.1)),
+             "log_b": jnp.log(jnp.asarray(0.3)),
+             "log_reg": jnp.log(jnp.asarray(2e-3))}
+    duals = _grad_safe_duals(1e-12)
+    dtc = float(_nll_dtc(theta, xd, yd, 40, 1, "relu", 512, "nngp", duals))
+    exact = float(_nll(theta, input_gram(xd, xd), input_diag(xd), yd,
+                       1, "relu", 512, "nngp", duals))
+    np.testing.assert_allclose(dtc, exact, rtol=1e-5)
+
+
+def test_dtc_objective_optimizes_and_transfers_to_nystrom():
+    """fit_kernel_hyperparams(objective='dtc') optimizes the served model's
+    own evidence; the result plugs into fit_nystrom and the fitted
+    posterior's log_evidence agrees in preferring the learned hypers."""
+    from nngp_tpu.gp import fit_nystrom
+    x, y = _data(n=150, seed=42)
+    res = fit_kernel_hyperparams(x, y, steps=60, objective="dtc", dtc_m=32)
+    assert res.objective == "dtc"
+    assert np.all(np.isfinite(res.nll_history))
+    assert res.nll_history[-1] < res.nll_history[0]
+    post = fit_nystrom(res.spec, x, y, num_inducing=32,
+                       **res.fit_kwargs())
+    default = fit_nystrom(KernelSpec(_build_layers(1, "relu", 512,
+                                                   1.0, 1.0, 0.0)),
+                          x, y, num_inducing=32, diag_reg=1e-3,
+                          input_scale=1.0)
+    assert post.log_evidence() > default.log_evidence()
+
+
+def test_dtc_objective_composes_with_ard():
+    rng = np.random.default_rng(43)
+    x = rng.uniform(0, 1, (120, 4))
+    y = np.sin(4 * x[:, :1]) + 0.02 * rng.standard_normal((120, 1))
+    res = fit_kernel_hyperparams(x, y, steps=80, objective="dtc",
+                                 dtc_m=48, ard=True)
+    s = res.feature_scale
+    assert s is not None and np.all(np.isfinite(s))
+    assert s[0] > np.max(s[1:]), s
