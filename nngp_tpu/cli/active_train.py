@@ -52,6 +52,10 @@ def build_parser():
                    help="with --learn_hyper: learn a PER-FEATURE input "
                         "scale by evidence (ARD); train/pool/val features "
                         "are rescaled by the learned vector")
+    p.add_argument("--hyper_objective", type=str, default="auto",
+                   choices=["auto", "exact", "dtc"],
+                   help="which evidence --learn_hyper maximizes; auto = "
+                        "dtc when --nystrom_m is set, else exact")
     p.add_argument("--x64", action="store_true")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="run over an n-device mesh (0 = single chip): the "
@@ -85,13 +89,17 @@ def main(argv=None):
     input_scale = None
     if args.learn_hyper:
         from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+        objective = args.hyper_objective
+        if objective == "auto":
+            objective = "dtc" if args.nystrom_m else "exact"
         res = fit_kernel_hyperparams(
             x_tr, y_tr, depth=args.depth, activation=args.activation,
             get=args.kernel_type, steps=args.hyper_steps,
-            max_points=args.hyper_points, width=args.width, ard=args.ard)
+            max_points=args.hyper_points, width=args.width, ard=args.ard,
+            objective=objective, dtc_m=min(512, args.nystrom_m or 512))
         print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
               f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
-              f"(log evidence {res.log_evidence:.2f})")
+              f"({res.objective} log evidence {res.log_evidence:.2f})")
         spec = res.spec
         kw = res.fit_kwargs()
         args.diag_reg = kw["diag_reg"]

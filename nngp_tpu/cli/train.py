@@ -74,6 +74,13 @@ def build_parser():
                    help="with --learn_hyper: learn a PER-FEATURE input "
                         "scale by evidence (ARD) — train and test features "
                         "are rescaled by the learned vector before the fit")
+    p.add_argument("--hyper_objective", type=str, default="auto",
+                   choices=["auto", "exact", "dtc"],
+                   help="which evidence --learn_hyper maximizes: the exact "
+                        "GP's, or the Nystrom/DTC tier's own (Woodbury "
+                        "m x m form). auto = dtc when --nystrom_m is set "
+                        "(DTC-objective hypers beat exact-objective hypers "
+                        "on the served tier at 90k, BASELINE.md)")
     p.add_argument("--select_kernel", action="store_true",
                    help="evidence-ranked model selection over (depth in "
                         "1..3) x (relu, erf) with learned hyperparameters "
@@ -232,18 +239,23 @@ def main(argv=None):
             args.diag_reg = res.diag_reg
         elif args.learn_hyper:
             from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
-            with timer.measure("hyperparameter learning (exact MLL)") as h:
+            objective = args.hyper_objective
+            if objective == "auto":
+                objective = "dtc" if args.nystrom_m else "exact"
+            with timer.measure("hyperparameter learning (MLL)") as h:
                 res = fit_kernel_hyperparams(
                     x_tr, y_tr, depth=args.depth, activation=args.activation,
                     get=args.kernel_type, steps=args.hyper_steps,
                     max_points=args.hyper_points, width=args.width,
                     init=(args.w_std, args.w_std, max(args.b_std, 0.1),
-                          args.diag_reg), ard=args.ard)
+                          args.diag_reg), ard=args.ard,
+                    objective=objective,
+                    dtc_m=min(512, args.nystrom_m or 512))
                 h["out"] = res.nll_history
             print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
                   f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
-                  f"(log evidence {res.log_evidence:.2f} on "
-                  f"{res.num_points} rows)")
+                  f"({res.objective} log evidence {res.log_evidence:.2f} "
+                  f"on {res.num_points} rows)")
             spec = res.spec
             args.diag_reg = res.diag_reg
             if res.feature_scale is not None:

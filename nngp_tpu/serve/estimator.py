@@ -93,7 +93,8 @@ class Estimator:
                  chunk_norm: bool = False,
                  nystrom_m: Optional[int] = None,
                  learn_hyper: bool = False, hyper_steps: int = 100,
-                 hyper_points: int = 4096, hyper_ard: bool = False):
+                 hyper_points: int = 4096, hyper_ard: bool = False,
+                 hyper_objective: str = "auto"):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
@@ -122,7 +123,14 @@ class Estimator:
         heuristic; measured median q 2.69 -> 2.32 and p95 33 -> 28 on the
         synth6 join, BASELINE.md). The learned `feature_scale` is applied
         to every encoded query (fit, predict, extend, forget) and rides
-        through checkpoints."""
+        through checkpoints.
+
+        hyper_objective: which evidence learn_hyper maximizes — 'exact'
+        (full-GP MLL), 'dtc' (the streaming Nystrom tier's own model), or
+        'auto' (default): 'dtc' when nystrom_m is set, else 'exact'.
+        Measured at 90k (BASELINE.md): DTC-objective hypers beat
+        exact-objective hypers on every quantile of the served Nystrom
+        tier."""
         self.schema_name = schema_name
         self.chunk_size = chunk_size
         self.kernel_type = kernel_type
@@ -157,7 +165,8 @@ class Estimator:
         self.feature_scale = None
         if learn_hyper:
             self._learn_hyperparams(x, y, hyper_steps, hyper_points, verbose,
-                                    ard=hyper_ard)
+                                    ard=hyper_ard,
+                                    objective=hyper_objective)
             x = self._apply_feature_scale(x)
         elif hyper_ard:
             raise ValueError("hyper_ard requires learn_hyper=True")
@@ -165,7 +174,7 @@ class Estimator:
         self._validate_fit()
 
     def _learn_hyperparams(self, x, y, steps, max_points, verbose,
-                           ard: bool = False):
+                           ard: bool = False, objective: str = "auto"):
         """Replace self.spec / self.diag_reg with exact-MLL-learned values
         (gp/hyperopt.py). The learned spec round-trips through checkpoints
         unchanged — save() already serializes Dense (w_std, b_std); an ARD
@@ -186,17 +195,22 @@ class Estimator:
                 "chunk_norm=True to put packed categorical chunks on the "
                 "[0, 1000] scale")
         from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+        if objective == "auto":
+            objective = "dtc" if self.nystrom_m else "exact"
+        dtc_m = min(512, self.nystrom_m) if (
+            objective == "dtc" and self.nystrom_m) else 512
         res = fit_kernel_hyperparams(
             x, y, depth=len(acts), activation=acts[0].name,
             get=self.kernel_type, steps=steps, max_points=max_points,
-            width=denses[0].width, ard=ard)
+            width=denses[0].width, ard=ard, objective=objective,
+            dtc_m=dtc_m)
         if res.feature_scale is not None:
             self.feature_scale = np.asarray(res.feature_scale, np.float64)
         if verbose:
             print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
                   f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
-                  f"(log evidence {res.log_evidence:.2f} on "
-                  f"{res.num_points} rows)")
+                  f"({res.objective} log evidence {res.log_evidence:.2f} "
+                  f"on {res.num_points} rows)")
         self.spec = res.spec
         self.diag_reg = res.diag_reg
 

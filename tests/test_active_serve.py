@@ -586,6 +586,38 @@ def test_estimator_ard_feature_scale_roundtrip(tmp_path):
                   verbose=False, hyper_ard=True)
 
 
+def test_estimator_hyper_objective_auto_routes_to_dtc(tmp_path, monkeypatch):
+    """Estimator(learn_hyper=True) learns against the evidence of the tier
+    it will SERVE: nystrom_m set -> objective='dtc' (the exact-GP optimum
+    measurably loses on the served Nystrom tier, BASELINE.md 90k row);
+    exact posterior -> 'exact'; an explicit hyper_objective overrides."""
+    import nngp_tpu.gp.hyperopt as hyperopt_mod
+
+    stats, qdir = _toy_schema_files(tmp_path)
+    seen = []
+    real = hyperopt_mod.fit_kernel_hyperparams
+
+    def spy(*a, **kw):
+        seen.append(kw.get("objective", "exact"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(hyperopt_mod, "fit_kernel_hyperparams", spy)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, learn_hyper=True, hyper_steps=10,
+                    hyper_points=48, nystrom_m=16)
+    assert seen == ["dtc"]
+    mean, std = est.predict(["ta,tb@x,5.0,-5.0@@ta,tb,id"])
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+    Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+              verbose=False, learn_hyper=True, hyper_steps=10,
+              hyper_points=48)
+    assert seen == ["dtc", "exact"]
+    Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+              verbose=False, learn_hyper=True, hyper_steps=10,
+              hyper_points=48, nystrom_m=16, hyper_objective="exact")
+    assert seen == ["dtc", "exact", "exact"]
+
+
 def test_estimator_learn_hyper_guards(tmp_path):
     from nngp_tpu.models.kernel_spec import Dense, KernelSpec
 
