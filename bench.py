@@ -265,6 +265,26 @@ def main():
             extras["nystrom_m1024_fit_s"] = None
             extras["nystrom_m1024_error"] = type(e).__name__
 
+        # Hyperparameter learning (gp/hyperopt.py): the whole multi-start
+        # Adam optimization — per-step Gram + Cholesky + grad, 4 ridge
+        # restarts vmapped — is ONE compiled dispatch. Warm wall-clock at
+        # 50 steps on a 2048-row subsample (fp64-CPU takes ~10 min for the
+        # same program; the MXU owns the per-step n^3).
+        try:
+            from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+            import time as _th
+            kwh = dict(steps=50, max_points=2048)
+            res_h = fit_kernel_hyperparams(x_tr, y_tr, **kwh)
+            t0 = _th.perf_counter()
+            res_h = fit_kernel_hyperparams(x_tr, y_tr, **kwh)
+            extras["hyperopt_50step_warm_s"] = round(
+                _th.perf_counter() - t0, 6)
+            extras["hyperopt_log_evidence"] = round(res_h.log_evidence, 2)
+            del res_h
+        except Exception as e:               # pragma: no cover - TPU only
+            extras["hyperopt_50step_warm_s"] = None
+            extras["hyperopt_error"] = type(e).__name__
+
         # Scale rows: 2x and 3x train set (random features — wall-clock
         # only). 32,400 runs on the block-factor path (column blocks end to
         # end); guarded so a compile hiccup can't sink the whole bench line.
