@@ -47,7 +47,9 @@ def build_parser():
                         "acquisition loop (gp.hyperopt) — overrides "
                         "--diag_reg with the learned ridge")
     p.add_argument("--hyper_steps", type=int, default=100)
-    p.add_argument("--hyper_points", type=int, default=4096)
+    p.add_argument("--hyper_points", type=int, default=4096,
+                   help="hyperopt subsample; 0 = full train split "
+                        "(DTC objective only)")
     p.add_argument("--ard", action="store_true",
                    help="with --learn_hyper: learn a PER-FEATURE input "
                         "scale by evidence (ARD); train/pool/val features "
@@ -87,16 +89,25 @@ def main(argv=None):
 
     spec = KernelSpec(mlp(args.depth, args.width, args.activation))
     input_scale = None
+    mesh = None
+    if args.mesh_devices:
+        from nngp_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh_devices)
     if args.learn_hyper:
         from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
         objective = args.hyper_objective
         if objective == "auto":
             objective = "dtc" if args.nystrom_m else "exact"
+        if not args.hyper_points and objective != "dtc":
+            raise SystemExit("--hyper_points 0 (full-n hyperopt) requires "
+                             "the DTC objective (exact loss is O(n^3)/step)")
         res = fit_kernel_hyperparams(
             x_tr, y_tr, depth=args.depth, activation=args.activation,
             get=args.kernel_type, steps=args.hyper_steps,
-            max_points=args.hyper_points, width=args.width, ard=args.ard,
-            objective=objective, dtc_m=min(512, args.nystrom_m or 512))
+            max_points=args.hyper_points or None,  # 0 -> full n (dtc)
+            width=args.width, ard=args.ard,
+            objective=objective, dtc_m=min(512, args.nystrom_m or 512),
+            mesh=mesh if objective == "dtc" else None)
         print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
               f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
               f"({res.objective} log evidence {res.log_evidence:.2f})")
@@ -109,14 +120,10 @@ def main(argv=None):
             x_tr = x_tr * s.astype(x_tr.dtype)
             x_pool = x_pool * s.astype(x_pool.dtype)
             x_val = x_val * s.astype(x_val.dtype)
-    mesh = None
-    if args.mesh_devices:
-        # any n / any budget: the distributed layout pads with inert rows,
-        # and acquisition rounds stay incremental via the block-cyclic
-        # append (DistributedPosterior.extend) — no snapping, no forced
-        # full refits
-        from nngp_tpu.parallel import make_mesh
-        mesh = make_mesh(args.mesh_devices)
+    # any n / any budget on a mesh: the distributed layout pads with inert
+    # rows, and acquisition rounds stay incremental via the block-cyclic
+    # append (DistributedPosterior.extend) — no snapping, no forced
+    # full refits
     learner = ActiveLearner(
         spec, budget=args.budget, active_iters=args.active_iters,
         kernel_type=args.kernel_type, biased_sample=args.biased_sample,

@@ -69,7 +69,9 @@ def build_parser():
                         "--w_std/--b_std/--diag_reg with the learned values")
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096,
-                   help="training-row subsample the MLL is optimized on")
+                   help="training-row subsample the MLL is optimized on; "
+                        "0 = the FULL training set (DTC objective only — "
+                        "that loss is linear in n)")
     p.add_argument("--ard", action="store_true",
                    help="with --learn_hyper: learn a PER-FEATURE input "
                         "scale by evidence (ARD) — train and test features "
@@ -242,11 +244,15 @@ def main(argv=None):
             objective = args.hyper_objective
             if objective == "auto":
                 objective = "dtc" if args.nystrom_m else "exact"
+            if not args.hyper_points and objective != "dtc":
+                p.error("--hyper_points 0 (full-n hyperopt) requires the "
+                        "DTC objective (exact loss is O(n^3)/step)")
             with timer.measure("hyperparameter learning (MLL)") as h:
                 res = fit_kernel_hyperparams(
                     x_tr, y_tr, depth=args.depth, activation=args.activation,
                     get=args.kernel_type, steps=args.hyper_steps,
-                    max_points=args.hyper_points, width=args.width,
+                    max_points=args.hyper_points or None,
+                    width=args.width,
                     init=(args.w_std, args.w_std, max(args.b_std, 0.1),
                           args.diag_reg), ard=args.ard,
                     objective=objective,

@@ -157,17 +157,25 @@ def _nll_ard(theta, x, y, depth, activation, width, get, duals):
                              get, duals, reg_rel)
 
 
-def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals):
+def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals,
+             mask=None):
     """Exact negative log evidence of the DTC/Nystrom model the streaming
     tier actually serves (`gp/nystrom.py`): y ~ N(0, Q + r I) with
-    Q = K_nm K_mm^-1 K_mn over the FIRST m subsample rows as inducing
-    points (the subsample is already seeded-random, so a prefix is a
+    Q = K_nm K_mm^-1 K_mn over the FIRST m rows as inducing points
+    (`fit_kernel_hyperparams` permutes the rows once so the prefix is a
     uniform draw — matching `select_inducing`'s uniform default).
 
     Maximizing the exact-GP evidence tunes a different model than the DTC
     tier serves, and measurably loses there (BASELINE.md 90k Nystrom
     transferability row); this loss optimizes the served model itself.
     Cost per step O(n m^2 + m^3) vs the exact loss's O(n^3).
+
+    mask: optional per-row 0/1 weights — rows with mask 0 contribute
+    NOTHING (kernel rows, y, the ridge trace, and the n in the evidence
+    all masked). This makes the loss row-shardable over a device mesh
+    with inert padding: every term is a sum over rows except the m x m
+    stage, so sharding x/y/mask row-wise lets XLA turn the moment
+    contractions (psi psi^T, psi y, sum y^2, trace) into psums over ICI.
 
     Differentiability: same grad-safe duals; K_mm's diagonal is replaced
     by the exact smooth `apply_diag_recursion` values (rho=1), and the
@@ -182,13 +190,19 @@ def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals):
     w, b, reg_rel = (jnp.exp(theta["log_w"]), jnp.exp(theta["log_b"]),
                      jnp.exp(theta["log_reg"]))
     layers = _build_layers(depth, activation, width, w0, w, b)
-    n = x.shape[0]
+    if mask is None:
+        n_eff = jnp.asarray(x.shape[0], x.dtype)
+        ym = y
+    else:
+        n_eff = jnp.sum(mask)
+        ym = y * mask[:, None]
     x_m = x[:m]
     d_all = input_diag(x)
     d_m = d_all[:m]
     dn, dt = apply_diag_recursion(d_all, layers)
     dvec = dt if get == "ntk" else dn
-    r = reg_rel * jnp.mean(dvec)
+    tr = jnp.sum(dvec) if mask is None else jnp.sum(dvec * mask)
+    r = reg_rel * tr / n_eff
 
     k0_mm = input_gram(x_m, x_m)
     nngp_mm, ntk_mm = apply_recursion(k0_mm, jnp.zeros_like(k0_mm),
@@ -205,22 +219,26 @@ def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals):
                                       d_all[:, None], d_m[None, :], layers,
                                       duals=duals)
     k_nm = ntk_nm if get == "ntk" else nngp_nm
+    if mask is not None:
+        # padded rows get NONZERO kernel values whenever b > 0 (the bias
+        # enters every layer) — mask AFTER the recursion, not before
+        k_nm = k_nm * mask[:, None]
     psi = jax.scipy.linalg.solve_triangular(l_mm, k_nm.T, lower=True)
     c = psi @ psi.T
-    b_m = psi @ y
+    b_m = psi @ ym
     l_c = jnp.linalg.cholesky(c + r * jnp.eye(m, dtype=x.dtype))
     t = jax.scipy.linalg.solve_triangular(l_c, b_m, lower=True)
-    quad = (jnp.sum(y * y) - jnp.sum(t * t)) / r
-    logdet = ((n - m) * jnp.log(r)
+    quad = (jnp.sum(ym * ym) - jnp.sum(t * t)) / r
+    logdet = ((n_eff - m) * jnp.log(r)
               + 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_c))))
-    return 0.5 * (quad + logdet + n * jnp.log(2.0 * jnp.pi))
+    return 0.5 * (quad + logdet + n_eff * jnp.log(2.0 * jnp.pi))
 
 
 @partial(jax.jit, static_argnames=("depth", "activation", "width", "get",
                                    "steps", "lr", "eps", "ard", "objective",
                                    "dtc_m"))
 def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps,
-              ard=False, objective="exact", dtc_m=0):
+              ard=False, objective="exact", dtc_m=0, mask=None):
     """ONE dispatch: `steps` Adam iterations of the exact-MLL loss via
     lax.scan, vmapped over a BATCH of restarts (leading axis of theta0s —
     the evidence is multimodal in the ridge: a small-reg init settles into
@@ -238,7 +256,7 @@ def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps,
             # handles scalar AND ARD parameterizations via the theta keys
             loss = partial(_nll_dtc, x=x, y=y, m=dtc_m, depth=depth,
                            activation=activation, width=width, get=get,
-                           duals=duals)
+                           duals=duals, mask=mask)
         elif ard:
             loss = partial(_nll_ard, x=x, y=y, depth=depth,
                            activation=activation, width=width, get=get,
@@ -309,7 +327,8 @@ class HyperoptResult:
 
 def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
                            get: str = "nngp", steps: int = 100,
-                           lr: float = 0.1, max_points: int = 4096,
+                           lr: float = 0.1,
+                           max_points: Optional[int] = 4096,
                            seed: int = 0, width: int = 512,
                            init: Tuple[float, float, float, float] =
                            (1.0, 1.0, 0.1, 1e-3),
@@ -319,7 +338,8 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
                            ard: bool = False,
                            init_feature_scale=None,
                            objective: str = "exact",
-                           dtc_m: int = 512) -> HyperoptResult:
+                           dtc_m: int = 512,
+                           mesh=None) -> HyperoptResult:
     """Learn (w0, w, b, diag_reg) for an `mlp(depth, activation)` kernel by
     maximizing the exact log evidence on (a subsample of) the training set.
 
@@ -353,11 +373,23 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         recommended for wildly mixed-scale features, since Adam moves
         log_s only ~lr per step).
       * objective='dtc' maximizes the evidence of the DTC/Nystrom model
-        (dtc_m inducing rows — the first rows of the seeded subsample)
-        instead of the exact GP: use it when the hypers will serve the
-        streaming tier (`fit_nystrom` / Estimator(nystrom_m=...)) — the
-        exact-GP optimum measurably loses there (BASELINE.md 90k row).
-        O(n m^2) per step; composes with ard=True.
+        (dtc_m inducing rows — a seeded uniform draw: the rows are
+        permuted once and the prefix is the inducing set) instead of the
+        exact GP: use it when the hypers will serve the streaming tier
+        (`fit_nystrom` / Estimator(nystrom_m=...)) — the exact-GP optimum
+        measurably loses there (BASELINE.md 90k row). O(n m^2) per step;
+        composes with ard=True.
+      * max_points=None disables the subsample — affordable with
+        objective='dtc' (linear in n per step) where the exact O(n^3)
+        loss is not. Measured: scalar hypers saturate by ~2k rows (a 4x
+        subsample did NOT improve 90k serving, BASELINE.md); full-n is
+        for the high-dimensional ARD parameterization.
+      * mesh (requires objective='dtc'): shard the rows of x/y over the
+        mesh's first axis — every loss term except the m x m stage is a
+        sum over rows, so XLA turns the moment contractions into psums
+        over ICI (GSPMD; no shard_map needed — the sharding rides on the
+        arrays). Ragged n is padded with mask-inert rows. Combined with
+        max_points=None this learns hypers from the FULL training set.
     """
     if ard and init_feature_scale is not None:
         scaled_probe = np.abs(np.asarray(x)) * np.asarray(init_feature_scale)
@@ -377,10 +409,16 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
     if y.ndim == 1:
         y = y[:, None]
     n = x.shape[0]
-    if n > max_points:
+    if max_points is not None and n > max_points:
         sel = np.sort(np.random.default_rng(seed).choice(
             n, size=max_points, replace=False))
         x, y = x[sel], y[sel]
+    if objective == "dtc":
+        # the inducing set is the row prefix — permute once so it is a
+        # uniform draw even when the (sub)sample preserves dataset order
+        # (the sorted `sel` above biases a raw prefix toward early rows)
+        perm = np.random.default_rng(seed + 1).permutation(int(x.shape[0]))
+        x, y = x[perm], y[perm]
     if eps is None:
         eps = 1e-12 if x.dtype == jnp.float64 else 1e-6
     regs = [float(init[3])] + [r for r in reg_restarts
@@ -402,10 +440,33 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         raise ValueError(
             f"objective must be 'exact' or 'dtc', got {objective!r}")
     dtc_m = min(int(dtc_m), int(x.shape[0])) if objective == "dtc" else 0
+    mask = None
+    if mesh is not None:
+        if objective != "dtc":
+            raise ValueError(
+                "mesh-sharded hyperopt requires objective='dtc' — the "
+                "exact O(n^3) loss is not row-shardable")
+        from jax.sharding import NamedSharding, PartitionSpec
+        n_rows = int(x.shape[0])
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        pad = (-n_rows) % n_dev
+        mask = jnp.concatenate([jnp.ones(n_rows, x.dtype),
+                                jnp.zeros(pad, x.dtype)])
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+            y = jnp.concatenate(
+                [y, jnp.zeros((pad, y.shape[1]), y.dtype)])
+        row_sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+        x = jax.device_put(x, NamedSharding(
+            mesh, PartitionSpec(mesh.axis_names, None)))
+        y = jax.device_put(y, NamedSharding(
+            mesh, PartitionSpec(mesh.axis_names, None)))
+        mask = jax.device_put(mask, row_sharding)
     theta, hist, final = _optimize(x, y, theta0s, depth, activation, width,
                                    get, steps, float(lr), float(eps),
                                    ard=ard, objective=objective,
-                                   dtc_m=dtc_m)
+                                   dtc_m=dtc_m, mask=mask)
     w = float(np.exp(theta["log_w"]))
     b = float(np.exp(theta["log_b"]))
     reg = float(np.exp(theta["log_reg"]))

@@ -130,7 +130,9 @@ class Estimator:
         'auto' (default): 'dtc' when nystrom_m is set, else 'exact'.
         Measured at 90k (BASELINE.md): DTC-objective hypers beat
         exact-objective hypers on every quantile of the served Nystrom
-        tier."""
+        tier. hyper_points=0 disables the subsample (DTC objective only —
+        its loss is linear in n), and with mesh set the DTC hyperopt rows
+        shard over the mesh (GSPMD psums over ICI)."""
         self.schema_name = schema_name
         self.chunk_size = chunk_size
         self.kernel_type = kernel_type
@@ -197,13 +199,19 @@ class Estimator:
         from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
         if objective == "auto":
             objective = "dtc" if self.nystrom_m else "exact"
+        if not max_points and objective != "dtc":
+            raise ValueError(
+                "hyper_points=0 (full-n hyperopt) requires the DTC "
+                "objective — the exact loss is O(n^3) per step")
         dtc_m = min(512, self.nystrom_m) if (
             objective == "dtc" and self.nystrom_m) else 512
         res = fit_kernel_hyperparams(
             x, y, depth=len(acts), activation=acts[0].name,
-            get=self.kernel_type, steps=steps, max_points=max_points,
+            get=self.kernel_type, steps=steps,
+            max_points=max_points or None,   # 0 -> full-n (dtc is O(n m^2))
             width=denses[0].width, ard=ard, objective=objective,
-            dtc_m=dtc_m)
+            dtc_m=dtc_m,
+            mesh=self.mesh if objective == "dtc" else None)
         if res.feature_scale is not None:
             self.feature_scale = np.asarray(res.feature_scale, np.float64)
         if verbose:

@@ -279,21 +279,23 @@ def test_dtc_loss_equals_exact_at_full_rank():
     np.testing.assert_allclose(dtc, exact, rtol=1e-5)
 
 
-def test_dtc_objective_optimizes_and_transfers_to_nystrom():
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_dtc_objective_optimizes_and_transfers_to_nystrom(get):
     """fit_kernel_hyperparams(objective='dtc') optimizes the served model's
     own evidence; the result plugs into fit_nystrom and the fitted
     posterior's log_evidence agrees in preferring the learned hypers."""
     from nngp_tpu.gp import fit_nystrom
     x, y = _data(n=150, seed=42)
-    res = fit_kernel_hyperparams(x, y, steps=60, objective="dtc", dtc_m=32)
+    res = fit_kernel_hyperparams(x, y, steps=60, objective="dtc", dtc_m=32,
+                                 get=get)
     assert res.objective == "dtc"
     assert np.all(np.isfinite(res.nll_history))
     assert res.nll_history[-1] < res.nll_history[0]
-    post = fit_nystrom(res.spec, x, y, num_inducing=32,
+    post = fit_nystrom(res.spec, x, y, num_inducing=32, get=get,
                        **res.fit_kwargs())
     default = fit_nystrom(KernelSpec(_build_layers(1, "relu", 512,
                                                    1.0, 1.0, 0.0)),
-                          x, y, num_inducing=32, diag_reg=1e-3,
+                          x, y, num_inducing=32, diag_reg=1e-3, get=get,
                           input_scale=1.0)
     assert post.log_evidence() > default.log_evidence()
 
@@ -307,3 +309,53 @@ def test_dtc_objective_composes_with_ard():
     s = res.feature_scale
     assert s is not None and np.all(np.isfinite(s))
     assert s[0] > np.max(s[1:]), s
+
+
+def test_dtc_mask_padding_is_inert():
+    """_nll_dtc with zero-padded rows + mask equals the unpadded loss at
+    pinned theta — including b > 0, where padded rows pick up NONZERO
+    kernel values through the bias and MUST be masked after the
+    recursion."""
+    from nngp_tpu.gp.hyperopt import _nll_dtc
+    x, y = _data(n=50, seed=44)
+    theta = {"log_w0": jnp.log(jnp.asarray(0.8)),
+             "log_w": jnp.log(jnp.asarray(1.2)),
+             "log_b": jnp.log(jnp.asarray(0.4)),
+             "log_reg": jnp.log(jnp.asarray(3e-3))}
+    duals = _grad_safe_duals(1e-12)
+    ref = float(_nll_dtc(theta, jnp.asarray(x), jnp.asarray(y), 16,
+                         1, "relu", 512, "nngp", duals))
+    pad = 14
+    xp = jnp.concatenate([jnp.asarray(x), jnp.zeros((pad, x.shape[1]))])
+    yp = jnp.concatenate([jnp.asarray(y), jnp.zeros((pad, 1))])
+    mask = jnp.concatenate([jnp.ones(len(x)), jnp.zeros(pad)])
+    padded = float(_nll_dtc(theta, xp, yp, 16, 1, "relu", 512, "nngp",
+                            duals, mask=mask))
+    np.testing.assert_allclose(padded, ref, rtol=1e-10)
+    # explicit all-ones mask is the identity
+    ones = float(_nll_dtc(theta, jnp.asarray(x), jnp.asarray(y), 16,
+                          1, "relu", 512, "nngp", duals,
+                          mask=jnp.ones(len(x))))
+    np.testing.assert_allclose(ones, ref, rtol=1e-12)
+
+
+def test_dtc_mesh_full_n_matches_unsharded():
+    """fit_kernel_hyperparams(mesh=..., max_points=None, objective='dtc')
+    on a ragged n (padding required) learns the SAME hyperparameters as
+    the unsharded full-n run — GSPMD only changes the reduction order
+    (CLAUDE.md: psum jitter ~1e-8 rel on fp64)."""
+    from jax.sharding import Mesh
+
+    x, y = _data(n=198, d=4, seed=45)   # 198 % 8 != 0: exercises padding
+    kw = dict(steps=25, max_points=None, objective="dtc", dtc_m=24)
+    ref = fit_kernel_hyperparams(x, y, **kw)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    res = fit_kernel_hyperparams(x, y, mesh=mesh, **kw)
+    np.testing.assert_allclose(
+        [res.w0, res.w, res.b, res.diag_reg],
+        [ref.w0, ref.w, ref.b, ref.diag_reg], rtol=1e-6)
+    np.testing.assert_allclose(res.log_evidence, ref.log_evidence,
+                               rtol=1e-8)
+    # mesh requires the row-shardable objective
+    with pytest.raises(ValueError, match="dtc"):
+        fit_kernel_hyperparams(x, y, steps=5, mesh=mesh)
