@@ -359,3 +359,20 @@ def test_dtc_mesh_full_n_matches_unsharded():
     # mesh requires the row-shardable objective
     with pytest.raises(ValueError, match="dtc"):
         fit_kernel_hyperparams(x, y, steps=5, mesh=mesh)
+
+
+def test_dtc_mesh_composes_with_ard():
+    """ARD (per-feature log_s in theta) + mesh sharding + vmapped restarts
+    all compose: the sharded run learns the same feature scales as the
+    unsharded one."""
+    from jax.sharding import Mesh
+
+    x, y = _data(n=100, d=3, seed=46)   # 100 % 8 != 0
+    kw = dict(steps=15, max_points=None, objective="dtc", dtc_m=16,
+              ard=True)
+    ref = fit_kernel_hyperparams(x, y, **kw)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    res = fit_kernel_hyperparams(x, y, mesh=mesh, **kw)
+    np.testing.assert_allclose(res.feature_scale, ref.feature_scale,
+                               rtol=1e-6)
+    np.testing.assert_allclose(res.diag_reg, ref.diag_reg, rtol=1e-6)
