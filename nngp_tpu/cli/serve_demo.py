@@ -59,6 +59,23 @@ def main(argv=None):
                    help="serve from the streaming Nystrom/DTC tier with "
                         "this many inducing rows (O(m^2) device state at "
                         "any train-set size)")
+    p.add_argument("--learn_hyper", action="store_true",
+                   help="learn (w0, w, b, diag_reg) by evidence before "
+                        "fitting — against the DTC tier's own evidence "
+                        "when --nystrom_m is set (gp/hyperopt.py); the "
+                        "learned spec rides through --ckpt")
+    p.add_argument("--ard", action="store_true",
+                   help="with --learn_hyper: learn a per-feature input "
+                        "scale (recommended: ARD x DTC beats the default "
+                        "kernel on 90k Nystrom serving, BASELINE.md). "
+                        "Needs fp32-safe features: add --chunk_norm")
+    p.add_argument("--chunk_norm", action="store_true",
+                   help="rescale packed categorical chunk slots onto the "
+                        "[0,1000] numeric scale")
+    p.add_argument("--hyper_steps", type=int, default=100)
+    p.add_argument("--hyper_points", type=int, default=4096,
+                   help="hyperopt subsample; 0 = full train set (DTC "
+                        "objective only)")
     args = p.parse_args(argv)
 
     from nngp_tpu.serve import Estimator
@@ -78,7 +95,12 @@ def main(argv=None):
                         q_error_threshold=args.q_error_threshold,
                         coef_var_threshold=args.coef_var_threshold,
                         stats_dir=args.stats_dir, mesh=mesh,
-                        nystrom_m=args.nystrom_m)
+                        nystrom_m=args.nystrom_m,
+                        chunk_norm=args.chunk_norm,
+                        learn_hyper=args.learn_hyper,
+                        hyper_ard=args.ard,
+                        hyper_steps=args.hyper_steps,
+                        hyper_points=args.hyper_points)
         if args.ckpt:
             est.save(args.ckpt)
     est.load_model()

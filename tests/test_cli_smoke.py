@@ -75,6 +75,26 @@ def test_serve_demo_cli_mesh(tmp_path, capsys):
     assert "restoring from checkpoint" in capsys.readouterr().out
 
 
+def test_serve_demo_cli_learn_hyper_nystrom(tmp_path, capsys):
+    """Serving CLI wires the recommended configuration: chunk_norm + ARD
+    learn_hyper (auto-DTC objective via nystrom_m) + Nystrom tier, and the
+    learned spec + feature scale ride through the checkpoint."""
+    from nngp_tpu.cli.serve_demo import main
+    argv = ["--schema_name", "synth",
+            "--stats_dir", os.path.join(WORKLOAD, "synth_stats"),
+            "--train_query_path", os.path.join(WORKLOAD, "synth_join_data"),
+            "--test_query_file",
+            os.path.join(WORKLOAD, "synth_join_data", "join_query_2.txt"),
+            "--limit", "8", "--nystrom_m", "32", "--chunk_norm",
+            "--learn_hyper", "--ard", "--hyper_steps", "5",
+            "--hyper_points", "64", "--ckpt", str(tmp_path / "ck")]
+    main(argv)
+    out = capsys.readouterr().out
+    assert "pred_mean shape" in out
+    main(argv)
+    assert "restoring from checkpoint" in capsys.readouterr().out
+
+
 def test_train_cli_rbf_gp():
     from nngp_tpu.cli.train import main
     profile = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
