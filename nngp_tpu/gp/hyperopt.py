@@ -441,6 +441,7 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
             f"objective must be 'exact' or 'dtc', got {objective!r}")
     dtc_m = min(int(dtc_m), int(x.shape[0])) if objective == "dtc" else 0
     mask = None
+    n_scored = int(x.shape[0])   # rows the evidence is scored on (pre-pad)
     if mesh is not None:
         if objective != "dtc":
             raise ValueError(
@@ -480,7 +481,7 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
     return HyperoptResult(
         spec=spec, diag_reg=reg, log_evidence=-float(final),
         nll_history=np.asarray(hist), w0=w0, w=w, b=b,
-        num_points=int(x.shape[0]), depth=depth, activation=activation,
+        num_points=n_scored, depth=depth, activation=activation,
         feature_scale=feature_scale, objective=objective)
 
 
