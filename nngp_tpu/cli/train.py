@@ -224,21 +224,34 @@ def main(argv=None):
                               args.w_std, args.b_std))
         if args.select_kernel:
             from nngp_tpu.gp.hyperopt import select_kernel
+            # same routing as --learn_hyper: compete structures on the
+            # evidence of the tier that will actually serve, and honor --ard
+            objective = args.hyper_objective
+            if objective == "auto":
+                objective = "dtc" if args.nystrom_m else "exact"
             with timer.measure("kernel selection (evidence grid)") as h:
                 res, ranked = select_kernel(
                     x_tr, y_tr, get=args.kernel_type,
                     steps=args.hyper_steps, max_points=args.hyper_points,
-                    width=args.width, verbose=print)
+                    width=args.width, verbose=print, ard=args.ard,
+                    objective=objective,
+                    dtc_m=min(512, args.nystrom_m or 512))
                 h["out"] = [(r.depth, r.activation, r.log_evidence)
                             for r in ranked]
             print(f"selected kernel: depth={res.depth} "
                   f"activation={res.activation}")
             print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
                   f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
-                  f"(log evidence {res.log_evidence:.2f} on "
+                  f"({res.objective} log evidence {res.log_evidence:.2f} on "
                   f"{res.num_points} rows)")
             spec = res.spec
             args.diag_reg = res.diag_reg
+            if res.feature_scale is not None:
+                s = res.feature_scale
+                print(f"learned ARD feature scale: range "
+                      f"[{s.min():.3g}, {s.max():.3g}]")
+                x_tr = x_tr * s.astype(x_tr.dtype)
+                x_te = x_te * s.astype(x_te.dtype)
         elif args.learn_hyper:
             from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
             objective = args.hyper_objective

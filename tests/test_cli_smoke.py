@@ -149,3 +149,25 @@ def test_train_cli_select_kernel(monkeypatch):
     monkeypatch.setattr("nngp_tpu.gp.hyperopt.select_kernel", tiny_select)
     train_cli.main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
                     "--max_num_train", "300", "--select_kernel"])
+
+
+def test_train_cli_select_kernel_ard(monkeypatch):
+    """--select_kernel honors --ard: the winning structure carries a
+    feature_scale and the CLI applies it to train/test features."""
+    from nngp_tpu.cli import train as train_cli
+    from nngp_tpu.gp.hyperopt import select_kernel
+
+    seen = {}
+
+    def tiny_select(x, y, **kw):
+        kw.update(depths=(1,), activations=("relu",), steps=4,
+                  max_points=64)
+        seen.update(kw)
+        return select_kernel(x, y, **kw)
+
+    monkeypatch.setattr("nngp_tpu.gp.hyperopt.select_kernel", tiny_select)
+    profile = train_cli.main(
+        ["--query_path", os.path.join(WORKLOAD, "forest_data"),
+         "--max_num_train", "300", "--select_kernel", "--ard"])
+    assert seen.get("ard") is True
+    assert np.isfinite(profile["median"])
