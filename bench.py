@@ -285,6 +285,30 @@ def main():
             extras["hyperopt_50step_warm_s"] = None
             extras["hyperopt_error"] = type(e).__name__
 
+        # ARD x DTC learned kernel on the chunk_norm join + Nystrom serve —
+        # the recommended serving configuration (BASELINE.md: beats the
+        # default kernel on every quantile, monotone in hyperopt rows).
+        # Compare against join_median_qerror_chunk_norm above.
+        try:
+            from nngp_tpu.gp import fit_nystrom as _fitny
+            from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams as _fkh
+            res_a = _fkh(xn_tr, yn_tr, steps=50, max_points=2048,
+                         ard=True, objective="dtc", dtc_m=256)
+            pna = _fitny(res_a.spec, res_a.scale_inputs(xn_tr), yn_tr,
+                         num_inducing=1024, **res_a.fit_kwargs())
+            mna, _ = pna.predict_mean_std_chunked(
+                np.asarray(res_a.scale_inputs(xn_te)))
+            qna = symmetric_qerror(np.asarray(mna).ravel()
+                                   - np.asarray(yn_te).ravel())
+            extras["join_median_qerror_ard_dtc"] = round(
+                float(np.median(qna)), 4)
+            extras["join_p95_qerror_ard_dtc"] = round(
+                float(np.quantile(qna, 0.95)), 4)
+            del pna, res_a
+        except Exception as e:               # pragma: no cover - TPU only
+            extras["join_median_qerror_ard_dtc"] = None
+            extras["ard_dtc_error"] = type(e).__name__
+
         # Scale rows: 2x and 3x train set (random features — wall-clock
         # only). 32,400 runs on the block-factor path (column blocks end to
         # end); guarded so a compile hiccup can't sink the whole bench line.

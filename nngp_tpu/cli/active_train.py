@@ -46,6 +46,13 @@ def build_parser():
                         "descent on the initial train split before the "
                         "acquisition loop (gp.hyperopt) — overrides "
                         "--diag_reg with the learned ridge")
+    p.add_argument("--relearn_hyper", action="store_true",
+                   help="RE-learn the kernel hyperparameters after every "
+                        "acquisition round, warm-started from the previous "
+                        "optimum (full refit with the new spec that round). "
+                        "Measured win over learn-once on forest "
+                        "(experiments/hyper_active_relearn.log). Implies "
+                        "--learn_hyper for the initial split")
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096,
                    help="hyperopt subsample; 0 = full train split "
@@ -93,7 +100,8 @@ def main(argv=None):
     if args.mesh_devices:
         from nngp_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh_devices)
-    if args.learn_hyper:
+    hyper_res = None
+    if args.learn_hyper or args.relearn_hyper:
         from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
         objective = args.hyper_objective
         if objective == "auto":
@@ -115,7 +123,11 @@ def main(argv=None):
         kw = res.fit_kwargs()
         args.diag_reg = kw["diag_reg"]
         input_scale = kw.get("input_scale")
-        if res.feature_scale is not None:
+        if args.relearn_hyper:
+            # the learner owns feature scaling in relearn mode (each round
+            # may produce a new ARD scale) — hand it raw features
+            hyper_res = res
+        elif res.feature_scale is not None:
             s = res.feature_scale
             x_tr = x_tr * s.astype(x_tr.dtype)
             x_pool = x_pool * s.astype(x_pool.dtype)
@@ -128,7 +140,9 @@ def main(argv=None):
         spec, budget=args.budget, active_iters=args.active_iters,
         kernel_type=args.kernel_type, biased_sample=args.biased_sample,
         diag_reg=args.diag_reg, refit=args.refit, mesh=mesh,
-        nystrom_m=args.nystrom_m, input_scale=input_scale)
+        nystrom_m=args.nystrom_m, input_scale=input_scale,
+        relearn_hyper=hyper_res, hyper_points=args.hyper_points or None,
+        hyper_ard=args.ard)
     post, history = learner.active_train(x_tr, y_tr, x_pool, y_pool,
                                          x_val, y_val, infos_val)
     return history

@@ -69,6 +69,64 @@ def test_active_incremental_tracks_full_refit():
     assert abs(hi[-1]["val_mse"] - hf[-1]["val_mse"]) < 0.1 * (hf[-1]["val_mse"] + 1e-6)
 
 
+def test_active_relearn_hyper_updates_spec_each_round():
+    """relearn_hyper warm-relearns (w0, w, b, reg) after every merge and
+    full-refits with the new spec (experiments/hyper_active_relearn.log:
+    relearn beats learn-once on forest). The learner must adopt a NEW
+    spec/ridge each round and keep the loop functional end to end."""
+    from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+
+    x, y = _toy_data(260, seed=2)
+    res0 = fit_kernel_hyperparams(x[:40], y[:40], steps=15,
+                                  reg_restarts=(), max_points=None)
+    learner = ActiveLearner(reference_kernel(), budget=30, active_iters=2,
+                            biased_sample=False, relearn_hyper=res0,
+                            hyper_warm_steps=8, hyper_points=None)
+    assert learner.spec is res0.spec            # adopted at construction
+    assert learner.diag_reg == res0.diag_reg
+    post, history = learner.active_train(
+        x[:40], y[:40], x[40:200], y[40:200], x[200:], y[200:], printer=None)
+    assert len(history) == 2
+    assert post.num_train == 40 + 2 * 30
+    assert learner._hyper is not res0           # relearned at least once
+    assert learner.spec is learner._hyper.spec  # posterior uses latest spec
+    assert np.isfinite(history[-1]["val_mse"])
+    # the final posterior must actually carry the relearned kernel
+    assert post.spec is learner.spec
+
+
+def test_active_relearn_hyper_cold_start_and_ard_scaling():
+    """relearn_hyper=True cold-learns on the initial split; with ARD the
+    learner owns the feature scaling (raw inputs in, scaled Gram inside) —
+    test() on raw x_val must match predicting manually scaled features."""
+    x, y = _toy_data(220, seed=5)
+    learner = ActiveLearner(reference_kernel(), budget=25, active_iters=1,
+                            biased_sample=False, relearn_hyper=True,
+                            hyper_warm_steps=6, hyper_points=None,
+                            hyper_ard=True)
+    # shrink the cold learn for test speed
+    import nngp_tpu.gp.hyperopt as ho
+    orig = ho.fit_kernel_hyperparams
+
+    def quick(xx, yy, **kw):
+        kw.setdefault("steps", 10)
+        kw["reg_restarts"] = ()
+        return orig(xx, yy, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(ho, "fit_kernel_hyperparams", quick):
+        post, history = learner.active_train(
+            x[:40], y[:40], x[40:180], y[40:180], x[180:], y[180:],
+            printer=None)
+    assert learner._hyper is not None
+    assert learner._hyper.feature_scale is not None      # ARD mode
+    mean_raw, _ = post.predict_mean_std(learner._hscale(x[180:]))
+    mse = learner.test(post, x[180:], y[180:], printer=None)
+    manual = float(np.mean((np.asarray(mean_raw).ravel()
+                            - y[180:].ravel()) ** 2))
+    np.testing.assert_allclose(mse, manual, rtol=1e-12)
+
+
 # ---------------------------------------------------------------- serving
 def _toy_schema_files(tmp_path):
     """Synthetic 2-table schema + query files in the multi-join grammar."""
