@@ -222,6 +222,92 @@ class Estimator:
         self.spec = res.spec
         self.diag_reg = res.diag_reg
 
+    def relearn_hyperparams(self, labeled_lines: Optional[Sequence[str]] =
+                            None, steps: int = 40,
+                            max_points: Optional[int] = 2048,
+                            verbose: bool = True) -> float:
+        """Warm hyperparameter RECALIBRATION for a live server: re-learn
+        (w0, w, b, diag_reg) [+ the ARD feature scale if one is active]
+        warm-started from the CURRENT values, then refit the posterior with
+        the new kernel. Online extends (`extend_with_lines`) shift the
+        training distribution, and the evidence optimum moves with it —
+        measured on the active-learning analog of this loop, per-round
+        relearning beats learn-once on every round (BASELINE.md,
+        experiments/hyper_active_relearn.log). Warm start = single restart,
+        few steps: ~5x cheaper than the cold multi-start learn.
+
+        labeled_lines: `query@...@card` lines to learn from. Default None
+        pulls the posterior's own training rows — exact tiers only; the
+        streaming Nystrom tier has streamed its rows away (O(m^2) state),
+        so there it is required (pass the full current training log: the
+        refit installs exactly these lines as the new training set).
+
+        The refit is transactional like extend_with_lines: on a NaN factor
+        the previous spec/ridge/scale/posterior all stay authoritative.
+        Returns the new log evidence. The reference has no serving-side
+        hyperparameter machinery at all (diag_reg pinned at 1e-3,
+        `/root/reference/train.py:171`)."""
+        if labeled_lines is not None:
+            x_fs, cards = self._encode_labeled_lines(labeled_lines,
+                                                     "relearn_hyperparams")
+            y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
+        else:
+            p = self.posterior
+            if hasattr(p, "x_natural"):          # distributed (real rows)
+                x_fs = np.asarray(p.x_natural()) * float(p.input_scale)
+                y = np.asarray(p.y_natural())
+            elif hasattr(p, "x_train"):          # single-chip exact
+                x_fs = np.asarray(p.x_train) * float(p.input_scale)
+                y = np.asarray(p.y_train)
+            else:
+                raise ValueError(
+                    "relearn_hyperparams: the streaming Nystrom tier does "
+                    "not retain its training rows (O(m^2) state) — pass "
+                    "labeled_lines (e.g. the serving feedback log)")
+        # back to RAW feature units: the relearn may produce a NEW scale
+        x_raw = (x_fs / self.feature_scale.astype(x_fs.dtype)
+                 if self.feature_scale is not None else x_fs)
+
+        from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+        acts = [l for l in self.spec.layers if isinstance(l, Activation)]
+        denses = [l for l in self.spec.layers if isinstance(l, Dense)]
+        # warm init from the live spec; b is log-parameterized in the
+        # hyperopt so a pinned-zero bias warm-starts at the default 0.1
+        w0 = denses[0].w_std
+        w = denses[1].w_std if len(denses) > 1 else denses[0].w_std
+        b = denses[0].b_std if denses[0].b_std > 0 else 0.1
+        objective = "dtc" if self.nystrom_m else "exact"
+        res = fit_kernel_hyperparams(
+            x_raw, y, depth=max(len(acts), 1),
+            activation=acts[0].name if acts else "relu",
+            get=self.kernel_type, steps=steps, max_points=max_points,
+            width=denses[0].width, init=(w0, w, b, self.diag_reg),
+            reg_restarts=(), ard=self.feature_scale is not None,
+            init_feature_scale=self.feature_scale,
+            objective=objective,
+            dtc_m=min(512, self.nystrom_m) if self.nystrom_m else 512,
+            mesh=self.mesh if objective == "dtc" else None)
+        if verbose:
+            print(f"relearned hyperparameters: w0={res.w0:.4f} "
+                  f"w={res.w:.4f} b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
+                  f"({res.objective} log evidence {res.log_evidence:.2f} "
+                  f"on {res.num_points} rows)")
+        old = (self.spec, self.diag_reg, self.feature_scale, self.posterior)
+        try:
+            self.spec = res.spec
+            self.diag_reg = res.diag_reg
+            if res.feature_scale is not None:
+                self.feature_scale = np.asarray(res.feature_scale,
+                                                np.float64)
+            self.posterior = self._fit(
+                self._apply_feature_scale(x_raw), y)
+            self._validate_fit()
+        except FloatingPointError:
+            (self.spec, self.diag_reg,
+             self.feature_scale, self.posterior) = old
+            raise
+        return float(res.log_evidence)
+
     def _fit(self, x, y):
         # x/y arrive as HOST numpy: the fp32 prescale probe (max|x|) runs
         # on host for free instead of costing a blocking ~30 ms device

@@ -572,6 +572,64 @@ def test_estimator_nystrom_over_mesh_matches_single_device(tmp_path):
     assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)
 
 
+def test_estimator_relearn_hyperparams_exact_and_nystrom(tmp_path):
+    """relearn_hyperparams warm-recalibrates the kernel on a live server:
+    exact tier pulls its own train rows (spec/ridge move, serving stays
+    sane); Nystrom tier requires labeled_lines and refits on them."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, learn_hyper=True, hyper_steps=15,
+                    hyper_points=48)
+    fb = [f"ta,tb@x,{u:.1f},{u - 3:.1f}@@ta,tb,id@{int(300 * u) + 1000}"
+          for u in np.linspace(2.0, 9.0, 12)]
+    est.extend_with_lines(fb)
+    spec0, reg0 = est.spec, est.diag_reg
+    n0 = est.posterior.num_train
+    ev = est.relearn_hyperparams(steps=10, verbose=False)
+    assert np.isfinite(ev)
+    assert est.spec is not spec0            # relearned + refit
+    assert est.diag_reg != reg0
+    assert est.posterior.num_train == n0    # same train set, new kernel
+    mean, std = est.predict(["ta,tb@x,5.0,-5.0@@ta,tb,id"])
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+
+    ny = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                   verbose=False, nystrom_m=40)
+    with pytest.raises(ValueError, match="labeled_lines"):
+        ny.relearn_hyperparams(verbose=False)
+    train_lines = (qdir + "/join_query_2.txt")
+    with open(train_lines) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    ev2 = ny.relearn_hyperparams(labeled_lines=lines + fb, steps=10,
+                                 verbose=False)
+    assert np.isfinite(ev2)
+    assert ny.posterior.num_train == len(lines) + len(fb)
+    m2, s2 = ny.predict(["ta,tb@x,5.0,-5.0@@ta,tb,id"])
+    assert np.all(np.isfinite(m2)) and np.all(s2 >= 0)
+
+
+def test_estimator_relearn_hyperparams_preserves_ard_scaling(tmp_path):
+    """With an active ARD feature scale the relearn must round-trip raw
+    units exactly: learn on raw features, reapply the NEW scale on refit,
+    and keep every serving surface consistent."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, learn_hyper=True, hyper_steps=12,
+                    hyper_points=48, hyper_ard=True)
+    s_old = est.feature_scale.copy()
+    est.relearn_hyperparams(steps=8, verbose=False)
+    s_new = est.feature_scale
+    assert s_new is not None and s_new.shape == s_old.shape
+    # serving encode applies the NEW scale; posterior was fit with it too
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    x_enc = est.encode_lines(lines)
+    mean, std = est.predict(lines)
+    m_direct, _ = est.posterior.predict_mean_std(x_enc)
+    np.testing.assert_allclose(np.asarray(mean).ravel(),
+                               np.asarray(m_direct).ravel(), rtol=1e-8)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+
+
 def test_estimator_learn_hyper_and_checkpoint(tmp_path):
     """Estimator(learn_hyper=True) fits with MLL-learned (w0, w, b, reg)
     (gp/hyperopt.py) and the learned spec survives checkpoint restore."""
