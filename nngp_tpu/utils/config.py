@@ -28,6 +28,9 @@ class KernelConfig:
     hyper_points: int = 4096
     # ARD: learn a per-feature input scale by evidence alongside (w, b, reg)
     hyper_ard: bool = False
+    # RE-learn after every acquisition round (active learning), warm-
+    # started from the previous optimum — beats learn-once (BASELINE.md)
+    relearn_hyper: bool = False
 
 
 @dataclasses.dataclass
