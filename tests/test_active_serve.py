@@ -95,6 +95,28 @@ def test_active_relearn_hyper_updates_spec_each_round():
     assert post.spec is learner.spec
 
 
+def test_active_relearn_hyper_over_mesh():
+    """relearn composes with the distributed regime: each round relearns,
+    then full-refits the row-sharded posterior with the new spec."""
+    from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+    from nngp_tpu.parallel import make_mesh
+
+    x, y = _toy_data(200, seed=7)
+    res0 = fit_kernel_hyperparams(x[:40], y[:40], steps=12,
+                                  reg_restarts=(), max_points=None)
+    learner = ActiveLearner(reference_kernel(), budget=20, active_iters=1,
+                            biased_sample=False, relearn_hyper=res0,
+                            hyper_warm_steps=6, hyper_points=None,
+                            mesh=make_mesh())
+    post, history = learner.active_train(
+        x[:40], y[:40], x[40:160], y[40:160], x[160:], y[160:],
+        printer=None)
+    assert len(history) == 1 and np.isfinite(history[0]["val_mse"])
+    assert post.num_train == 60
+    assert learner._hyper is not res0
+    assert post.spec is learner.spec        # sharded refit got the new spec
+
+
 def test_active_relearn_hyper_cold_start_and_ard_scaling():
     """relearn_hyper=True cold-learns on the initial split; with ARD the
     learner owns the feature scaling (raw inputs in, scaled Gram inside) —
