@@ -30,7 +30,7 @@ from nngp_tpu.eval.splits import train_test_val_split
 from nngp_tpu.gp import fit_kernel_hyperparams
 
 x, y, infos, _e = load_multi_join_workload(
-    "workloads/synth6_data", schema_name="synth6", dtype=np.float64,
+    "workloads/synth6_join_data", schema_name="synth6", dtype=np.float64,
     chunk_norm=True)
 (x_tr0, y_tr0, _i1, x_pool0, y_pool0, _i2,
  x_val, y_val, _iv) = train_test_val_split(

@@ -19,6 +19,9 @@ while true; do
     log "hyper_ard_dtc_tpu exit=$?"
     timeout 5400 python bench.py > experiments/bench_r3g_tpu.log 2>&1
     log "bench exit=$?"
+    timeout 3600 python experiments/nystrom_scale.py \
+      > experiments/nystrom_scale_chol.log 2>&1
+    log "nystrom_scale exit=$?"
     log "queue done"
     exit 0
   fi

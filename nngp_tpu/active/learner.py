@@ -37,7 +37,8 @@ class ActiveLearner:
                  mesh=None, dist_block_size=None, input_scale=None,
                  nystrom_m=None, relearn_hyper=None,
                  hyper_warm_steps: int = 40, hyper_points=2048,
-                 hyper_ard: bool = False):
+                 hyper_ard: bool = False,
+                 partition_keys: str = "num_predicates"):
         """mesh: optional jax.sharding.Mesh — fit/predict with the
         row-sharded distributed posterior. Any train-set / selection size
         works (the distributed layout pads with inert rows). refit defaults
@@ -96,6 +97,7 @@ class ActiveLearner:
         self.hyper_points = hyper_points
         self.hyper_ard = hyper_ard
         self.key = jax.random.PRNGKey(seed)
+        self.partition_keys = partition_keys
         self.pred_stat = PredictionStatistics()
 
     # -- per-round hyperparameter relearning ------------------------------
@@ -171,7 +173,7 @@ class ActiveLearner:
         if printer:
             printer(f"Test MSE Loss:{mse}")
         self.pred_stat.get_prediction_details(
-            errors, query_infos_val, partition_keys="num_predicates",
+            errors, query_infos_val, partition_keys=self.partition_keys,
             printer=printer)
         return mse
 

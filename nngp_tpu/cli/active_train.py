@@ -34,8 +34,17 @@ def build_parser():
                    choices=["incremental", "full"])
     p.add_argument("--relations", type=str, default="forest")
     p.add_argument("--names", type=str, default="forest")
+    p.add_argument("--schema_name", type=str, default=None,
+                   help="multi-join schema (tpch/tpcds/imdb_simple/synth6/"
+                        "...); switches to the multi-join workload path — "
+                        "the reference's active loop is schema-driven "
+                        "(/root/reference/active/active_train.py:21-27)")
     p.add_argument("--query_path", type=str, default="workloads/forest_data")
     p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--chunk_norm", action="store_true",
+                   help="rescale packed categorical chunk slots onto the "
+                        "[0,1000] numeric scale (fp32 on-ramp for join "
+                        "workloads; off = bit-exact reference encoding)")
     p.add_argument("--depth", type=int, default=1)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--activation", type=str, default="relu",
@@ -84,10 +93,24 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     dtype = np.float64 if args.x64 else np.float32
 
-    x, y, infos, _ = load_single_table_workload(
-        args.query_path, relation=args.relations.split(",")[0],
-        name=args.names.split(",")[0], data_path=args.data_path,
-        chunk_size=args.chunk_size, dtype=dtype)
+    if args.schema_name:
+        from nngp_tpu.data.workload import load_multi_join_workload
+        x, y, infos, _ = load_multi_join_workload(
+            args.query_path, schema_name=args.schema_name,
+            data_path=args.data_path, chunk_size=args.chunk_size,
+            dtype=dtype, chunk_norm=args.chunk_norm)
+    elif len(args.relations.split(",")) > 1:
+        from nngp_tpu.data.workload import load_binary_join_workload
+        x, y, infos, _ = load_binary_join_workload(
+            args.query_path, relations=args.relations, names=args.names,
+            data_path=args.data_path, chunk_size=args.chunk_size,
+            dtype=dtype, chunk_norm=args.chunk_norm)
+    else:
+        x, y, infos, _ = load_single_table_workload(
+            args.query_path, relation=args.relations.split(",")[0],
+            name=args.names.split(",")[0], data_path=args.data_path,
+            chunk_size=args.chunk_size, dtype=dtype,
+            chunk_norm=args.chunk_norm)
     print(f"number of query: {x.shape[0]}")
     (x_tr, y_tr, _i1, x_pool, y_pool, _i2,
      x_val, y_val, infos_val) = train_test_val_split(
@@ -136,13 +159,15 @@ def main(argv=None):
     # rows, and acquisition rounds stay incremental via the block-cyclic
     # append (DistributedPosterior.extend) — no snapping, no forced
     # full refits
+    join_workload = bool(args.schema_name) or len(args.relations.split(",")) > 1
     learner = ActiveLearner(
         spec, budget=args.budget, active_iters=args.active_iters,
         kernel_type=args.kernel_type, biased_sample=args.biased_sample,
         diag_reg=args.diag_reg, refit=args.refit, mesh=mesh,
         nystrom_m=args.nystrom_m, input_scale=input_scale,
         relearn_hyper=hyper_res, hyper_points=args.hyper_points or None,
-        hyper_ard=args.ard)
+        hyper_ard=args.ard,
+        partition_keys="num_table" if join_workload else "num_predicates")
     post, history = learner.active_train(x_tr, y_tr, x_pool, y_pool,
                                          x_val, y_val, infos_val)
     return history

@@ -32,6 +32,17 @@ def test_active_train_cli():
     assert len(history) == 1 and history[0]["num_train"] == 3650
 
 
+def test_active_train_cli_multi_join():
+    """The reference's active loop is schema-driven
+    (/root/reference/active/active_train.py:21-27): the CLI supports the
+    multi-join workload path (+ chunk_norm) like the train CLI does."""
+    from nngp_tpu.cli.active_train import main
+    history = main(["--schema_name", "synth",
+                    "--query_path", os.path.join(WORKLOAD, "synth_join_data"),
+                    "--chunk_norm", "--budget", "20", "--active_iters", "1"])
+    assert len(history) == 1 and np.isfinite(history[0]["val_mse"])
+
+
 def test_sweep_cli_single_config():
     from nngp_tpu.cli.sweep import main
     rows = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
