@@ -76,6 +76,15 @@ def main(argv=None):
     p.add_argument("--hyper_points", type=int, default=4096,
                    help="hyperopt subsample; 0 = full train set (DTC "
                         "objective only)")
+    p.add_argument("--calibrate_file", type=str, default=None,
+                   help="HELD-OUT labeled query file (query@...@card lines, "
+                        "e.g. the feedback log): fit the MLE std "
+                        "recalibration + split-conformal score set before "
+                        "serving (Estimator.calibrate_uncertainty); also "
+                        "prints a conformal interval demo")
+    p.add_argument("--interval_alpha", type=float, default=0.1,
+                   help="with --calibrate_file: miscoverage level of the "
+                        "demo conformal intervals (>= 1-alpha coverage)")
     args = p.parse_args(argv)
 
     from nngp_tpu.serve import Estimator
@@ -105,6 +114,13 @@ def main(argv=None):
             est.save(args.ckpt)
     est.load_model()
 
+    if args.calibrate_file:
+        with open(args.calibrate_file) as f:
+            cal_lines = [l.strip() for l in f if l.strip()]
+        scale = est.calibrate_uncertainty(cal_lines)
+        if args.ckpt:
+            est.save(args.ckpt)     # calibration artifacts ride the ckpt
+
     lines = load_query_lines_without_card(args.test_query_file, args.limit)
     t0 = time.perf_counter()
     mean, std = est.predict(lines)
@@ -115,6 +131,15 @@ def main(argv=None):
     print("first 5 (log2-card mean, std):")
     for m, s in list(zip(mean, std))[:5]:
         print(f"  {m:.3f}  {s:.3f}   (card ~ {2**float(m):.1f})")
+
+    if args.calibrate_file:
+        a = args.interval_alpha
+        im, lo, hi = est.predict_interval(lines, alpha=a)
+        print(f"\nconformal {100*(1-a):.0f}% cardinality intervals "
+              f"(first 5; std_scale={scale:.3f}):")
+        for m, l_, h in list(zip(im, lo, hi))[:5]:
+            print(f"  card ~ {2**float(m):.1f}  in "
+                  f"[{2**float(l_):.1f}, {2**float(h):.1f}]")
 
     if args.streaming:
         import threading

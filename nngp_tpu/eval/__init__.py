@@ -4,7 +4,13 @@ from nngp_tpu.eval.qerror import (
     qerror_profile,
     symmetric_qerror,
 )
-from nngp_tpu.eval.calibration import calibration_table
+from nngp_tpu.eval.calibration import (
+    calibration_mae,
+    calibration_table,
+    conformal_quantile,
+    conformal_scores,
+    fit_std_scale,
+)
 
 __all__ = [
     "train_test_val_split",
@@ -12,5 +18,9 @@ __all__ = [
     "PredictionStatistics",
     "qerror_profile",
     "symmetric_qerror",
+    "calibration_mae",
     "calibration_table",
+    "conformal_quantile",
+    "conformal_scores",
+    "fit_std_scale",
 ]

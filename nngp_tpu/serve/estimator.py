@@ -164,6 +164,8 @@ class Estimator:
         x, y = self.encoder.transform_to_arrays(queries, cards, dtype=dtype)
         if verbose:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
+        self.std_scale = 1.0            # post-hoc std recalibration (MLE)
+        self._conformal_scores = None   # sorted |y-mu|/std calibration set
         self.feature_scale = None
         if learn_hyper:
             self._learn_hyperparams(x, y, hyper_steps, hyper_points, verbose,
@@ -394,9 +396,12 @@ class Estimator:
         self.chunk_norm = bool(meta.get("chunk_norm", False))
         self.feature_scale = (np.asarray(meta["feature_scale"], np.float64)
                               if "feature_scale" in meta else None)
+        self.std_scale = float(meta.get("std_scale", 1.0))
         self.encoder = MultiJoinEncoder(self.stats, chunk_norm=self.chunk_norm)
         self._fast = self._try_fast_encoder()
         arrs = np.load(os.path.join(ckpt_dir, "posterior.npz"))
+        self._conformal_scores = (np.asarray(arrs["conformal_scores"])
+                                  if "conformal_scores" in arrs else None)
         if "nystrom" in meta:
             # mesh is runtime config, not checkpoint state: restoring with
             # one reattaches sharded moment streaming for extend
@@ -511,6 +516,8 @@ class Estimator:
         }
         if self.feature_scale is not None:
             meta["feature_scale"] = [float(v) for v in self.feature_scale]
+        if self.std_scale != 1.0:
+            meta["std_scale"] = float(self.std_scale)
         p = self.posterior
         if self.nystrom_m is not None:
             meta["nystrom"] = {
@@ -564,6 +571,8 @@ class Estimator:
                 arrs["l"] = np.asarray(p.l)
             if p.k_tt_nngp is not None:
                 arrs["k_tt_nngp"] = np.asarray(p.k_tt_nngp)
+        if self._conformal_scores is not None:
+            arrs["conformal_scores"] = np.asarray(self._conformal_scores)
         with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
             json.dump(meta, f)
         np.savez(os.path.join(ckpt_dir, "posterior.npz"), **arrs)
@@ -720,13 +729,9 @@ class Estimator:
             raise
         return x.shape[0]
 
-    def predict(self, query_lines: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
-        """(pred_mean, pred_std) in log2-card space, one entry per line.
-
-        Batch sizes are bucketed to powers of two (min 64) so PostgreSQL
-        plans with varying sub-query counts reuse compiled programs instead
-        of recompiling per shape (compiles cost seconds-to-minutes on a
-        remote TPU; padding rows cost microseconds)."""
+    def _predict_raw(self, query_lines: Sequence[str]):
+        """Bucketed batch predict returning the posterior's OWN std (no
+        recalibration applied) — the base for predict/predict_interval."""
         # One result PER LINE is the contract: both encoders silently skip
         # blank lines, which would positionally misalign every later
         # client's prediction — fail loudly instead.
@@ -741,3 +746,73 @@ class Estimator:
                 [x_test, np.tile(x_test[-1:], (bucket - n, 1))], axis=0)
         mean, std = self.posterior.predict_mean_std(jnp.asarray(x_test))
         return np.asarray(mean).ravel()[:n], np.asarray(std).ravel()[:n]
+
+    def predict(self, query_lines: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """(pred_mean, pred_std) in log2-card space, one entry per line.
+
+        Batch sizes are bucketed to powers of two (min 64) so PostgreSQL
+        plans with varying sub-query counts reuse compiled programs instead
+        of recompiling per shape (compiles cost seconds-to-minutes on a
+        remote TPU; padding rows cost microseconds).
+
+        std is multiplied by the recalibration scale fitted by
+        `calibrate_uncertainty` (1.0 until then) — downstream consumers
+        (the coef_var aux threshold, confidence intervals) see calibrated
+        uncertainty."""
+        mean, std = self._predict_raw(query_lines)
+        if self.std_scale != 1.0:
+            std = std * self.std_scale
+        return mean, std
+
+    def calibrate_uncertainty(self, labeled_lines: Sequence[str],
+                              verbose: bool = True) -> float:
+        """Post-hoc uncertainty calibration on HELD-OUT labeled lines
+        (`query@...@card`, e.g. the serving feedback log — lines the
+        posterior was NOT trained on, or the guarantees are void).
+
+        Two artifacts, both checkpointed:
+          * a closed-form MLE std scale (`eval.calibration.fit_std_scale`)
+            applied to every later `predict` std;
+          * the split-conformal score set enabling `predict_interval` —
+            distribution-free >= 1-alpha coverage per query.
+
+        Re-run after large online extends or `relearn_hyperparams` (the
+        posterior moved, so the residual geometry did too). Returns the
+        fitted std scale. The reference only PLOTS calibration
+        (`/root/reference/util.py:296-313`); it cannot repair it."""
+        from nngp_tpu.eval.calibration import conformal_scores, fit_std_scale
+        x, cards = self._encode_labeled_lines(labeled_lines,
+                                              "calibrate_uncertainty")
+        y = np.log2(cards)
+        n = x.shape[0]
+        bucket = max(64, 1 << (n - 1).bit_length())
+        xp = (np.concatenate([x, np.tile(x[-1:], (bucket - n, 1))])
+              if n < bucket else x)
+        mean, std = self.posterior.predict_mean_std(jnp.asarray(xp))
+        mean = np.asarray(mean).ravel()[:n]
+        std = np.asarray(std).ravel()[:n]
+        self.std_scale = fit_std_scale(y, mean, std)
+        self._conformal_scores = conformal_scores(y, mean, std)
+        if verbose:
+            print(f"calibrated on {n} held-out lines: std_scale="
+                  f"{self.std_scale:.4f}")
+        return self.std_scale
+
+    def predict_interval(self, query_lines: Sequence[str],
+                         alpha: float = 0.1):
+        """(mean, lo, hi) in log2-card space: split-conformal central
+        intervals with finite-sample >= 1-alpha coverage for exchangeable
+        queries (no Gaussianity assumed — the score is |y-mu|/std on the
+        calibration set from `calibrate_uncertainty`, so harder queries get
+        proportionally wider intervals). Cardinality bounds are
+        2**lo .. 2**hi. Returns inf-wide intervals when the calibration set
+        is too small for the requested alpha (needs >= ceil(1/alpha)-ish
+        lines) rather than pretending."""
+        if self._conformal_scores is None:
+            raise ValueError(
+                "predict_interval requires calibrate_uncertainty(labeled_"
+                "lines) first (held-out lines, e.g. the feedback log)")
+        from nngp_tpu.eval.calibration import conformal_quantile
+        qhat = conformal_quantile(self._conformal_scores, alpha)
+        mean, std = self._predict_raw(query_lines)
+        return mean, mean - qhat * std, mean + qhat * std

@@ -772,3 +772,55 @@ def test_estimator_learn_hyper_guards(tmp_path):
     with pytest.raises(ValueError, match="chunk_norm"):
         est._learn_hyperparams(np.array([[2.0 ** 30]]), np.zeros((1, 1)),
                                steps=1, max_points=8, verbose=False)
+
+
+def test_estimator_calibrate_and_conformal_intervals(tmp_path):
+    """calibrate_uncertainty fits the MLE std scale + conformal score set on
+    held-out lines; predict serves recalibrated std, predict_interval gives
+    >= 1-alpha coverage, and both artifacts ride through checkpoints."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+
+    def make_lines(seed, n):
+        rng = np.random.default_rng(seed)
+        labeled, cards = [], []
+        for _ in range(n):
+            xu = rng.uniform(-10, 10)
+            xl = rng.uniform(-10, xu)
+            card = max(1, int(1000 * (xu - xl)))
+            labeled.append(f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id@{card}")
+            cards.append(card)
+        return labeled, np.asarray(cards, np.float64)
+
+    with pytest.raises(ValueError):
+        est.predict_interval(["ta,tb@x,5.0,-5.0@@ta,tb,id"])
+
+    cal_lines, _ = make_lines(101, 80)
+    scale = est.calibrate_uncertainty(cal_lines, verbose=False)
+    assert np.isfinite(scale) and scale > 0
+    assert est.std_scale == scale
+
+    test_labeled, test_cards = make_lines(202, 60)
+    test_cardless = [l.rsplit("@", 1)[0] for l in test_labeled]
+    mean_raw, std_raw = est._predict_raw(test_cardless)
+    mean, std = est.predict(test_cardless)
+    np.testing.assert_allclose(std, std_raw * scale, rtol=1e-12)
+    np.testing.assert_allclose(mean, mean_raw, rtol=1e-12)
+
+    alpha = 0.2
+    m, lo, hi = est.predict_interval(test_cardless, alpha=alpha)
+    assert np.all(lo <= m) and np.all(m <= hi)
+    y_true = np.log2(test_cards)
+    coverage = np.mean((y_true >= lo) & (y_true <= hi))
+    assert coverage >= 1 - alpha - 0.1   # finite-n slack on 60 queries
+
+    ckpt = tmp_path / "cal_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.std_scale == est.std_scale
+    m2, lo2, hi2 = est2.predict_interval(test_cardless, alpha=alpha)
+    np.testing.assert_allclose(lo2, lo, rtol=1e-10)
+    np.testing.assert_allclose(hi2, hi, rtol=1e-10)
+    mean2, std2 = est2.predict(test_cardless)
+    np.testing.assert_allclose(std2, std, rtol=1e-10)

@@ -106,6 +106,19 @@ def test_serve_demo_cli_learn_hyper_nystrom(tmp_path, capsys):
     assert "restoring from checkpoint" in capsys.readouterr().out
 
 
+def test_serve_demo_cli_calibrate(capsys):
+    from nngp_tpu.cli.serve_demo import main
+    main(["--schema_name", "synth",
+          "--stats_dir", os.path.join(WORKLOAD, "synth_stats"),
+          "--train_query_path", os.path.join(WORKLOAD, "synth_join_data"),
+          "--test_query_file",
+          os.path.join(WORKLOAD, "synth_join_data", "join_query_2.txt"),
+          "--limit", "16", "--calibrate_file",
+          os.path.join(WORKLOAD, "synth_join_data", "join_query_3.txt")])
+    out = capsys.readouterr().out
+    assert "calibrated on" in out and "conformal 90% cardinality" in out
+
+
 def test_train_cli_rbf_gp():
     from nngp_tpu.cli.train import main
     profile = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),

@@ -113,3 +113,55 @@ def test_calibration_zero_std_at_full_confidence():
     table = calibration_table(
         y_true=[1.0, 2.0], means=[1.0, 5.0], stds=[0.0, 1.0])
     assert table[1.0] == 1.0
+
+
+def test_fit_std_scale_recovers_true_miscalibration():
+    """y ~ N(mu, (c*std)^2) with reported std: the closed-form MLE scale
+    recovers c."""
+    from nngp_tpu.eval.calibration import calibration_mae, calibration_table, fit_std_scale
+    rng = np.random.default_rng(3)
+    n = 20000
+    mu = rng.normal(0, 5, n)
+    sd = rng.uniform(0.5, 2.0, n)
+    c_true = 2.5
+    y = mu + c_true * sd * rng.standard_normal(n)
+    c = fit_std_scale(y, mu, sd)
+    assert abs(c - c_true) < 0.05
+    # recalibration repairs the expected-vs-observed table
+    mae_before = calibration_mae(calibration_table(y, mu, sd))
+    mae_after = calibration_mae(calibration_table(y, mu, c * sd))
+    assert mae_after < 0.02 < mae_before
+    # degenerate inputs
+    assert fit_std_scale([], [], []) == 1.0
+
+
+def test_conformal_interval_coverage_distribution_free():
+    """Split-conformal intervals cover >= 1-alpha on exchangeable data even
+    when the residuals are decidedly non-Gaussian (shifted exponential)."""
+    from nngp_tpu.eval.calibration import conformal_quantile, conformal_scores
+    rng = np.random.default_rng(7)
+    n_cal, n_test = 2000, 4000
+    mu = rng.normal(0, 3, n_cal + n_test)
+    sd = rng.uniform(0.5, 2.0, n_cal + n_test)
+    noise = rng.exponential(1.0, n_cal + n_test) - 1.0   # skewed, heavy tail
+    y = mu + sd * noise
+    scores = conformal_scores(y[:n_cal], mu[:n_cal], sd[:n_cal])
+    for alpha in (0.2, 0.1):
+        qhat = conformal_quantile(scores, alpha)
+        inside = np.abs(y[n_cal:] - mu[n_cal:]) <= qhat * sd[n_cal:]
+        cov = inside.mean()
+        assert cov >= 1 - alpha - 0.02          # guarantee (finite slack)
+        assert cov <= 1 - alpha + 0.05          # not vacuously wide
+
+
+def test_conformal_quantile_small_n_and_validation():
+    from nngp_tpu.eval.calibration import conformal_quantile
+    import pytest
+    # n too small for the requested alpha: ceil((n+1)(1-alpha)) > n -> inf
+    assert conformal_quantile(np.array([1.0]), alpha=0.1) == float("inf")
+    assert conformal_quantile(np.array([]), alpha=0.5) == float("inf")
+    # n=19, alpha=0.1 -> k=18 <= 19: finite
+    q = conformal_quantile(np.arange(1.0, 20.0), alpha=0.1)
+    assert q == 18.0
+    with pytest.raises(ValueError):
+        conformal_quantile(np.array([1.0]), alpha=0.0)
