@@ -70,7 +70,10 @@ class ActiveLearner:
         `active_train`. Inputs to train/select/test stay RAW — the learner
         applies the current learned feature scale itself (each relearn may
         produce a new ARD scale). `refit` is ignored on relearn rounds
-        (a changed kernel cannot extend an old factor)."""
+        (a changed kernel cannot extend an old factor). Measured: relearn
+        wins on the EXACT tier (forest) but LOSES to learn-once + moment
+        extends on the Nystrom tier (synth6, BASELINE.md) — prefer
+        learn_hyper-once when nystrom_m is set."""
         if refit is None:
             refit = "incremental"
         if refit not in ("incremental", "full"):
