@@ -79,6 +79,97 @@ def _count_pairs_op(a: np.ndarray, b: np.ndarray, op: str) -> int:
     raise ValueError(f"unsupported join op {op!r}")
 
 
+def tree_join_count(filtered: Dict[int, pd.DataFrame], join_infos) -> Optional[int]:
+    """Exact COUNT(*) of an acyclic equi-join WITHOUT materializing it.
+
+    Upward message passing on the join tree (the counting semiring):
+    each table's rows carry integer weights (initially 1); a child sends
+    its parent the per-key sum of its row weights on the shared column,
+    and the parent multiplies each of its rows by the message at that
+    row's key. The root's weight sum is the join cardinality. Cost is
+    O(sum_t n_t log n_t) — the reference's sqldf / successive-merge
+    approach (`/root/reference/JoinQuerySampler.py:484-503`) is
+    O(join output size), which explodes under Zipf-skewed FK<->FK joins
+    (e.g. IMDB-style star schemas joined through a shared movie_id).
+
+    Returns None when the edge set is not a spanning tree of the filtered
+    tables (cycle-closing edge or disconnected) — callers fall back to
+    the merge path. Exactness guard: weights are accumulated in float64;
+    a result below 2^53 is provably exact (a contributing intermediate
+    can only be smaller than the final count), and larger results are
+    recomputed with arbitrary-precision Python ints.
+    """
+    # union-find tree check + adjacency
+    uf = {t: t for t in filtered}
+
+    def find(x):
+        while uf[x] != x:
+            uf[x] = uf[uf[x]]
+            x = uf[x]
+        return x
+
+    adj: Dict[int, list] = {t: [] for t in filtered}
+    for ji in join_infos:
+        ra, rb = find(ji.t1_id), find(ji.t2_id)
+        if ra == rb:
+            return None  # cycle edge: equality filter needs the merge path
+        uf[ra] = rb
+        adj[ji.t1_id].append((ji.t2_id, ji.col_name))
+        adj[ji.t2_id].append((ji.t1_id, ji.col_name))
+    if len({find(t) for t in filtered}) != 1:
+        return None  # disconnected: let the merge path raise
+
+    # parent pointers + children-before-parents order (iterative DFS)
+    root = next(iter(filtered))
+    order, stack, seen = [], [root], {root}
+    parent_edge: Dict[int, tuple] = {}
+    while stack:
+        t = stack.pop()
+        order.append(t)
+        for nb, col in adj[t]:
+            if nb not in seen:
+                seen.add(nb)
+                parent_edge[nb] = (t, col)
+                stack.append(nb)
+
+    def _pass(as_object: bool):
+        weights = {
+            t: np.ones(len(df.index), dtype=object if as_object else np.float64)
+            for t, df in filtered.items()
+        }
+        for t in reversed(order):
+            if t == root:
+                continue
+            par, col = parent_edge[t]
+            # one key dtype on both sides: int64/float64 mixes (fillna
+            # turns NaN-bearing int columns into floats) must still match
+            # on equal values, exactly as pd.merge does
+            vals = filtered[t][col].to_numpy().astype(np.float64)
+            pvals = filtered[par][col].to_numpy().astype(np.float64)
+            # pd.merge MATCHES NaN keys with NaN keys (measured; the merge
+            # path this replaces inherits that), so NaN must behave as one
+            # more key value on both sides
+            if as_object:
+                acc: Dict = {}
+                for v, w in zip(vals.tolist(), weights[t].tolist()):
+                    if v != v:
+                        v = "__nan__"  # self-matching NaN sentinel
+                    acc[v] = acc.get(v, 0) + w
+                mult = np.array(
+                    [acc.get(v if v == v else "__nan__", 0)
+                     for v in pvals.tolist()], dtype=object)
+            else:
+                msg = pd.Series(weights[t]).groupby(vals, dropna=False).sum()
+                mult = msg.reindex(pd.Index(pvals), fill_value=0.0).to_numpy()
+            weights[par] = weights[par] * mult
+        return weights[root].sum()
+
+    total = float(_pass(as_object=False))
+    if total < float(2 ** 53):
+        return int(round(total))
+    return int(_pass(as_object=True))
+
+
 class SingleTableSampler:
     """Samples labeled range/IN queries over one table."""
 
@@ -241,19 +332,25 @@ class MultiJoinSampler:
     def query_true_card(self, table_ids, all_pred_list, join_infos) -> int:
         """COUNT(*) of the equi-join via successive pandas merges (replaces
         sqldf at `/root/reference/JoinQuerySampler.py:484-503`)."""
-        filtered: Dict[int, pd.DataFrame] = {}
+        raw: Dict[int, pd.DataFrame] = {}
         for t_id, preds in zip(table_ids, all_pred_list):
             mask = _mask_for_predicates(self.dfs[t_id], self.stats[t_id], preds)
             if not mask.any():
                 return 0  # early stop (`:494-496`)
-            df = self.dfs[t_id].loc[mask]
-            filtered[t_id] = df.rename(
-                columns={c: f"{t_id}.{c}" for c in df.columns})
+            raw[t_id] = self.dfs[t_id].loc[mask]
         if not join_infos:
             card = 1
             for t_id in table_ids:
-                card *= len(filtered[t_id].index)
+                card *= len(raw[t_id].index)
             return card
+        # tree-shaped edge sets (everything the frontier sampler emits)
+        # count by message passing, never materializing the join
+        count = tree_join_count(raw, join_infos)
+        if count is not None:
+            return count
+        filtered = {t_id: df.rename(columns={c: f"{t_id}.{c}"
+                                             for c in df.columns})
+                    for t_id, df in raw.items()}
         # merge join_infos in connectivity order
         remaining = list(join_infos)
         acc = None
