@@ -37,7 +37,8 @@ def main(argv=None):
     p.add_argument("--stats_dir", type=str, default=None,
                    help="dir of TableStats JSONs (serving without CSVs)")
     p.add_argument("--train_query_path", type=str, required=True)
-    p.add_argument("--test_query_file", type=str, required=True)
+    p.add_argument("--test_query_file", type=str, default=None,
+                   help="required unless --listen is given")
     p.add_argument("--chunk_size", type=int, default=64)
     p.add_argument("--use_aux", action="store_true")
     p.add_argument("--q_error_threshold", type=float, default=100.0)
@@ -85,7 +86,19 @@ def main(argv=None):
     p.add_argument("--interval_alpha", type=float, default=0.1,
                    help="with --calibrate_file: miscoverage level of the "
                         "demo conformal intervals (>= 1-alpha coverage)")
+    p.add_argument("--listen_max_requests", type=int, default=None,
+                   help="with --listen: stop after serving this many "
+                        "requests (soak tests / CI; default: forever)")
+    p.add_argument("--listen", type=str, default=None, metavar="HOST:PORT",
+                   help="after loading, serve forever over TCP: one "
+                        "card-less query line in, one JSON estimate out "
+                        "(serve/socket_server.py; requests from all "
+                        "connections batch into shared device dispatches). "
+                        "With --calibrate_file, responses carry conformal "
+                        "lo/hi at --interval_alpha")
     args = p.parse_args(argv)
+    if not args.test_query_file and not args.listen:
+        p.error("--test_query_file is required unless --listen is given")
 
     from nngp_tpu.serve import Estimator
     import os
@@ -120,6 +133,37 @@ def main(argv=None):
         scale = est.calibrate_uncertainty(cal_lines)
         if args.ckpt:
             est.save(args.ckpt)     # calibration artifacts ride the ckpt
+
+    if args.listen:
+        from nngp_tpu.serve import EstimatorSocketServer
+        host, _, port = args.listen.rpartition(":")
+        alpha = args.interval_alpha if args.calibrate_file else None
+        with EstimatorSocketServer(est, host=host or "127.0.0.1",
+                                   port=int(port), alpha=alpha) as srv:
+            print(f"serving on {srv.host}:{srv.port} "
+                  f"(newline-delimited queries; JSON replies"
+                  f"{'; conformal intervals' if alpha else ''}) — Ctrl-C "
+                  "to stop", flush=True)
+            try:
+                last_report = time.monotonic()
+                while True:
+                    time.sleep(0.5)
+                    st = srv.stats()
+                    if (args.listen_max_requests is not None
+                            and st["requests"] >= args.listen_max_requests):
+                        break
+                    if st["requests"] and time.monotonic() - last_report > 60:
+                        last_report = time.monotonic()
+                        print(f"served {st['requests']} requests over "
+                              f"{st['batches']} batches "
+                              f"(p95 {st['p95_latency_ms']:.1f} ms)",
+                              flush=True)
+            except KeyboardInterrupt:
+                pass
+            st = srv.stats()
+            print(f"shutting down: served {st['requests']} requests over "
+                  f"{st['batches']} batches", flush=True)
+        return
 
     lines = load_query_lines_without_card(args.test_query_file, args.limit)
     t0 = time.perf_counter()

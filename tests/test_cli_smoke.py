@@ -195,3 +195,55 @@ def test_train_cli_select_kernel_ard(monkeypatch):
          "--max_num_train", "300", "--select_kernel", "--ard"])
     assert seen.get("ard") is True
     assert np.isfinite(profile["median"])
+
+
+def test_serve_demo_cli_listen_tcp(capsys):
+    """--listen serves the estimator over TCP (socket_server) and exits
+    after --listen_max_requests; responses carry conformal bounds because
+    --calibrate_file is given."""
+    import json
+    import socket
+    import threading
+    from nngp_tpu.cli.serve_demo import main
+
+    q2 = os.path.join(WORKLOAD, "synth_join_data", "join_query_2.txt")
+    with open(q2) as f:
+        lines = [ln.strip().rsplit("@", 1)[0]
+                 for ln in f if ln.strip()][:6]
+    got = {}
+
+    def client():
+        # the server needs a moment to fit + bind; retry the connect
+        import time as _t
+        for _ in range(240):
+            _t.sleep(0.25)
+            try:
+                sk = socket.create_connection(("127.0.0.1", 45167),
+                                              timeout=30)
+                break
+            except OSError:
+                continue
+        else:
+            raise AssertionError("server never came up")
+        with sk:
+            f = sk.makefile("rwb")
+            f.write(("".join(ln + "\n" for ln in lines)).encode())
+            f.flush()
+            sk.shutdown(socket.SHUT_WR)
+            got["resp"] = [json.loads(raw.decode()) for raw in f]
+
+    t = threading.Thread(target=client)
+    t.start()
+    main(["--schema_name", "synth",
+          "--stats_dir", os.path.join(WORKLOAD, "synth_stats"),
+          "--train_query_path", os.path.join(WORKLOAD, "synth_join_data"),
+          "--calibrate_file",
+          os.path.join(WORKLOAD, "synth_join_data", "join_query_3.txt"),
+          "--listen", "127.0.0.1:45167",
+          "--listen_max_requests", str(len(lines))])
+    t.join(timeout=120)
+    assert len(got["resp"]) == len(lines)
+    for r in got["resp"]:
+        assert np.isfinite(r["mean"]) and r["std"] >= 0
+        assert r["lo"] <= r["mean"] <= r["hi"]
+    assert "shutting down" in capsys.readouterr().out
