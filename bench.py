@@ -13,6 +13,8 @@ Extras in the same JSON line (driver-captured each round):
                                       1,000 rows (vs refitting ~ fit value)
   streaming_qps                       continuous-batching front-end under
                                       concurrent single-query load
+  imdb_median_qerror / imdb_p95      IMDB-shaped 6-table clique workload
+                                      (synthimdb) fit + predict accuracy
   fit_21600_s                         scale row (2x train set), skipped when
                                       NNGP_BENCH_FAST=1
 
@@ -236,6 +238,31 @@ def main():
     extras["join_p95_qerror_chunk_norm"] = round(
         float(np.quantile(qn, 0.95)), 4)
     del pn
+
+    # IMDB-shaped workload (workloads/synthimdb_data): 6-table movie_id
+    # CLIQUE join graph with Zipf fanouts — the reference's actual
+    # deployment shape (`/root/reference/neuroestimator/estimator/
+    # util.py:159-195`), labeled by the message-passing tree counter.
+    try:
+        xi, yi, infos_i, enc_i = load_multi_join_workload(
+            "workloads/synthimdb_data", schema_name="synthimdb",
+            dtype=np.float32)
+        xi_tr, yi_tr, _, xi_te, yi_te, _, _, _, _ = train_test_val_split(
+            xi, yi, train_frac=0.6, test_frac=0.2, all_query_infos=infos_i)
+        pi = fit_gp(spec, jax.device_put(jnp.asarray(xi_tr)),
+                    jax.device_put(jnp.asarray(yi_tr)), diag_reg=1e-3,
+                    input_scale=input_scale_for_bound(
+                        enc_i.max_abs_bound(), spec.layers))
+        sync((pi.l, pi.alpha))
+        mi, _si = pi.predict_mean_std(jax.device_put(jnp.asarray(xi_te)))
+        qi = symmetric_qerror(np.asarray(mi).ravel()
+                              - np.asarray(yi_te).ravel())
+        extras["imdb_median_qerror"] = round(float(np.median(qi)), 4)
+        extras["imdb_p95_qerror"] = round(float(np.quantile(qi, 0.95)), 4)
+        del pi
+    except Exception as e:                    # pragma: no cover - TPU only
+        extras["imdb_median_qerror"] = None
+        extras["imdb_error"] = type(e).__name__
 
     if not fast:
         # Streaming Nystrom/DTC tier (gp/nystrom.py): unbounded-n fits in

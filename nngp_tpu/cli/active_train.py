@@ -62,6 +62,10 @@ def build_parser():
                         "Measured win over learn-once on forest "
                         "(experiments/hyper_active_relearn.log). Implies "
                         "--learn_hyper for the initial split")
+    p.add_argument("--hyper_file", type=str, default=None,
+                   help="learned-hyperparameter JSON artifact: load-if-"
+                        "exists (skips the initial learning), else learn "
+                        "and save there (gp.hyperopt.HyperoptResult)")
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096,
                    help="hyperopt subsample; 0 = full train split "
@@ -125,20 +129,30 @@ def main(argv=None):
         mesh = make_mesh(args.mesh_devices)
     hyper_res = None
     if args.learn_hyper or args.relearn_hyper:
-        from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
-        objective = args.hyper_objective
-        if objective == "auto":
-            objective = "dtc" if args.nystrom_m else "exact"
-        if not args.hyper_points and objective != "dtc":
-            raise SystemExit("--hyper_points 0 (full-n hyperopt) requires "
-                             "the DTC objective (exact loss is O(n^3)/step)")
-        res = fit_kernel_hyperparams(
-            x_tr, y_tr, depth=args.depth, activation=args.activation,
-            get=args.kernel_type, steps=args.hyper_steps,
-            max_points=args.hyper_points or None,  # 0 -> full n (dtc)
-            width=args.width, ard=args.ard,
-            objective=objective, dtc_m=min(512, args.nystrom_m or 512),
-            mesh=mesh if objective == "dtc" else None)
+        import os
+        if args.hyper_file and os.path.exists(args.hyper_file):
+            from nngp_tpu.gp.hyperopt import HyperoptResult
+            res = HyperoptResult.load(args.hyper_file)
+            print(f"loaded hyperparameters from {args.hyper_file}")
+        else:
+            from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
+            objective = args.hyper_objective
+            if objective == "auto":
+                objective = "dtc" if args.nystrom_m else "exact"
+            if not args.hyper_points and objective != "dtc":
+                raise SystemExit("--hyper_points 0 (full-n hyperopt) "
+                                 "requires the DTC objective (exact loss "
+                                 "is O(n^3)/step)")
+            res = fit_kernel_hyperparams(
+                x_tr, y_tr, depth=args.depth, activation=args.activation,
+                get=args.kernel_type, steps=args.hyper_steps,
+                max_points=args.hyper_points or None,  # 0 -> full n (dtc)
+                width=args.width, ard=args.ard,
+                objective=objective, dtc_m=min(512, args.nystrom_m or 512),
+                mesh=mesh if objective == "dtc" else None)
+            if args.hyper_file:
+                res.save(args.hyper_file)
+                print(f"saved hyperparameter artifact to {args.hyper_file}")
         print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
               f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
               f"({res.objective} log evidence {res.log_evidence:.2f})")

@@ -73,6 +73,11 @@ def main(argv=None):
     p.add_argument("--chunk_norm", action="store_true",
                    help="rescale packed categorical chunk slots onto the "
                         "[0,1000] numeric scale")
+    p.add_argument("--hyper_file", type=str, default=None,
+                   help="learned-hyperparameter JSON artifact "
+                        "(gp.hyperopt.HyperoptResult): if it exists, serve "
+                        "with it and skip learning; with --learn_hyper and "
+                        "no such file, learn then save it there")
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096,
                    help="hyperopt subsample; 0 = full train set (DTC "
@@ -111,6 +116,11 @@ def main(argv=None):
         est = Estimator.restore(args.ckpt, mesh=mesh)
     else:
         print("loading schema and training data ... This may take seconds ...")
+        learn_hyper = args.learn_hyper
+        if args.hyper_file and os.path.exists(args.hyper_file):
+            from nngp_tpu.gp.hyperopt import HyperoptResult
+            learn_hyper = HyperoptResult.load(args.hyper_file)
+            print(f"serving with hyperparameters from {args.hyper_file}")
         est = Estimator(args.schema_name, args.data_path,
                         args.train_query_path, chunk_size=args.chunk_size,
                         use_aux=args.use_aux,
@@ -119,10 +129,14 @@ def main(argv=None):
                         stats_dir=args.stats_dir, mesh=mesh,
                         nystrom_m=args.nystrom_m,
                         chunk_norm=args.chunk_norm,
-                        learn_hyper=args.learn_hyper,
+                        learn_hyper=learn_hyper,
                         hyper_ard=args.ard,
                         hyper_steps=args.hyper_steps,
                         hyper_points=args.hyper_points)
+        if (args.hyper_file and est.hyper_result is not None
+                and not os.path.exists(args.hyper_file)):
+            est.hyper_result.save(args.hyper_file)
+            print(f"saved hyperparameter artifact to {args.hyper_file}")
         if args.ckpt:
             est.save(args.ckpt)
     est.load_model()

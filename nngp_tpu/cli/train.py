@@ -11,6 +11,7 @@ MSE + partitioned q-error profile. Differences by design: fp32 on TPU
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -67,6 +68,11 @@ def build_parser():
                         "descent before fitting (gp.hyperopt; multi-start "
                         "Adam, one compiled dispatch) — overrides "
                         "--w_std/--b_std/--diag_reg with the learned values")
+    p.add_argument("--hyper_file", type=str, default=None,
+                   help="learned-hyperparameter JSON artifact "
+                        "(gp.hyperopt.HyperoptResult): if it exists, load "
+                        "it and skip learning; otherwise learn (with "
+                        "--learn_hyper/--select_kernel) and save it there")
     p.add_argument("--hyper_steps", type=int, default=100)
     p.add_argument("--hyper_points", type=int, default=4096,
                    help="training-row subsample the MLL is optimized on; "
@@ -222,7 +228,16 @@ def main(argv=None):
     else:
         spec = KernelSpec(mlp(args.depth, args.width, args.activation,
                               args.w_std, args.b_std))
-        if args.select_kernel:
+        res = None
+        if args.hyper_file and os.path.exists(args.hyper_file):
+            # reuse an earlier run's learned-hyperparameter artifact (the
+            # learning costs minutes; the artifact is a small JSON)
+            from nngp_tpu.gp.hyperopt import HyperoptResult
+            res = HyperoptResult.load(args.hyper_file)
+            print(f"loaded hyperparameters from {args.hyper_file} "
+                  f"(depth={res.depth} activation={res.activation} "
+                  f"{res.objective} log evidence {res.log_evidence:.2f})")
+        elif args.select_kernel:
             from nngp_tpu.gp.hyperopt import select_kernel
             # same routing as --learn_hyper: compete structures on the
             # evidence of the tier that will actually serve, and honor --ard
@@ -240,18 +255,6 @@ def main(argv=None):
                             for r in ranked]
             print(f"selected kernel: depth={res.depth} "
                   f"activation={res.activation}")
-            print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
-                  f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
-                  f"({res.objective} log evidence {res.log_evidence:.2f} on "
-                  f"{res.num_points} rows)")
-            spec = res.spec
-            args.diag_reg = res.diag_reg
-            if res.feature_scale is not None:
-                s = res.feature_scale
-                print(f"learned ARD feature scale: range "
-                      f"[{s.min():.3g}, {s.max():.3g}]")
-                x_tr = x_tr * s.astype(x_tr.dtype)
-                x_te = x_te * s.astype(x_te.dtype)
         elif args.learn_hyper:
             from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
             objective = args.hyper_objective
@@ -271,6 +274,7 @@ def main(argv=None):
                     objective=objective,
                     dtc_m=min(512, args.nystrom_m or 512))
                 h["out"] = res.nll_history
+        if res is not None:
             print(f"learned hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
                   f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
                   f"({res.objective} log evidence {res.log_evidence:.2f} "
@@ -283,6 +287,9 @@ def main(argv=None):
                       f"[{s.min():.3g}, {s.max():.3g}]")
                 x_tr = x_tr * s.astype(x_tr.dtype)
                 x_te = x_te * s.astype(x_te.dtype)
+            if args.hyper_file and not os.path.exists(args.hyper_file):
+                res.save(args.hyper_file)
+                print(f"saved hyperparameter artifact to {args.hyper_file}")
         print("memory:", memory_usage_gb())
         if args.nystrom_m:
             from nngp_tpu.gp import fit_nystrom

@@ -148,6 +148,11 @@ def load_imdb_movie_info_idx(data_path, filename="movie_info_idx.csv", nrows=Non
 
 
 def load_imdb_movie_info_idx2(data_path, filename="movie_info_idx.csv", nrows=None):
+    """2-name read of movie_info_idx (`datasets.py:146-153`). Parity note:
+    like the reference (its usecols=[0,1] is commented out there), reading
+    a THREE-column movie_info_idx.csv with 2 names makes pandas treat
+    column 0 as the index — the imdb_simple schema expects a 2-column
+    file; use the full `imdb` schema for 3-column dumps."""
     cols = ["movie_info_idx_id", "movie_id"]
     return _read(data_path, filename, cols, nrows), [NUM] * 2, "movie_info_idx_id"
 

@@ -324,6 +324,55 @@ class HyperoptResult:
             return x
         return x * jnp.asarray(self.feature_scale, dtype=jnp.asarray(x).dtype)
 
+    def to_json(self) -> str:
+        """Serialize to a standalone JSON artifact. Learning costs minutes
+        (multi-start Adam, O(n^3) or O(n m^2) per step) while the result is
+        a handful of floats + the ARD scale vector — persist it once and
+        reuse across runs / CLIs (`--hyper_file`). fp64 repr round-trips
+        every field exactly; `from_json` rebuilds the spec from
+        (depth, activation, width, w0, w, b)."""
+        import json
+        denses = [l for l in self.spec.layers if isinstance(l, Dense)]
+        return json.dumps({
+            "w0": self.w0, "w": self.w, "b": self.b,
+            "diag_reg": self.diag_reg,
+            "log_evidence": self.log_evidence,
+            "num_points": self.num_points,
+            "depth": self.depth, "activation": self.activation,
+            "width": denses[0].width,
+            "objective": self.objective,
+            "feature_scale": (None if self.feature_scale is None else
+                              np.asarray(self.feature_scale,
+                                         np.float64).tolist()),
+            "nll_history": np.asarray(self.nll_history,
+                                      np.float64).tolist(),
+        }, indent=1)
+
+    @classmethod
+    def from_json(cls, text: str) -> "HyperoptResult":
+        import json
+        d = json.loads(text)
+        fs = (None if d["feature_scale"] is None
+              else np.asarray(d["feature_scale"], np.float64))
+        spec = KernelSpec(_build_layers(d["depth"], d["activation"],
+                                        d["width"], d["w0"], d["w"], d["b"]))
+        return cls(spec=spec, diag_reg=float(d["diag_reg"]),
+                   log_evidence=float(d["log_evidence"]),
+                   nll_history=np.asarray(d["nll_history"], np.float64),
+                   w0=float(d["w0"]), w=float(d["w"]), b=float(d["b"]),
+                   num_points=int(d["num_points"]), depth=int(d["depth"]),
+                   activation=d["activation"], feature_scale=fs,
+                   objective=d["objective"])
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "HyperoptResult":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
 
 def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
                            get: str = "nngp", steps: int = 100,

@@ -92,7 +92,7 @@ class Estimator:
                  mesh=None, dist_block_size: Optional[int] = None,
                  chunk_norm: bool = False,
                  nystrom_m: Optional[int] = None,
-                 learn_hyper: bool = False, hyper_steps: int = 100,
+                 learn_hyper=False, hyper_steps: int = 100,
                  hyper_points: int = 4096, hyper_ard: bool = False,
                  hyper_objective: str = "auto"):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
@@ -116,7 +116,10 @@ class Estimator:
         descent on (a subsample of) the training queries before fitting
         (gp/hyperopt.py) — replaces `spec`'s Dense stds and `diag_reg`
         with the learned values. Requires fp32-safe feature magnitudes:
-        with packed categorical chunks, pass chunk_norm=True.
+        with packed categorical chunks, pass chunk_norm=True. Instead of
+        True, a `gp.hyperopt.HyperoptResult` (e.g. loaded from the JSON
+        artifact of an earlier run, `HyperoptResult.load`) applies the
+        already-learned spec/ridge/ARD-scale directly — no re-learning.
 
         hyper_ard: with learn_hyper, learn a PER-FEATURE input scale by
         evidence (ARD — the principled replacement for the chunk_norm
@@ -167,10 +170,14 @@ class Estimator:
         self.std_scale = 1.0            # post-hoc std recalibration (MLE)
         self._conformal_scores = None   # sorted |y-mu|/std calibration set
         self.feature_scale = None
+        self.hyper_result = None        # HyperoptResult in effect (if any)
         if learn_hyper:
-            self._learn_hyperparams(x, y, hyper_steps, hyper_points, verbose,
-                                    ard=hyper_ard,
-                                    objective=hyper_objective)
+            if isinstance(learn_hyper, bool):
+                self._learn_hyperparams(x, y, hyper_steps, hyper_points,
+                                        verbose, ard=hyper_ard,
+                                        objective=hyper_objective)
+            else:
+                self._apply_hyper_result(learn_hyper, x.shape[1], verbose)
             x = self._apply_feature_scale(x)
         elif hyper_ard:
             raise ValueError("hyper_ard requires learn_hyper=True")
@@ -223,6 +230,29 @@ class Estimator:
                   f"on {res.num_points} rows)")
         self.spec = res.spec
         self.diag_reg = res.diag_reg
+        self.hyper_result = res
+
+    def _apply_hyper_result(self, res, num_features: int, verbose: bool):
+        """Install an already-learned `gp.hyperopt.HyperoptResult` (e.g.
+        `HyperoptResult.load(path)` from a `--hyper_file` artifact) as this
+        server's spec/ridge/ARD-scale — the cheap path when the learning
+        run already happened elsewhere."""
+        if res.feature_scale is not None and (
+                len(np.ravel(res.feature_scale)) != num_features):
+            raise ValueError(
+                f"hyper artifact was learned on "
+                f"{len(np.ravel(res.feature_scale))} features but this "
+                f"schema encodes {num_features} — wrong workload/stats?")
+        if res.feature_scale is not None:
+            self.feature_scale = np.asarray(res.feature_scale, np.float64)
+        if verbose:
+            print(f"loaded hyperparameters: w0={res.w0:.4f} w={res.w:.4f} "
+                  f"b={res.b:.4f} diag_reg={res.diag_reg:.3e} "
+                  f"({res.objective} log evidence {res.log_evidence:.2f} "
+                  f"on {res.num_points} rows)")
+        self.spec = res.spec
+        self.diag_reg = res.diag_reg
+        self.hyper_result = res
 
     def relearn_hyperparams(self, labeled_lines: Optional[Sequence[str]] =
                             None, steps: int = 40,
@@ -304,6 +334,7 @@ class Estimator:
             self.posterior = self._fit(
                 self._apply_feature_scale(x_raw), y)
             self._validate_fit()
+            self.hyper_result = res
         except FloatingPointError:
             (self.spec, self.diag_reg,
              self.feature_scale, self.posterior) = old
@@ -396,6 +427,9 @@ class Estimator:
         self.chunk_norm = bool(meta.get("chunk_norm", False))
         self.feature_scale = (np.asarray(meta["feature_scale"], np.float64)
                               if "feature_scale" in meta else None)
+        # the spec/ridge/scale already carry the learned values; the
+        # standalone artifact is not checkpoint state
+        self.hyper_result = None
         self.std_scale = float(meta.get("std_scale", 1.0))
         self.encoder = MultiJoinEncoder(self.stats, chunk_norm=self.chunk_norm)
         self._fast = self._try_fast_encoder()

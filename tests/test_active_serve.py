@@ -824,3 +824,38 @@ def test_estimator_calibrate_and_conformal_intervals(tmp_path):
     np.testing.assert_allclose(hi2, hi, rtol=1e-10)
     mean2, std2 = est2.predict(test_cardless)
     np.testing.assert_allclose(std2, std, rtol=1e-10)
+
+
+def test_estimator_preloaded_hyper_artifact(tmp_path):
+    """Estimator(learn_hyper=<HyperoptResult>) installs an already-learned
+    artifact (spec + ridge + ARD scale) without re-learning, serving
+    identically to the estimator that learned it; a scale learned on the
+    wrong feature layout is rejected loudly."""
+    import dataclasses
+
+    from nngp_tpu.gp.hyperopt import HyperoptResult
+
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, learn_hyper=True, hyper_steps=12,
+                    hyper_points=48, hyper_ard=True)
+    assert est.hyper_result is not None
+    path = tmp_path / "hyper.json"
+    est.hyper_result.save(str(path))
+
+    res = HyperoptResult.load(str(path))
+    est2 = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                     verbose=False, learn_hyper=res)
+    assert est2.hyper_result is res
+    np.testing.assert_array_equal(est2.feature_scale, est.feature_scale)
+    assert est2.diag_reg == est.diag_reg
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    m1, s1 = est.predict(lines)
+    m2, s2 = est2.predict(lines)
+    np.testing.assert_allclose(m2, m1, rtol=1e-12)
+    np.testing.assert_allclose(s2, s1, rtol=1e-12)
+
+    bad = dataclasses.replace(res, feature_scale=np.ones(3))
+    with pytest.raises(ValueError, match="features"):
+        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                  verbose=False, learn_hyper=bad)

@@ -247,3 +247,21 @@ def test_serve_demo_cli_listen_tcp(capsys):
         assert np.isfinite(r["mean"]) and r["std"] >= 0
         assert r["lo"] <= r["mean"] <= r["hi"]
     assert "shutting down" in capsys.readouterr().out
+
+
+def test_train_cli_hyper_file_learn_then_reuse(tmp_path, capsys):
+    from nngp_tpu.cli.train import main
+    hf = str(tmp_path / "hyper.json")
+    args = ["--query_path", os.path.join(WORKLOAD, "forest_data"),
+            "--max_num_train", "200", "--learn_hyper", "--hyper_steps", "6",
+            "--hyper_points", "64", "--hyper_file", hf]
+    p1 = main(args)
+    assert os.path.exists(hf)
+    out1 = capsys.readouterr().out
+    assert "saved hyperparameter artifact" in out1
+    # second run loads the artifact instead of learning
+    p2 = main(args)
+    out2 = capsys.readouterr().out
+    assert "loaded hyperparameters from" in out2
+    assert "hyperparameter learning (MLL)" not in out2
+    assert np.isclose(p2["median"], p1["median"])

@@ -376,3 +376,43 @@ def test_dtc_mesh_composes_with_ard():
     np.testing.assert_allclose(res.feature_scale, ref.feature_scale,
                                rtol=1e-6)
     np.testing.assert_allclose(res.diag_reg, ref.diag_reg, rtol=1e-6)
+
+
+def test_json_roundtrip_preserves_result():
+    """HyperoptResult.to_json/from_json: learning costs minutes; the JSON
+    artifact must rebuild the exact spec/ridge/ARD-scale (json float repr
+    round-trips fp64 exactly), so a reloaded artifact fits the identical
+    posterior."""
+    x, y = _data(n=60, d=4, seed=3)
+    for ard in (False, True):
+        res = fit_kernel_hyperparams(x, y, steps=8, ard=ard)
+        res2 = HyperoptResult.from_json(res.to_json())
+        assert res2.w0 == res.w0 and res2.w == res.w and res2.b == res.b
+        assert res2.diag_reg == res.diag_reg
+        assert res2.log_evidence == res.log_evidence
+        assert res2.num_points == res.num_points
+        assert (res2.depth, res2.activation, res2.objective) == (
+            res.depth, res.activation, res.objective)
+        assert res2.spec.layers == res.spec.layers
+        np.testing.assert_array_equal(res2.nll_history, res.nll_history)
+        if ard:
+            np.testing.assert_array_equal(res2.feature_scale,
+                                          res.feature_scale)
+        else:
+            assert res2.feature_scale is None
+        post = fit_gp(res.spec, res.scale_inputs(x), y, **res.fit_kwargs())
+        post2 = fit_gp(res2.spec, res2.scale_inputs(x), y,
+                       **res2.fit_kwargs())
+        m1, _ = post.predict_mean_std(jnp.asarray(res.scale_inputs(x[:9])))
+        m2, _ = post2.predict_mean_std(jnp.asarray(res2.scale_inputs(x[:9])))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_save_load_file(tmp_path):
+    x, y = _data(n=40, d=3, seed=5)
+    res = fit_kernel_hyperparams(x, y, steps=5)
+    p = tmp_path / "hyper.json"
+    res.save(str(p))
+    res2 = HyperoptResult.load(str(p))
+    assert res2.spec.layers == res.spec.layers
+    assert res2.diag_reg == res.diag_reg
