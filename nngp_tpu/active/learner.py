@@ -29,15 +29,24 @@ from nngp_tpu.gp import GPPosterior, fit_gp
 from nngp_tpu.models.kernel_spec import KernelSpec
 
 
+@jax.jit
+def _pool_cov_scaled(post, x_pool):
+    """(mean, cov) of the pool in the posterior's SCALED units — one
+    compiled dispatch (posteriors are pytrees). Greedy selection only
+    compares variances, so the raw-unit prescale compensation (which can
+    overflow fp32 at the 2^64 packed-categorical scale) is skipped."""
+    return post._predict_scaled(x_pool, True)
+
+
 class ActiveLearner:
     def __init__(self, spec: KernelSpec, budget: int = 1000,
                  active_iters: int = 3, kernel_type: str = "nngp",
                  biased_sample: bool = True, diag_reg: float = 1e-3,
                  refit: str = None, seed: int = 10,
                  mesh=None, dist_block_size=None, input_scale=None,
-                 nystrom_m=None, relearn_hyper=None,
+                 nystrom_m=None, nystrom_grow: int = 0, relearn_hyper=None,
                  hyper_warm_steps: int = 40, hyper_points=2048,
-                 hyper_ard: bool = False,
+                 hyper_ard: bool = False, selection: str = None,
                  partition_keys: str = "num_predicates"):
         """mesh: optional jax.sharding.Mesh — fit/predict with the
         row-sharded distributed posterior. Any train-set / selection size
@@ -58,6 +67,16 @@ class ActiveLearner:
         that model class (moments are row sums). With mesh, the moment
         panels shard across chips.
 
+        nystrom_grow: with nystrom_m, additionally GROW the inducing set
+        by this many rows per acquisition round — a seeded uniform
+        subsample of the freshly acquired batch becomes new inducing rows
+        and the posterior refits via `NystromPosterior.grow_inducing`
+        (O(n (m+s)^2) streamed refit; row-extends alone hold capacity m
+        fixed while n grows, so the approximation gap widens over rounds).
+        Uniform-within-the-batch matches the acquisition density the new
+        labels follow (uniform beat trace-optimal rpchol on predictive
+        q-error for the same reason, gp/nystrom.py).
+
         relearn_hyper: RE-learn the kernel hyperparameters after every
         acquisition round, warm-started from the previous optimum
         (`gp.hyperopt`, `hyper_warm_steps` Adam steps, no restarts), then
@@ -73,11 +92,30 @@ class ActiveLearner:
         (a changed kernel cannot extend an old factor). Measured: relearn
         wins on the EXACT tier (forest) but LOSES to learn-once + moment
         extends on the Nystrom tier (synth6, BASELINE.md) — prefer
-        learn_hyper-once when nystrom_m is set."""
+        learn_hyper-once when nystrom_m is set.
+
+        selection: acquisition rule — 'biased' / 'topk' are the
+        reference's two independent-scoring rules (default: 'biased' when
+        biased_sample else 'topk'); 'greedy' is batch-diverse greedy
+        conditional-variance selection (`active/greedy.py`: partial
+        pivoted Cholesky of the pool posterior covariance with fantasy
+        noise conditioning — exact sequential uncertainty reduction for
+        get='nngp'). Works on every tier: single-chip, Nystrom (low-rank
+        covariance, composes with a mesh), and the row-sharded exact tier
+        (`DistributedPosterior.predict(compute_cov=True)` assembles the
+        (P, P) pool covariance from sharded contractions). Pools beyond
+        GREEDY_POOL_MAX are pre-filtered to the top-M marginal-variance
+        slice before the O(k M^2) greedy loop."""
         if refit is None:
             refit = "incremental"
         if refit not in ("incremental", "full"):
             raise ValueError("refit must be 'incremental' or 'full'")
+        if selection is None:
+            selection = "biased" if biased_sample else "topk"
+        if selection not in ("biased", "topk", "greedy"):
+            raise ValueError("selection must be 'biased', 'topk' or "
+                             "'greedy'")
+        self.selection = selection
         self.spec = spec
         self.budget = budget
         self.active_iters = active_iters
@@ -89,6 +127,10 @@ class ActiveLearner:
         self.dist_block_size = dist_block_size
         self.input_scale = input_scale
         self.nystrom_m = nystrom_m
+        if nystrom_grow and nystrom_m is None:
+            raise ValueError("nystrom_grow requires nystrom_m")
+        self.nystrom_grow = int(nystrom_grow)
+        self._grow_rng = np.random.default_rng(seed)
         self.relearn = relearn_hyper is not None and relearn_hyper is not False
         # the current HyperoptResult (None until the cold learn when
         # relearn_hyper=True was passed instead of a result)
@@ -184,17 +226,39 @@ class ActiveLearner:
     # cross Gram would otherwise spike device memory in a selection step
     # that is latency-insensitive anyway
     CHUNKED_POOL_MIN = 32768
+    # greedy selection pre-filters pools beyond this to the top-M
+    # marginal-variance slice: the (P, P) covariance + the O(k P^2) loop
+    # are the cost, and the greedy batch lives inside the high-variance
+    # slice anyway (M is also floored at the budget)
+    GREEDY_POOL_MAX = 4096
+
+    def _select_greedy(self, post, x_pool, num_select):
+        """Batch-diverse greedy conditional-variance acquisition
+        (`active/greedy.py`). x_pool is already hyper-scaled."""
+        from nngp_tpu.active.greedy import greedy_variance_select
+        pre = None
+        cap = max(self.GREEDY_POOL_MAX, num_select)
+        if x_pool.shape[0] > cap:
+            if x_pool.shape[0] > self.CHUNKED_POOL_MIN:
+                _, std = post.predict_mean_std_chunked(np.asarray(x_pool))
+            else:
+                _, std = post.predict_mean_std(x_pool)
+            pre = jnp.argsort(jnp.asarray(std))[-cap:]
+            x_pool = x_pool[pre]
+        # select on the SCALED-unit covariance (prescale^2 below raw
+        # units): greedy pivots are invariant to a uniform positive
+        # scaling, and the raw-unit compensation can overflow fp32 at the
+        # 2^64 packed-categorical prescale (raw VARIANCE exceeds fp32
+        # range — same reason predict_mean_std compensates after the sqrt)
+        _, cov = _pool_cov_scaled(post, x_pool)
+        # fantasy observation noise = the fit's effective ridge (already
+        # in scaled units, like the factor it regularized)
+        idx = greedy_variance_select(cov, num_select, post.reg)
+        return pre[idx] if pre is not None else idx
 
     def select(self, post: GPPosterior, x_pool):
         """Acquisition indices into the pool (device-side)."""
         x_pool = self._hscale(x_pool)
-        if x_pool.shape[0] > self.CHUNKED_POOL_MIN:
-            mean, std = post.predict_mean_std_chunked(np.asarray(x_pool))
-            mean, std = jnp.asarray(mean), jnp.asarray(std)
-        else:
-            mean, std = post.predict_mean_std(x_pool)
-        # coefficient-of-variation normalization (`ActiveLearner.py:47`)
-        std = std / jnp.max(mean)
         num_pool = x_pool.shape[0]
         # no mesh-quantum snapping: the distributed layout pads with inert
         # rows, so the full budget is acquired in every regime
@@ -203,7 +267,16 @@ class ActiveLearner:
             # explicit empty selection — argsort(std)[-0:] would silently
             # return the WHOLE pool (slice [-0:] == [0:])
             return jnp.zeros((0,), dtype=jnp.int32)
-        if self.biased_sample:
+        if self.selection == "greedy":
+            return self._select_greedy(post, x_pool, num_select)
+        if num_pool > self.CHUNKED_POOL_MIN:
+            mean, std = post.predict_mean_std_chunked(np.asarray(x_pool))
+            mean, std = jnp.asarray(mean), jnp.asarray(std)
+        else:
+            mean, std = post.predict_mean_std(x_pool)
+        # coefficient-of-variation normalization (`ActiveLearner.py:47`)
+        std = std / jnp.max(mean)
+        if self.selection == "biased":
             # guard: an all-zero/underflowed std pool would give 0/0 = NaN
             # probabilities, and jax.random.choice does no p validation on
             # device — fall back to uniform instead of silently selecting
@@ -270,7 +343,15 @@ class ActiveLearner:
                             f"logev={res.log_evidence:.1f}")
                 post = self.train(x_train, y_train)
             elif self.refit == "incremental":
-                post = post.extend(self._hscale(x_delta), y_delta)
+                if self.nystrom_grow > 0:
+                    s = min(self.nystrom_grow, x_delta.shape[0])
+                    pick = self._grow_rng.choice(x_delta.shape[0], size=s,
+                                                 replace=False)
+                    post = post.grow_inducing(
+                        np.asarray(self._hscale(x_delta))[pick],
+                        self._hscale(x_train), y_train)
+                else:
+                    post = post.extend(self._hscale(x_delta), y_delta)
             else:
                 post = self.train(x_train, y_train)
             mse = self.test(post, x_val, y_val, query_infos_val, printer)

@@ -28,6 +28,17 @@ def build_parser():
     p.add_argument("--chunk_size", type=int, default=10)
     p.add_argument("--biased_sample", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--selection", type=str, default=None,
+                   choices=["biased", "topk", "greedy"],
+                   help="acquisition rule; default follows --biased_sample. "
+                        "'greedy' = batch-diverse conditional-variance "
+                        "selection (pivoted Cholesky of the pool posterior "
+                        "covariance, active/greedy.py)")
+    p.add_argument("--nystrom_grow", type=int, default=0,
+                   help="with --nystrom_m: grow the inducing set by this "
+                        "many rows per acquisition round (uniform subsample "
+                        "of the acquired batch; O(n (m+s)^2) streamed refit "
+                        "instead of the fixed-capacity moment extend)")
     p.add_argument("--active_iters", type=int, default=3)
     p.add_argument("--budget", type=int, default=1000)
     p.add_argument("--refit", type=str, default="incremental",
@@ -177,8 +188,10 @@ def main(argv=None):
     learner = ActiveLearner(
         spec, budget=args.budget, active_iters=args.active_iters,
         kernel_type=args.kernel_type, biased_sample=args.biased_sample,
+        selection=args.selection,
         diag_reg=args.diag_reg, refit=args.refit, mesh=mesh,
-        nystrom_m=args.nystrom_m, input_scale=input_scale,
+        nystrom_m=args.nystrom_m, nystrom_grow=args.nystrom_grow,
+        input_scale=input_scale,
         relearn_hyper=hyper_res, hyper_points=args.hyper_points or None,
         hyper_ard=args.ard,
         partition_keys="num_table" if join_workload else "num_predicates")

@@ -124,7 +124,7 @@ def _sharded_panel_fn(mesh, axis_name, spec, get, precision):
     ride through so each panel is ONE dispatch. (Caches the compiled
     FUNCTION per (mesh, spec, ...) — never traced arrays.)"""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def body(x_m, w_solve, w_kmm, x_p, y_p, mask,
              c_raw, b_w, m1_w, diag_sum, yty):
@@ -463,6 +463,36 @@ class NystromPosterior:
             yty=(self.yty - dy2 if self.yty is not None else None),
             num_train=self.num_train - x_old.shape[0])
 
+    def grow_inducing(self, x_new_inducing, x_train, y_train):
+        """Refit with the inducing set ENLARGED by `x_new_inducing` (raw
+        input units) on the full labeled data (x_train, y_train).
+
+        Growing the inducing set changes K_mm and therefore the whitening
+        basis every stored moment lives in — the cross moments against the
+        NEW columns require one fresh pass over the data either way, so
+        the honest cost is the full O(n (m+s)^2) streamed refit, not a
+        cheap update (unlike row `extend`, which IS cheap because moments
+        are row sums). Callers that stream rows away (serving) should use
+        `Estimator.relearn_hyperparams`-style labeled-line replay; the
+        active learner owns its train set and calls this directly.
+
+        Capacity is monotone for DTC: the enlarged set's Nystrom
+        approximation dominates (Q_new >= Q_old in PSD order), so the fit
+        can only tighten — measured on the acquisition loop in
+        experiments/nystrom_grow_ab.py. Duplicate rows between the old and
+        new sets are fine (the jittered/truncated whitening absorbs the
+        rank deficiency)."""
+        old_raw = np.asarray(self.x_m, np.float64) * float(self.input_scale)
+        x_new = np.asarray(x_new_inducing, np.float64)
+        rows = np.concatenate([old_raw, x_new]).astype(
+            np.asarray(x_train).dtype)
+        return fit_nystrom(
+            self.spec, x_train, y_train, diag_reg=self.diag_reg,
+            get=self.get, panel_size=self.panel_size,
+            rank_rtol=self.rank_rtol, input_scale=self.input_scale,
+            precision=self.precision, inducing_rows=rows,
+            mesh=self.mesh, mesh_axis=self.mesh_axis)
+
     # ------------------------------------------------------- model evidence
     def log_evidence(self) -> float:
         """Closed-form log evidence of the fitted DTC model
@@ -495,6 +525,24 @@ class NystromPosterior:
             quad /= s2
             logdet += n * np.log(s2)
         return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
+
+    def elbo(self) -> float:
+        """Titsias collapsed variational lower bound on the EXACT GP
+        evidence: `log_evidence()` minus the trace penalty
+        tr(K - Q) / (2 r). Unlike the DTC marginal (which can move either
+        way when inducing points are added), the ELBO is MONOTONE
+        non-decreasing under inducing-set inclusion (Titsias 2009;
+        Matthews et al. 2016) — the principled criterion for sizing /
+        growing the inducing set (`grow_inducing`).
+
+        Both traces are already streamed: tr(K) is `diag_sum` (true
+        solve-kernel diagonal) and tr(Q) = tr(C) since
+        C = W^T K_mn K_nm W with W W^T ~= K_mm^-1. The input prescale
+        cancels (both traces and the ridge carry the same scale^2)."""
+        trace_gap = float(self.diag_sum) - float(np.trace(
+            np.asarray(self.c_raw, np.float64)))
+        return self.log_evidence() - 0.5 * max(trace_gap, 0.0) / \
+            float(self.reg)
 
 
 def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
@@ -680,7 +728,7 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
                 rank_rtol: Optional[float] = None,
                 input_scale: Optional[float] = None,
                 precision: str = "highest", whiten: str = "chol",
-                inducing: str = "uniform",
+                inducing: str = "uniform", inducing_rows=None,
                 mesh=None, mesh_axis: str = "data") -> NystromPosterior:
     """Streaming Nystrom/DTC fit. O(n m^2) MXU flops, O(m^2 + panel*m)
     device memory — n is unbounded by HBM (the row panels stream from
@@ -709,6 +757,12 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     tails). May yield fewer than num_inducing rows when the kernel is
     numerically rank-deficient.
 
+    inducing_rows: explicit (m, d) inducing rows in RAW input units —
+    overrides `inducing`/`num_inducing` selection entirely. DTC never
+    requires inducing points to be training rows, so any feature-space
+    rows work; this is the hook `NystromPosterior.grow_inducing` uses to
+    refit with an enlarged set.
+
     mesh: optional jax.sharding.Mesh — shard every panel's rows over
     `mesh_axis` so the O(n m^2) moment flops data-parallelize across
     chips; each panel's (k, k) deltas psum over ICI (comm O(k^2)/panel,
@@ -730,15 +784,20 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         input_scale = _auto_input_scale(x, spec.layers)
     if input_scale != 1.0:
         x = x * (1.0 / input_scale)
-    if inducing == "uniform":
-        idx = select_inducing(n, num_inducing, seed)
+    if inducing_rows is not None:
+        x_m_np = np.asarray(inducing_rows, dtype=x.dtype)
+        if input_scale != 1.0:
+            x_m_np = x_m_np * (1.0 / input_scale)
+        x_m = jnp.asarray(x_m_np)
+    elif inducing == "uniform":
+        x_m = jnp.asarray(x[select_inducing(n, num_inducing, seed)])
     elif inducing == "rpchol":
         idx = select_inducing_rpchol(spec, x, num_inducing, get=get,
                                      seed=seed, precision=precision)
+        x_m = jnp.asarray(x[idx])
     else:
         raise ValueError(
             f"inducing must be 'uniform' or 'rpchol', got {inducing!r}")
-    x_m = jnp.asarray(x[idx])
     if rank_rtol is None:
         rank_rtol = _default_rank_rtol(x_m.dtype)
 

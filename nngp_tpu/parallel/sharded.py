@@ -33,7 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from nngp_tpu.models.kernel_spec import (
     KernelSpec,
@@ -259,6 +259,66 @@ class DistributedPosterior:
         )
         return fn(self.x_storage, x_test)
 
+    def _predict_scaled(self, x_test, compute_cov):
+        """Predict body in PRESCALED units (x_test raw; var/cov come back
+        divided by input_scale^2) — the same contract as
+        `GPPosterior._predict_scaled`, so callers that only COMPARE
+        variances (greedy acquisition) can skip the raw-unit compensation
+        that overflows fp32 at extreme prescales. Every contraction over
+        the n axis runs on the sharded operands (the (te, te) results are
+        the only replicated buffers)."""
+        mesh, ax, bs = self.mesh, self.axis_name, self.block_size
+        if self.input_scale != 1.0:
+            x_test = x_test * (1.0 / self.input_scale)
+        nngp_cross, ntk_cross = self._cross_grams(x_test)   # (n, te) sharded
+        if self.get == "nngp":
+            mean = nngp_cross.T @ self.alpha                # (te, 1)
+            if compute_cov is False:
+                return mean
+            v = distributed_tri_solve_lower(self.l, nngp_cross, mesh, ax,
+                                            block_size=bs)
+            if compute_cov == "diag":
+                diag_ss, _ = apply_diag_recursion(input_diag(x_test),
+                                                  self.spec.layers)
+                return mean, jnp.maximum(diag_ss - jnp.sum(v * v, axis=0),
+                                         0.0)
+            k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+            return mean, k_ss - v.T @ v
+
+        # get == 'ntk' (posterior formulas: nngp_tpu/gp/posterior.py)
+        mean = ntk_cross.T @ self.alpha
+        if compute_cov is False:
+            return mean
+        w = distributed_cho_solve(self.l, ntk_cross, mesh, ax, block_size=bs)
+        # K_tt columns are in natural order -> contract against w in natural
+        # row order (an O(n*te) gather, the one resharding this path needs).
+        w_natural = jnp.take(w, _e2s_device(self.g2e), axis=0)
+        kw = self.k_tt @ w_natural                          # (n, te) sharded
+        if compute_cov == "diag":
+            diag_ss, _ = apply_diag_recursion(input_diag(x_test),
+                                              self.spec.layers)
+            var = (diag_ss + jnp.sum(w * kw, axis=0)
+                   - 2.0 * jnp.sum(nngp_cross * w, axis=0))
+            return mean, jnp.maximum(var, 0.0)
+        k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+        # rows of w / kw / nngp_cross share the storage permutation, which
+        # cancels inside every n-contraction
+        cross_term = nngp_cross.T @ w                       # (te, te)
+        return mean, k_ss + w.T @ kw - cross_term - cross_term.T
+
+    @partial(jax.jit, static_argnames=("compute_cov",))
+    def predict(self, x_test, compute_cov=True):
+        """Posterior (mean, cov) in raw units — `GPPosterior.predict`
+        semantics from the row-sharded state (the (te, te) covariance is
+        the only replicated output; te is the caller's batch, e.g. the
+        greedy-acquisition pool slice). Same fp32 caveat as the exact
+        tier: raw-unit variances are var_scaled * s^2."""
+        out = self._predict_scaled(x_test, compute_cov)
+        if compute_cov is False or self.input_scale == 1.0:
+            return out
+        mean, v = out
+        return mean, v * (self.input_scale * self.input_scale)
+
     @jax.jit
     def predict_mean_std(self, x_test):
         """Batched posterior (mean, std) with the cross Gram sharded over
@@ -269,30 +329,8 @@ class DistributedPosterior:
         serving step — cross Gram, distributed solves, variance — is ONE
         dispatch per batch shape, which matters behind a ~30 ms/dispatch
         TPU tunnel."""
-        mesh, ax, bs = self.mesh, self.axis_name, self.block_size
-        if self.input_scale != 1.0:
-            x_test = x_test * (1.0 / self.input_scale)
-        s = self.input_scale
-        nngp_cross, ntk_cross = self._cross_grams(x_test)   # (n, te) sharded
-        diag_ss, _ = apply_diag_recursion(input_diag(x_test),
-                                          self.spec.layers)
-        if self.get == "nngp":
-            mean = nngp_cross.T @ self.alpha                # (te, 1)
-            v = distributed_tri_solve_lower(self.l, nngp_cross, mesh, ax,
-                                            block_size=bs)
-            var = diag_ss - jnp.sum(v * v, axis=0)
-            return mean, jnp.sqrt(jnp.maximum(var, 0.0)) * s
-
-        # get == 'ntk' (posterior formulas: nngp_tpu/gp/posterior.py)
-        mean = ntk_cross.T @ self.alpha
-        w = distributed_cho_solve(self.l, ntk_cross, mesh, ax, block_size=bs)
-        # K_tt columns are in natural order -> contract against w in natural
-        # row order (an O(n*te) gather, the one resharding this path needs).
-        w_natural = jnp.take(w, _e2s_device(self.g2e), axis=0)
-        kw = self.k_tt @ w_natural                          # (n, te) sharded
-        var = (diag_ss + jnp.sum(w * kw, axis=0)
-               - 2.0 * jnp.sum(nngp_cross * w, axis=0))
-        return mean, jnp.sqrt(jnp.maximum(var, 0.0)) * s
+        mean, var = self._predict_scaled(x_test, "diag")
+        return mean, jnp.sqrt(var) * self.input_scale
 
     def predict_mean_std_chunked(self, x_test, chunk: int = 8192):
         """(mean, std) over arbitrarily large test sets, `chunk` rows per

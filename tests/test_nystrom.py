@@ -386,3 +386,79 @@ def test_active_learner_on_nystrom_tier():
     assert post.num_train == 100 + 2 * 16
     assert len(history) == 2
     assert all(np.isfinite(h["val_mse"]) for h in history)
+
+
+def test_inducing_rows_override_matches_selection():
+    """fit_nystrom(inducing_rows=x[idx]) is bit-equivalent to the seeded
+    internal selection of the same rows (the override is the grow hook)."""
+    x, y, xt = _data(n=120, seed=30)
+    spec = reference_kernel()
+    idx = select_inducing(x.shape[0], 40, seed=0)
+    a = fit_nystrom(spec, x, y, num_inducing=40, seed=0)
+    b = fit_nystrom(spec, x, y, inducing_rows=x[idx])
+    ma, sa = a.predict_mean_std(jnp.asarray(xt))
+    mb, sb = b.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_array_equal(np.asarray(ma), np.asarray(mb))
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
+def test_grow_inducing_matches_fresh_fit():
+    """grow_inducing(new, x, y) equals a fresh fit whose inducing set is
+    the concatenation, at the same ridge (same data -> same trace)."""
+    x, y, xt = _data(n=150, seed=31)
+    spec = reference_kernel()
+    idx = select_inducing(x.shape[0], 30, seed=0)
+    post = fit_nystrom(spec, x, y, num_inducing=30, seed=0)
+    extra = x[140:148]
+    grown = post.grow_inducing(extra, x, y)
+    fresh = fit_nystrom(spec, x, y,
+                        inducing_rows=np.concatenate([x[idx], extra]))
+    assert grown.num_inducing == 38
+    mg, sg = grown.predict_mean_std(jnp.asarray(xt))
+    mf, sf = fresh.predict_mean_std(jnp.asarray(xt))
+    np.testing.assert_allclose(np.asarray(mg), np.asarray(mf),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(sf),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_grow_inducing_monotone_elbo_and_input_scale():
+    """The Titsias ELBO is monotone non-decreasing under inducing-set
+    inclusion (the DTC marginal itself is NOT — observed both ways on this
+    data). Also exercises an input prescale through the grow round-trip
+    (x_m is stored prescaled; grow must hand fit_nystrom RAW-unit rows)."""
+    x, y, xt = _data(n=200, seed=32, scale=1000.0)
+    spec = KernelSpec(mlp(2))
+    post = fit_nystrom(spec, x, y, num_inducing=24, seed=1, input_scale=4.0)
+    grown = post.grow_inducing(x[180:196], x, y)
+    assert grown.input_scale == post.input_scale
+    assert grown.num_inducing == 40
+    assert grown.elbo() >= post.elbo() - 1e-6 * abs(post.elbo())
+    # ELBO is a LOWER bound on the exact-GP evidence at the same
+    # kernel/ridge (fp64 end to end here, so the slack is one-sided)
+    exact = fit_gp(spec, x, y, input_scale=4.0)
+    assert grown.elbo() <= float(exact.log_marginal_likelihood()) + 1e-6
+    # predictions stay finite and the variance shrinks on average
+    _, s0 = post.predict_mean_std(jnp.asarray(xt))
+    _, s1 = grown.predict_mean_std(jnp.asarray(xt))
+    assert np.isfinite(np.asarray(s1)).all()
+    assert float(jnp.mean(s1)) <= float(jnp.mean(s0)) + 1e-9
+
+
+def test_active_learner_nystrom_grow():
+    """nystrom_grow: the inducing set grows per round and the loop stays
+    finite; nystrom_grow without nystrom_m raises."""
+    from nngp_tpu.active import ActiveLearner
+    x, y, _ = _data(n=100, seed=33)
+    xp, yp, _ = _data(n=60, seed=34)
+    xv, yv, _ = _data(n=30, seed=35)
+    spec = reference_kernel()
+    learner = ActiveLearner(spec, budget=16, active_iters=2,
+                            biased_sample=False, nystrom_m=32,
+                            nystrom_grow=8)
+    post, history = learner.active_train(x, y, xp, yp, xv, yv, printer=None)
+    assert post.num_train == 100 + 2 * 16
+    assert post.num_inducing == 32 + 2 * 8
+    assert all(np.isfinite(h["val_mse"]) for h in history)
+    with pytest.raises(ValueError, match="nystrom_grow"):
+        ActiveLearner(spec, nystrom_grow=8)
