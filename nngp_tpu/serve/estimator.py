@@ -763,6 +763,53 @@ class Estimator:
             raise
         return x.shape[0]
 
+    def grow_inducing(self, labeled_lines: Sequence[str],
+                      num_new: int = 512, seed: int = 0) -> int:
+        """Grow the Nystrom tier's CAPACITY (Nystrom tier only): enlarge
+        the inducing set by `num_new` uniform rows of `labeled_lines` and
+        refit on exactly those lines (`NystromPosterior.grow_inducing`,
+        O(n (m+s)^2) streamed — growth changes the whitening basis, so
+        unlike `extend_with_lines` it needs the full training log back;
+        pass the same lines the server was trained + extended with).
+
+        When to grow: online extends hold m fixed while n grows, and once
+        m/n gets small the approximation gap is the error floor — measured
+        at 90k rows, growing m 512 -> 1024 recovers ~90% of a fresh
+        refit's gain where fixed-m extends recover none (BASELINE.md,
+        experiments/nystrom_grow_big.log). `posterior.elbo()` (monotone in
+        the inducing set) is the principled trigger. Transactional:
+        on a NaN factor the previous posterior stays authoritative.
+        Returns the new inducing count."""
+        if not hasattr(self.posterior, "grow_inducing"):
+            raise NotImplementedError(
+                "grow_inducing requires the streaming Nystrom tier "
+                "(Estimator(nystrom_m=...)); the exact tier has no "
+                "inducing set — its capacity is n itself")
+        x, cards = self._encode_labeled_lines(labeled_lines,
+                                              "grow_inducing")
+        scale = float(self.posterior.input_scale)
+        if (x.dtype == np.float32 and x.size
+                and float(np.max(np.abs(x))) / max(scale, 1.0)
+                > _EXTEND_MAX_SCALED_ABS):
+            raise ValueError(
+                "grow_inducing: features exceed the magnitude the "
+                f"posterior was fitted for (input_scale={scale:g}) — "
+                "refit a fresh Estimator")
+        y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
+        rng = np.random.default_rng(seed)
+        pick = rng.choice(x.shape[0], size=min(num_new, x.shape[0]),
+                          replace=False)
+        candidate = self.posterior.grow_inducing(x[pick], x, y)
+        old = self.posterior
+        try:
+            self.posterior = candidate
+            self._validate_fit()
+        except FloatingPointError:
+            self.posterior = old
+            raise
+        self.nystrom_m = candidate.num_inducing
+        return candidate.num_inducing
+
     def _predict_raw(self, query_lines: Sequence[str]):
         """Bucketed batch predict returning the posterior's OWN std (no
         recalibration applied) — the base for predict/predict_interval."""

@@ -859,3 +859,43 @@ def test_estimator_preloaded_hyper_artifact(tmp_path):
     with pytest.raises(ValueError, match="features"):
         Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
                   verbose=False, learn_hyper=bad)
+
+
+def test_estimator_grow_inducing(tmp_path):
+    """Estimator.grow_inducing enlarges the Nystrom tier's capacity from
+    the training log: m grows, predictions move toward the exact tier,
+    the checkpoint round-trips the grown set, and the exact tier refuses
+    with a clear error."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    train_lines = [ln for ln in
+                   (tmp_path / "queries" / "join_query_2.txt")
+                   .read_text().splitlines() if ln.strip()]
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, nystrom_m=12)
+    est.load_model(verbose=False)
+    lines_q = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+               "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    exact = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                      verbose=False)
+    me, _ = exact.predict(lines_q)
+    m_small, _ = est.predict(lines_q)
+    elbo0 = est.posterior.elbo()
+
+    m_new = est.grow_inducing(train_lines, num_new=48, seed=0)
+    assert m_new == 60 and est.nystrom_m == 60
+    assert est.posterior.num_train == len(train_lines)
+    assert est.posterior.elbo() >= elbo0 - 1e-6 * abs(elbo0)
+    m_big, _ = est.predict(lines_q)
+    # the uniform picks overlap the original 12, so the grown set is NOT
+    # the whole train set — assert it moved decisively toward exact
+    assert (np.abs(m_big - me).max() < 0.5 * np.abs(m_small - me).max())
+
+    ckpt = tmp_path / "grow_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.nystrom_m == 60
+    m2, _ = est2.predict(lines_q)
+    np.testing.assert_allclose(m2, m_big, rtol=1e-12)
+
+    with pytest.raises(NotImplementedError, match="Nystrom"):
+        exact.grow_inducing(train_lines)
