@@ -22,6 +22,9 @@ while true; do
     timeout 3600 python experiments/nystrom_scale.py \
       > experiments/nystrom_scale_chol.log 2>&1
     log "nystrom_scale exit=$?"
+    timeout 3600 python experiments/greedy_grow_tpu.py \
+      > experiments/greedy_grow_tpu.log 2>&1
+    log "greedy_grow_tpu exit=$?"
     log "queue done"
     exit 0
   fi

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("k",))
-def greedy_variance_select(cov, k: int, noise=0.0):
+def greedy_variance_select(cov, k: int, noise=0.0, num_valid=None):
     """Greedy max-conditional-variance batch of `k` indices.
 
     cov: (P, P) posterior covariance of the candidate pool (PSD up to
@@ -41,6 +41,11 @@ def greedy_variance_select(cov, k: int, noise=0.0):
     pivot before conditioning — pass the fit's effective ridge (in the
     same units as `cov`) so a fantasized observation is conditioned
     exactly like a real one; 0.0 selects by pure pivoted Cholesky.
+
+    num_valid: only rows < num_valid are candidates (may be traced) —
+    lets the caller zero-pad the pool to a fixed bucket shape so the
+    compiled program is reused as the pool shrinks round over round
+    (tunnel compiles cost 30-300 s). Requires k <= num_valid.
 
     Returns (k,) int32 indices into the pool, distinct by construction
     (selected pivots are masked out of the argmax), ordered by selection.
@@ -51,20 +56,27 @@ def greedy_variance_select(cov, k: int, noise=0.0):
     cov = jnp.asarray(cov)
     noise = jnp.asarray(noise, cov.dtype)
     # fp32 covariance diagonals can dip epsilon-negative for near-
-    # interpolated points; tiny floors the Schur denominator so a
-    # degenerate pivot yields a no-op update instead of inf/NaN
+    # interpolated points; a degenerate pivot (c[s,s] + noise below tiny,
+    # possible past the numerical rank with noise=0.0) must yield a
+    # NO-OP update — dividing by a floored denominator instead would
+    # blow the column up by ~1e38 and corrupt every later selection
     tiny = jnp.asarray(jnp.finfo(cov.dtype).tiny, cov.dtype)
+    if num_valid is None:
+        mask0 = jnp.zeros((p,), bool)
+    else:
+        mask0 = jnp.arange(p) >= num_valid
 
     def body(j, state):
         c, mask, sel = state
         d = jnp.where(mask, -jnp.inf, jnp.diagonal(c))
         s = jnp.argmax(d)
         col = c[:, s]
-        denom = jnp.maximum(c[s, s] + noise, tiny)
-        c = c - jnp.outer(col, col) / denom
+        denom = c[s, s] + noise
+        inv = jnp.where(denom > tiny, 1.0 / jnp.maximum(denom, tiny), 0.0)
+        c = c - jnp.outer(col, col) * inv
         return (c, mask.at[s].set(True), sel.at[j].set(s.astype(jnp.int32)))
 
     _, _, sel = jax.lax.fori_loop(
         0, k, body,
-        (cov, jnp.zeros((p,), bool), jnp.zeros((k,), jnp.int32)))
+        (cov, mask0, jnp.zeros((k,), jnp.int32)))
     return sel

@@ -129,6 +129,17 @@ class ActiveLearner:
         self.nystrom_m = nystrom_m
         if nystrom_grow and nystrom_m is None:
             raise ValueError("nystrom_grow requires nystrom_m")
+        if nystrom_grow and refit == "full":
+            raise ValueError(
+                "nystrom_grow needs refit='incremental': a full refit "
+                "rebuilds the inducing set at the original nystrom_m each "
+                "round, silently discarding the growth")
+        if nystrom_grow and relearn_hyper:
+            raise ValueError(
+                "nystrom_grow is incompatible with relearn_hyper: relearn "
+                "rounds full-refit with the new kernel at the original "
+                "nystrom_m, silently discarding the growth (and relearning "
+                "measurably loses on this tier anyway — BASELINE.md)")
         self.nystrom_grow = int(nystrom_grow)
         self._grow_rng = np.random.default_rng(seed)
         self.relearn = relearn_hyper is not None and relearn_hyper is not False
@@ -237,7 +248,10 @@ class ActiveLearner:
         (`active/greedy.py`). x_pool is already hyper-scaled."""
         from nngp_tpu.active.greedy import greedy_variance_select
         pre = None
-        cap = max(self.GREEDY_POOL_MAX, num_select)
+        # 2x headroom over the budget: pre-filtering to EXACTLY the budget
+        # would force greedy to take the whole slice — top-k in disguise,
+        # after paying for the covariance
+        cap = max(self.GREEDY_POOL_MAX, 2 * num_select)
         if x_pool.shape[0] > cap:
             if x_pool.shape[0] > self.CHUNKED_POOL_MIN:
                 _, std = post.predict_mean_std_chunked(np.asarray(x_pool))
@@ -245,15 +259,33 @@ class ActiveLearner:
                 _, std = post.predict_mean_std(x_pool)
             pre = jnp.argsort(jnp.asarray(std))[-cap:]
             x_pool = x_pool[pre]
+        num_pool = x_pool.shape[0]
+        if num_select >= num_pool:
+            # everything gets selected — conditioning can only reorder
+            idx = jnp.arange(num_pool, dtype=jnp.int32)
+            return pre if pre is not None else idx
+        # zero-pad the slice to a power-of-two bucket: the pool shrinks
+        # by `budget` every round, and an exact-shape covariance program
+        # would recompile each time (30-300 s per compile on the tunnel);
+        # pad rows are masked out of the selection via num_valid
+        bucket = max(256, 1 << (num_pool - 1).bit_length())
+        if bucket > num_pool:
+            x_pad = jnp.concatenate(
+                [x_pool, jnp.broadcast_to(x_pool[:1],
+                                          (bucket - num_pool,
+                                           x_pool.shape[1]))])
+        else:
+            x_pad = x_pool
         # select on the SCALED-unit covariance (prescale^2 below raw
         # units): greedy pivots are invariant to a uniform positive
         # scaling, and the raw-unit compensation can overflow fp32 at the
         # 2^64 packed-categorical prescale (raw VARIANCE exceeds fp32
         # range — same reason predict_mean_std compensates after the sqrt)
-        _, cov = _pool_cov_scaled(post, x_pool)
+        _, cov = _pool_cov_scaled(post, x_pad)
         # fantasy observation noise = the fit's effective ridge (already
         # in scaled units, like the factor it regularized)
-        idx = greedy_variance_select(cov, num_select, post.reg)
+        idx = greedy_variance_select(cov, num_select, post.reg,
+                                     num_valid=num_pool)
         return pre[idx] if pre is not None else idx
 
     def select(self, post: GPPosterior, x_pool):

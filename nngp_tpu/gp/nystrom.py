@@ -352,7 +352,7 @@ class NystromPosterior:
                            - jnp.sum(psi * psi, axis=0)
                            + self.reg * jnp.sum(h * h, axis=0))
                     return mean, jnp.maximum(var, 0.0)
-                k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+                k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
                 return mean, k_ss - psi.T @ psi + self.reg * (h.T @ h)
 
             # get == 'ntk': Nystrom both kernels in the mixed covariance
@@ -371,7 +371,7 @@ class NystromPosterior:
                        + jnp.sum(g * g, axis=0)
                        - 2.0 * jnp.sum(psi_k * g, axis=0))
                 return mean, jnp.maximum(var, 0.0)
-            k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+            k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
             return mean, k_ss + g.T @ g - psi_k.T @ g - g.T @ psi_k
 
     @partial(jax.jit, static_argnames=("compute_cov",))

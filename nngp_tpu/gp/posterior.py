@@ -248,7 +248,7 @@ class GPPosterior:
             if compute_cov == "diag":
                 var = self.spec.diag_fn(x_test, "nngp") - jnp.sum(v * v, axis=0)
                 return mean, jnp.maximum(var, 0.0)
-            k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+            k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
             return mean, k_ss - v.T @ v
 
         # get == 'ntk'
@@ -269,7 +269,7 @@ class GPPosterior:
                 - 2.0 * jnp.sum(nngp_cross.T * w, axis=0)
             )
             return mean, jnp.maximum(var, 0.0)
-        k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+        k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
         cross_term = nngp_cross @ w                  # K_*t T^-1 T_t*, (m, m)
         cov = k_ss + w.T @ kw - cross_term - cross_term.T
         return mean, cov

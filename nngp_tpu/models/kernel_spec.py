@@ -187,6 +187,17 @@ class KernelSpec:
         nngp, ntk = apply_diag_recursion(input_diag(x), self.layers)
         return self._select(nngp, ntk, get)
 
+    def self_kernel(self, x, get="nngp"):
+        """kernel_fn(x, x) with the diagonal overwritten by the exact
+        on-diagonal recursion: the generic dual carries acos(rho=1)
+        sqrt(eps) noise exactly on the diagonal (~3e-4 relative in fp32),
+        which matters to consumers that COMPARE posterior variances built
+        from this prior (greedy acquisition argmaxes diag(k_ss) minus an
+        explained term that can be 1e-3 of k_ss)."""
+        k = self.kernel_fn(x, x, get)
+        i = jnp.arange(x.shape[0])
+        return k.at[i, i].set(self.diag_fn(x, get))
+
     @staticmethod
     def _select(nngp, ntk, get):
         if isinstance(get, (tuple, list)):

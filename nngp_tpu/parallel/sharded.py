@@ -282,7 +282,7 @@ class DistributedPosterior:
                                                   self.spec.layers)
                 return mean, jnp.maximum(diag_ss - jnp.sum(v * v, axis=0),
                                          0.0)
-            k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+            k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
             return mean, k_ss - v.T @ v
 
         # get == 'ntk' (posterior formulas: nngp_tpu/gp/posterior.py)
@@ -300,7 +300,7 @@ class DistributedPosterior:
             var = (diag_ss + jnp.sum(w * kw, axis=0)
                    - 2.0 * jnp.sum(nngp_cross * w, axis=0))
             return mean, jnp.maximum(var, 0.0)
-        k_ss = self.spec.kernel_fn(x_test, x_test, "nngp")
+        k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
         # rows of w / kw / nngp_cross share the storage permutation, which
         # cancels inside every n-contraction
         cross_term = nngp_cross.T @ w                       # (te, te)

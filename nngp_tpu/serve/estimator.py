@@ -699,6 +699,33 @@ class Estimator:
                              "labeled line (log2 of 0 is -inf)")
         return self._apply_feature_scale(x), cards
 
+    def _guard_feature_magnitude(self, x: np.ndarray, op_name: str):
+        """A factor fitted through __init__ uses the encoder's layout
+        bound, which covers ANY encodable line; a restored checkpoint from
+        an older data-probed fit may carry a smaller input_scale. Guard
+        here (x is host numpy — free) instead of letting oversized fp32
+        features overflow the cross Gram into a NaN factor."""
+        scale = float(self.posterior.input_scale)
+        if (x.dtype == np.float32 and x.size
+                and float(np.max(np.abs(x))) / max(scale, 1.0)
+                > _EXTEND_MAX_SCALED_ABS):
+            raise ValueError(
+                f"{op_name}: new features exceed the magnitude the "
+                f"posterior was fitted for (input_scale={scale:g}); the "
+                "factor cannot be rescaled in place — refit (a fresh "
+                "Estimator picks a covering scale from the encoder layout)")
+
+    def _install_posterior(self, candidate):
+        """Validate BEFORE installing so a bad batch cannot corrupt a live
+        server — the old posterior stays authoritative on failure."""
+        old = self.posterior
+        try:
+            self.posterior = candidate
+            self._validate_fit()
+        except FloatingPointError:
+            self.posterior = old
+            raise
+
     def extend_with_lines(self, labeled_lines: Sequence[str]):
         """Online learning: fold freshly-labeled queries (the aux-feedback
         loop's `query@...@card` lines) into the posterior with an O(n^2 k)
@@ -707,34 +734,13 @@ class Estimator:
         (SURVEY.md section 3.3)."""
         x, cards = self._encode_labeled_lines(labeled_lines,
                                               "extend_with_lines")
-        # A factor fitted through __init__ uses the encoder's layout bound,
-        # which covers ANY encodable line; a restored checkpoint from an
-        # older data-probed fit may carry a smaller input_scale. Guard here
-        # (x is host numpy — free) instead of letting oversized fp32
-        # features overflow the cross Gram into a NaN factor.
-        scale = float(self.posterior.input_scale)
-        if (x.dtype == np.float32 and x.size
-                and float(np.max(np.abs(x))) / max(scale, 1.0)
-                > _EXTEND_MAX_SCALED_ABS):
-            raise ValueError(
-                "extend_with_lines: new features exceed the magnitude the "
-                f"posterior was fitted for (input_scale={scale:g}); the "
-                "factor cannot be rescaled in place — refit (a fresh "
-                "Estimator picks a covering scale from the encoder layout)")
+        self._guard_feature_magnitude(x, "extend_with_lines")
         y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
         # Both regimes extend incrementally: single-chip via the block-
         # Cholesky append, a mesh via the distributed block-cyclic append
         # (O(n^2 k / p) — no refit, no restart).
-        candidate = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
-        # validate BEFORE installing so a bad batch cannot corrupt a live
-        # server (the old posterior stays authoritative on failure)
-        old = self.posterior
-        try:
-            self.posterior = candidate
-            self._validate_fit()
-        except FloatingPointError:
-            self.posterior = old
-            raise
+        self._install_posterior(
+            self.posterior.extend(jnp.asarray(x), jnp.asarray(y)))
         return x.shape[0]
 
     def forget_with_lines(self, labeled_lines: Sequence[str]):
@@ -753,14 +759,7 @@ class Estimator:
         x, cards = self._encode_labeled_lines(labeled_lines,
                                               "forget_with_lines")
         y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
-        candidate = self.posterior.forget(x, y)
-        old = self.posterior
-        try:
-            self.posterior = candidate
-            self._validate_fit()
-        except FloatingPointError:
-            self.posterior = old
-            raise
+        self._install_posterior(self.posterior.forget(x, y))
         return x.shape[0]
 
     def grow_inducing(self, labeled_lines: Sequence[str],
@@ -787,28 +786,14 @@ class Estimator:
                 "inducing set — its capacity is n itself")
         x, cards = self._encode_labeled_lines(labeled_lines,
                                               "grow_inducing")
-        scale = float(self.posterior.input_scale)
-        if (x.dtype == np.float32 and x.size
-                and float(np.max(np.abs(x))) / max(scale, 1.0)
-                > _EXTEND_MAX_SCALED_ABS):
-            raise ValueError(
-                "grow_inducing: features exceed the magnitude the "
-                f"posterior was fitted for (input_scale={scale:g}) — "
-                "refit a fresh Estimator")
+        self._guard_feature_magnitude(x, "grow_inducing")
         y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
         rng = np.random.default_rng(seed)
         pick = rng.choice(x.shape[0], size=min(num_new, x.shape[0]),
                           replace=False)
-        candidate = self.posterior.grow_inducing(x[pick], x, y)
-        old = self.posterior
-        try:
-            self.posterior = candidate
-            self._validate_fit()
-        except FloatingPointError:
-            self.posterior = old
-            raise
-        self.nystrom_m = candidate.num_inducing
-        return candidate.num_inducing
+        self._install_posterior(self.posterior.grow_inducing(x[pick], x, y))
+        self.nystrom_m = self.posterior.num_inducing
+        return self.posterior.num_inducing
 
     def _predict_raw(self, query_lines: Sequence[str]):
         """Bucketed batch predict returning the posterior's OWN std (no

@@ -31,7 +31,7 @@ def _dense_mll(spec, x, y, reg, get):
     a = k + reg * np.eye(len(x))
     l = np.linalg.cholesky(a)
     alpha = np.linalg.solve(a, y)
-    return float(-0.5 * (y.T @ alpha)
+    return float(-0.5 * float(y.ravel() @ alpha.ravel())
                  - np.sum(np.log(np.diag(l)))
                  - 0.5 * len(x) * np.log(2 * np.pi))
 
