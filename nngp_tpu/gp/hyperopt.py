@@ -309,6 +309,13 @@ class HyperoptResult:
     # which evidence the hypers maximized: "exact" (full GP) or "dtc"
     # (the streaming Nystrom tier's own model, gp/nystrom.py)
     objective: str = "exact"
+    # provenance guards for --hyper_file artifacts: the kernel type the
+    # evidence was computed under, and the feature dimension learned on —
+    # installing an ntk artifact into an nngp server (or one from a
+    # different encoding width) silently degrades every prediction, so
+    # consumers validate these when present (None = pre-guard artifact)
+    get: str = "nngp"
+    num_features: Optional[int] = None
 
     def fit_kwargs(self) -> dict:
         """Ready-to-splat kwargs for `fit_gp` / `fit_nystrom`. b != 0 breaks
@@ -341,6 +348,8 @@ class HyperoptResult:
             "depth": self.depth, "activation": self.activation,
             "width": denses[0].width,
             "objective": self.objective,
+            "get": self.get,
+            "num_features": self.num_features,
             "feature_scale": (None if self.feature_scale is None else
                               np.asarray(self.feature_scale,
                                          np.float64).tolist()),
@@ -362,7 +371,11 @@ class HyperoptResult:
                    w0=float(d["w0"]), w=float(d["w"]), b=float(d["b"]),
                    num_points=int(d["num_points"]), depth=int(d["depth"]),
                    activation=d["activation"], feature_scale=fs,
-                   objective=d["objective"])
+                   objective=d["objective"],
+                   get=d.get("get", "nngp"),
+                   num_features=(int(d["num_features"])
+                                 if d.get("num_features") is not None
+                                 else None))
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:
@@ -517,6 +530,13 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
                                    get, steps, float(lr), float(eps),
                                    ard=ard, objective=objective,
                                    dtc_m=dtc_m, mask=mask)
+    if not np.isfinite(float(final)):
+        # nanargmin over all-inf finals returns index 0 — without this
+        # check the UN-learned init would be reported as a success
+        raise FloatingPointError(
+            "hyperopt: every restart diverged (non-finite loss at all "
+            "inits) — check the features/labels for NaN/overflow, or "
+            "widen init/reg_restarts")
     w = float(np.exp(theta["log_w"]))
     b = float(np.exp(theta["log_b"]))
     reg = float(np.exp(theta["log_reg"]))
@@ -531,7 +551,8 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         spec=spec, diag_reg=reg, log_evidence=-float(final),
         nll_history=np.asarray(hist), w0=w0, w=w, b=b,
         num_points=n_scored, depth=depth, activation=activation,
-        feature_scale=feature_scale, objective=objective)
+        feature_scale=feature_scale, objective=objective,
+        get=get, num_features=int(x.shape[1]))
 
 
 def select_kernel(x, y, depths: Tuple[int, ...] = (1, 2, 3),

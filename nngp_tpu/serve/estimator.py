@@ -177,12 +177,31 @@ class Estimator:
                                         verbose, ard=hyper_ard,
                                         objective=hyper_objective)
             else:
-                self._apply_hyper_result(learn_hyper, x.shape[1], verbose)
+                if hyper_ard and learn_hyper.feature_scale is None:
+                    raise ValueError(
+                        "hyper_ard=True but the hyper artifact is scalar-"
+                        "mode (no feature_scale) — relearn it with ard=True "
+                        "or drop hyper_ard")
+                self._apply_hyper_result(learn_hyper, x, verbose)
             x = self._apply_feature_scale(x)
         elif hyper_ard:
             raise ValueError("hyper_ard requires learn_hyper=True")
         self.posterior = self._fit(x, y)
         self._validate_fit()
+
+    def _require_mlp_spec(self, op_name: str):
+        """Hyperopt only parameterizes mlp-shaped stacks — silently
+        learning a DIFFERENT kernel family than the server's would swap
+        the model out from under the user. Returns (acts, denses)."""
+        acts = [l for l in self.spec.layers if isinstance(l, Activation)]
+        denses = [l for l in self.spec.layers if isinstance(l, Dense)]
+        if not acts or len(denses) != len(acts) + 1 or len(
+                {a.name for a in acts}) != 1:
+            raise ValueError(
+                f"{op_name} requires an mlp-shaped spec "
+                "((Dense, Activation)*depth + Dense, one activation); got "
+                f"{self.spec.layers}")
+        return acts, denses
 
     def _learn_hyperparams(self, x, y, steps, max_points, verbose,
                            ard: bool = False, objective: str = "auto"):
@@ -190,14 +209,7 @@ class Estimator:
         (gp/hyperopt.py). The learned spec round-trips through checkpoints
         unchanged — save() already serializes Dense (w_std, b_std); an ARD
         feature_scale is serialized alongside it in meta.json."""
-        acts = [l for l in self.spec.layers if isinstance(l, Activation)]
-        denses = [l for l in self.spec.layers if isinstance(l, Dense)]
-        if not acts or len(denses) != len(acts) + 1 or len(
-                {a.name for a in acts}) != 1:
-            raise ValueError(
-                "learn_hyper requires an mlp-shaped spec "
-                "((Dense, Activation)*depth + Dense, one activation); got "
-                f"{self.spec.layers}")
+        acts, denses = self._require_mlp_spec("learn_hyper")
         max_abs = float(np.max(np.abs(x))) if x.size else 0.0
         if max_abs > _EXTEND_MAX_SCALED_ABS:
             raise ValueError(
@@ -232,17 +244,40 @@ class Estimator:
         self.diag_reg = res.diag_reg
         self.hyper_result = res
 
-    def _apply_hyper_result(self, res, num_features: int, verbose: bool):
+    def _apply_hyper_result(self, res, x: np.ndarray, verbose: bool):
         """Install an already-learned `gp.hyperopt.HyperoptResult` (e.g.
         `HyperoptResult.load(path)` from a `--hyper_file` artifact) as this
         server's spec/ridge/ARD-scale — the cheap path when the learning
-        run already happened elsewhere."""
-        if res.feature_scale is not None and (
-                len(np.ravel(res.feature_scale)) != num_features):
+        run already happened elsewhere. Validates the artifact's
+        provenance (kernel type, feature width) and the fp32 magnitude
+        regime before installing — a mismatched artifact degrades every
+        prediction with no other diagnostic."""
+        num_features = x.shape[1]
+        for art_features in (getattr(res, "num_features", None),
+                             (len(np.ravel(res.feature_scale))
+                              if res.feature_scale is not None else None)):
+            if art_features is not None and art_features != num_features:
+                raise ValueError(
+                    f"hyper artifact was learned on {art_features} "
+                    f"features but this schema encodes {num_features} — "
+                    "wrong workload/stats?")
+        if getattr(res, "get", None) and res.get != self.kernel_type:
             raise ValueError(
-                f"hyper artifact was learned on "
-                f"{len(np.ravel(res.feature_scale))} features but this "
-                f"schema encodes {num_features} — wrong workload/stats?")
+                f"hyper artifact maximized the {res.get!r} evidence but "
+                f"this server fits kernel_type={self.kernel_type!r} — "
+                "relearn with the matching get")
+        # b != 0 pins input_scale=1.0 (fit_kwargs: the spec is no longer
+        # scale-equivariant), so raw 2^64-packed chunks would overflow the
+        # squared fp32 Gram — same guard _learn_hyperparams applies
+        scaled_max = float(np.max(np.abs(x))) if x.size else 0.0
+        if res.feature_scale is not None:
+            scaled_max *= float(np.max(np.abs(res.feature_scale)))
+        if (self.dtype == np.float32 and res.b != 0.0
+                and scaled_max > _EXTEND_MAX_SCALED_ABS):
+            raise ValueError(
+                f"hyper artifact has b={res.b:g} (prescale off) but "
+                f"max|feature| ~ {scaled_max:.3g} exceeds the fp32-safe "
+                "range; pass chunk_norm=True (or use fp64)")
         if res.feature_scale is not None:
             self.feature_scale = np.asarray(res.feature_scale, np.float64)
         if verbose:
@@ -301,8 +336,7 @@ class Estimator:
                  if self.feature_scale is not None else x_fs)
 
         from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
-        acts = [l for l in self.spec.layers if isinstance(l, Activation)]
-        denses = [l for l in self.spec.layers if isinstance(l, Dense)]
+        acts, denses = self._require_mlp_spec("relearn_hyperparams")
         # warm init from the live spec; b is log-parameterized in the
         # hyperopt so a pinned-zero bias warm-starts at the default 0.1
         w0 = denses[0].w_std
@@ -335,7 +369,12 @@ class Estimator:
                 self._apply_feature_scale(x_raw), y)
             self._validate_fit()
             self.hyper_result = res
-        except FloatingPointError:
+        except BaseException:
+            # roll back on ANY failure, not just a NaN factor: a tunnel
+            # outage / OOM mid-refit would otherwise leave the NEW
+            # spec/ridge/ARD-scale installed against the OLD posterior —
+            # every later encode would meet the factor in the wrong
+            # geometry and predictions would be silently wrong
             (self.spec, self.diag_reg,
              self.feature_scale, self.posterior) = old
             raise
@@ -795,6 +834,18 @@ class Estimator:
         self.nystrom_m = self.posterior.num_inducing
         return self.posterior.num_inducing
 
+    def _bucketed_predict(self, x: np.ndarray):
+        """(mean, std) with the batch padded to a power-of-two bucket
+        (min 64, last row tiled) so varying batch sizes reuse compiled
+        programs — the ONE place the serving bucketing policy lives."""
+        n = x.shape[0]
+        bucket = max(64, 1 << (n - 1).bit_length())
+        if n < bucket:
+            x = np.concatenate([x, np.tile(x[-1:], (bucket - n, 1))],
+                               axis=0)
+        mean, std = self.posterior.predict_mean_std(jnp.asarray(x))
+        return np.asarray(mean).ravel()[:n], np.asarray(std).ravel()[:n]
+
     def _predict_raw(self, query_lines: Sequence[str]):
         """Bucketed batch predict returning the posterior's OWN std (no
         recalibration applied) — the base for predict/predict_interval."""
@@ -804,14 +855,7 @@ class Estimator:
         for i, line in enumerate(query_lines):
             if not line.strip():
                 raise ValueError(f"blank query line at index {i}")
-        x_test = self.encode_lines(query_lines)
-        n = x_test.shape[0]
-        bucket = max(64, 1 << (n - 1).bit_length())
-        if n < bucket:
-            x_test = np.concatenate(
-                [x_test, np.tile(x_test[-1:], (bucket - n, 1))], axis=0)
-        mean, std = self.posterior.predict_mean_std(jnp.asarray(x_test))
-        return np.asarray(mean).ravel()[:n], np.asarray(std).ravel()[:n]
+        return self._bucketed_predict(self.encode_lines(query_lines))
 
     def predict(self, query_lines: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """(pred_mean, pred_std) in log2-card space, one entry per line.
@@ -851,12 +895,7 @@ class Estimator:
                                               "calibrate_uncertainty")
         y = np.log2(cards)
         n = x.shape[0]
-        bucket = max(64, 1 << (n - 1).bit_length())
-        xp = (np.concatenate([x, np.tile(x[-1:], (bucket - n, 1))])
-              if n < bucket else x)
-        mean, std = self.posterior.predict_mean_std(jnp.asarray(xp))
-        mean = np.asarray(mean).ravel()[:n]
-        std = np.asarray(std).ravel()[:n]
+        mean, std = self._bucketed_predict(x)
         self.std_scale = fit_std_scale(y, mean, std)
         self._conformal_scores = conformal_scores(y, mean, std)
         if verbose:

@@ -899,3 +899,54 @@ def test_estimator_grow_inducing(tmp_path):
 
     with pytest.raises(NotImplementedError, match="Nystrom"):
         exact.grow_inducing(train_lines)
+
+
+def test_artifact_kernel_type_mismatch_rejected(tmp_path):
+    """An artifact that maximized the ntk evidence cannot install into an
+    nngp server (and vice versa) — silent wrong-model hypers degrade every
+    prediction with no other diagnostic."""
+    import dataclasses as _dc
+    from nngp_tpu.gp.hyperopt import HyperoptResult
+
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, learn_hyper=True, hyper_steps=5,
+                    hyper_points=32)
+    bad = _dc.replace(est.hyper_result, get="ntk")
+    with pytest.raises(ValueError, match="ntk"):
+        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                  verbose=False, learn_hyper=bad)
+    # scalar artifact learned on a different feature width is rejected too
+    bad2 = _dc.replace(est.hyper_result, num_features=3)
+    with pytest.raises(ValueError, match="features"):
+        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                  verbose=False, learn_hyper=bad2)
+    # hyper_ard=True with a scalar artifact must not silently vanish
+    with pytest.raises(ValueError, match="scalar"):
+        Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                  verbose=False, learn_hyper=est.hyper_result,
+                  hyper_ard=True)
+
+
+def test_relearn_rolls_back_on_any_failure(tmp_path):
+    """A tunnel outage / OOM mid-refit (any exception, not just a NaN
+    factor) must leave the OLD spec/ridge/scale/posterior installed — a
+    half-installed relearn serves silently wrong numbers."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    old = (est.spec, est.diag_reg, est.feature_scale, est.posterior)
+    orig_fit = est._fit
+
+    def boom(x, y):
+        raise RuntimeError("tunnel went away")
+
+    est._fit = boom
+    with pytest.raises(RuntimeError, match="tunnel"):
+        est.relearn_hyperparams(steps=3, max_points=32, verbose=False)
+    est._fit = orig_fit
+    assert (est.spec, est.diag_reg, est.feature_scale,
+            est.posterior) == old
+    # and the server still serves
+    m, s = est.predict(["ta,tb@x,5.0,-5.0@@ta,tb,id"])
+    assert np.isfinite(m).all() and np.isfinite(s).all()

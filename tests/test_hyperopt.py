@@ -416,3 +416,29 @@ def test_save_load_file(tmp_path):
     res2 = HyperoptResult.load(str(p))
     assert res2.spec.layers == res.spec.layers
     assert res2.diag_reg == res.diag_reg
+
+
+def test_all_diverged_restarts_raise():
+    """nanargmin over all-inf finals would silently report the UN-learned
+    init as a success — a NaN feature makes every restart diverge, which
+    must raise instead."""
+    x, y = _data(n=30, d=3, seed=9)
+    x = x.copy()
+    x[0, 0] = np.nan
+    with pytest.raises(FloatingPointError, match="diverged"):
+        fit_kernel_hyperparams(x, y, steps=5)
+
+
+def test_artifact_provenance_fields_roundtrip():
+    """get + num_features ride the JSON artifact (and default sensibly on
+    pre-guard artifacts missing the keys)."""
+    import json
+    x, y = _data(n=40, d=4, seed=11)
+    res = fit_kernel_hyperparams(x, y, steps=5, get="ntk")
+    assert res.get == "ntk" and res.num_features == 4
+    res2 = HyperoptResult.from_json(res.to_json())
+    assert res2.get == "ntk" and res2.num_features == 4
+    d = json.loads(res.to_json())
+    del d["get"], d["num_features"]
+    old = HyperoptResult.from_json(json.dumps(d))
+    assert old.get == "nngp" and old.num_features is None
