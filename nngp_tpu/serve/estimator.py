@@ -18,6 +18,7 @@ TPU-native upgrades over the reference:
     relational CSVs at all.
 """
 
+import collections
 import os
 import json
 from typing import Optional, Sequence, Tuple
@@ -80,6 +81,23 @@ def _build_schema_stats(schema_name: str, data_path: str, chunk_size: int):
 
 
 class Estimator:
+    # Cross-call prediction memo capacity (entries). A class attribute so
+    # checkpoint-restored instances (built via __new__) get it too; override
+    # per instance with the `predict_cache_size` constructor argument.
+    predict_cache_size = 4096
+
+    @property
+    def posterior(self):
+        return self._posterior
+
+    @posterior.setter
+    def posterior(self, value):
+        # EVERY posterior change (fit, extend, forget, grow, relearn,
+        # restore, rollback) must invalidate the prediction memo — a stale
+        # entry would silently serve the OLD model's answer.
+        self._posterior = value
+        self._pred_cache = collections.OrderedDict()
+
     def __init__(self, schema_name: str, data_path: str, train_query_path: str,
                  chunk_size: int = 64, use_aux: bool = False,
                  q_error_threshold: float = 100.0,
@@ -94,7 +112,8 @@ class Estimator:
                  nystrom_m: Optional[int] = None,
                  learn_hyper=False, hyper_steps: int = 100,
                  hyper_points: int = 4096, hyper_ard: bool = False,
-                 hyper_objective: str = "auto"):
+                 hyper_objective: str = "auto",
+                 predict_cache_size: int = 4096):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
@@ -135,9 +154,17 @@ class Estimator:
         exact-objective hypers on every quantile of the served Nystrom
         tier. hyper_points=0 disables the subsample (DTC objective only —
         its loss is linear in n), and with mesh set the DTC hyperopt rows
-        shard over the mesh (GSPMD psums over ICI)."""
+        shard over the mesh (GSPMD psums over ICI).
+
+        predict_cache_size: capacity of the cross-call prediction memo.
+        PostgreSQL plan enumeration re-submits the same sub-queries across
+        plan candidates and across optimizer invocations; `predict` dedups
+        each batch and memoizes (query line -> raw mean/std), so repeats
+        never reach the device. Invalidated on any posterior change; 0
+        disables retention (within-batch dedup still applies)."""
         self.schema_name = schema_name
         self.chunk_size = chunk_size
+        self.predict_cache_size = int(predict_cache_size)
         self.kernel_type = kernel_type
         self.diag_reg = diag_reg
         self.dtype = dtype
@@ -169,6 +196,7 @@ class Estimator:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
         self.std_scale = 1.0            # post-hoc std recalibration (MLE)
         self._conformal_scores = None   # sorted |y-mu|/std calibration set
+        self.drift_monitor = None       # created lazily by record_feedback
         self.feature_scale = None
         self.hyper_result = None        # HyperoptResult in effect (if any)
         if learn_hyper:
@@ -470,6 +498,7 @@ class Estimator:
         # standalone artifact is not checkpoint state
         self.hyper_result = None
         self.std_scale = float(meta.get("std_scale", 1.0))
+        self.drift_monitor = None
         self.encoder = MultiJoinEncoder(self.stats, chunk_norm=self.chunk_norm)
         self._fast = self._try_fast_encoder()
         arrs = np.load(os.path.join(ckpt_dir, "posterior.npz"))
@@ -848,14 +877,45 @@ class Estimator:
 
     def _predict_raw(self, query_lines: Sequence[str]):
         """Bucketed batch predict returning the posterior's OWN std (no
-        recalibration applied) — the base for predict/predict_interval."""
+        recalibration applied) — the base for predict/predict_interval.
+
+        Duplicate lines are predicted ONCE: the batch is deduped before
+        encoding, and results persist in a bounded memo keyed by the query
+        text (PostgreSQL plan enumeration re-submits the same sub-queries
+        across plan candidates — the reference re-predicts every repeat,
+        `/root/reference/neuroestimator/estimator/estimator.py:42`). The
+        memo holds RAW posterior values so later `calibrate_uncertainty`
+        reruns rescale cached entries too; any posterior change clears it
+        (see the `posterior` setter)."""
         # One result PER LINE is the contract: both encoders silently skip
         # blank lines, which would positionally misalign every later
         # client's prediction — fail loudly instead.
+        keys = []
         for i, line in enumerate(query_lines):
-            if not line.strip():
+            k = line.strip()
+            if not k:
                 raise ValueError(f"blank query line at index {i}")
-        return self._bucketed_predict(self.encode_lines(query_lines))
+            keys.append(k)
+        cache = self._pred_cache
+        fresh = {}  # this call's results (also the cap=0 dedup surface)
+        need, seen = [], set()
+        for k in keys:
+            if k in cache:
+                cache.move_to_end(k)  # keep hot serving queries resident
+            elif k not in seen:
+                seen.add(k)
+                need.append(k)
+        if need:
+            mean, std = self._bucketed_predict(self.encode_lines(need))
+            fresh = dict(zip(need, zip(mean, std)))
+        pairs = [fresh[k] if k in fresh else cache[k] for k in keys]
+        cap = self.predict_cache_size
+        if cap > 0:
+            cache.update(fresh)
+            while len(cache) > cap:
+                cache.popitem(last=False)
+        out = np.asarray(pairs, dtype=self.dtype)
+        return out[:, 0].copy(), out[:, 1].copy()
 
     def predict(self, query_lines: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """(pred_mean, pred_std) in log2-card space, one entry per line.
@@ -921,3 +981,44 @@ class Estimator:
         qhat = conformal_quantile(self._conformal_scores, alpha)
         mean, std = self._predict_raw(query_lines)
         return mean, mean - qhat * std, mean + qhat * std
+
+    def record_feedback(self, labeled_lines: Sequence[str]):
+        """Fold freshly-labeled serving feedback (`query@...@card` lines,
+        e.g. `build_aux_file` output) into the workload-drift monitor and
+        return a `serve.drift.DriftReport` saying whether the model still
+        explains the live workload — and, if not, WHICH remediation is
+        measured to help this tier (BASELINE.md round-3g):
+
+          exact/distributed tier -> 'relearn_hyperparams'
+          Nystrom tier           -> 'grow_inducing'
+
+        This only OBSERVES — remediation (and the routine
+        `extend_with_lines` of the same labels) stays with the caller, who
+        should `est.drift_monitor.reset()` after acting so the detector
+        evaluates the new posterior from scratch. The reference's loop has
+        no drift signal at all: its aux tool thresholds single-query
+        q-error offline (`/root/reference/neuroestimator/
+        merge_subquery_card.py:56-58`)."""
+        from nngp_tpu.serve.drift import DriftMonitor, DriftReport
+        if getattr(self, "drift_monitor", None) is None:
+            self.drift_monitor = DriftMonitor()
+        x, cards = self._encode_labeled_lines(labeled_lines,
+                                              "record_feedback")
+        y = np.log2(cards)
+        mean, std = self._bucketed_predict(x)
+        std = np.maximum(std * self.std_scale, self.drift_monitor.std_floor)
+        abs_z = np.abs(y - mean) / std
+        drift = self.drift_monitor.update(abs_z)
+        action = None
+        if drift:
+            action = ("grow_inducing"
+                      if hasattr(self.posterior, "grow_inducing")
+                      else "relearn_hyperparams")
+        q = np.exp2(np.abs(y - mean))  # symmetric q-error in card space
+        return DriftReport(
+            drift=drift, action=action,
+            mean_abs_z=float(np.mean(abs_z)),
+            median_q_error=float(np.median(q)),
+            n_observed=self.drift_monitor.n,
+            ph_stat=self.drift_monitor.stat,
+            threshold=self.drift_monitor.threshold)

@@ -950,3 +950,100 @@ def test_relearn_rolls_back_on_any_failure(tmp_path):
     # and the server still serves
     m, s = est.predict(["ta,tb@x,5.0,-5.0@@ta,tb,id"])
     assert np.isfinite(m).all() and np.isfinite(s).all()
+
+
+# ---------------------------------------------------------------------------
+# Prediction memo / within-batch dedup
+# ---------------------------------------------------------------------------
+
+def _counting_bucketed(est):
+    """Wrap est._bucketed_predict to count device dispatches + rows."""
+    calls = {"n": 0, "rows": 0}
+    orig = est._bucketed_predict
+
+    def wrapped(x):
+        calls["n"] += 1
+        calls["rows"] += x.shape[0]
+        return orig(x)
+
+    est._bucketed_predict = wrapped
+    return calls
+
+
+def test_predict_dedup_matches_plain_and_skips_repeats(tmp_path):
+    """Duplicate lines in a batch are predicted once and repeats across
+    calls never reach the device — with bit-identical results to the
+    uncached path (row-wise predict is batch-shape independent)."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    plain = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                      verbose=False, predict_cache_size=0)
+    uniq = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+            "ta,tb@@y,0.9,0.1@ta,tb,id",
+            "ta,tb@x,2.0,0.0@@ta,tb,id"]
+    batch = [uniq[0], uniq[1], uniq[0], uniq[2], uniq[1], uniq[0]]
+    m_ref, s_ref = plain._bucketed_predict(plain.encode_lines(batch))
+
+    calls = _counting_bucketed(est)
+    m, s = est.predict(batch)
+    np.testing.assert_array_equal(m, m_ref)
+    np.testing.assert_array_equal(s, s_ref)
+    assert calls["n"] == 1 and len(est._pred_cache) == 3
+
+    # repeat call: pure cache, zero dispatches, same answers
+    m2, s2 = est.predict(batch)
+    assert calls["n"] == 1
+    np.testing.assert_array_equal(m2, m)
+    np.testing.assert_array_equal(s2, s)
+
+    # a mixed batch only dispatches the genuinely new line
+    m3, _ = est.predict([uniq[0], "ta,tb@x,9.0,8.0@@ta,tb,id"])
+    assert calls["n"] == 2
+    assert m3[0] == m[0]
+
+
+def test_predict_cache_invalidated_on_posterior_change(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    line = "ta,tb@x,3.0,1.0@@ta,tb,id"
+    m0, _ = est.predict([line])
+    assert len(est._pred_cache) == 1
+    est.extend_with_lines([line + "@2000"])
+    assert len(est._pred_cache) == 0           # stale memo dropped
+    m1, _ = est.predict([line])
+    assert abs(float(m1[0]) - np.log2(2000)) < 1.0
+    assert m1[0] != m0[0]                      # new model, new answer
+
+
+def test_predict_cache_capacity_and_disable(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, predict_cache_size=2)
+    lines = [f"ta,tb@x,{v}.0,0.0@@ta,tb,id" for v in range(1, 5)]
+    est.predict(lines)
+    assert len(est._pred_cache) == 2           # bounded, oldest evicted
+
+    est0 = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                     verbose=False, predict_cache_size=0)
+    calls = _counting_bucketed(est0)
+    est0.predict([lines[0], lines[0], lines[1]])
+    assert len(est0._pred_cache) == 0          # nothing retained
+    assert calls["rows"] >= 2                  # but dedup still batched once
+    assert calls["n"] == 1
+    est0.predict([lines[0]])
+    assert calls["n"] == 2                     # cap=0 really disables memo
+
+
+def test_predict_cache_respects_recalibration(tmp_path):
+    """The memo stores RAW std — a later calibrate_uncertainty must rescale
+    cached entries on the next predict, not serve the old scale."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    line = "ta,tb@x,5.0,-5.0@@ta,tb,id"
+    _, s_raw = est.predict([line])
+    est.std_scale = 2.5                        # stand-in for calibrate
+    _, s_cal = est.predict([line])
+    np.testing.assert_allclose(s_cal, 2.5 * s_raw)
