@@ -28,6 +28,16 @@ therefore synchronous with QUIET-GAP burst capture:
   - `max_wait_ms` (measured from the batch's first item) bounds the wait
     under sustained arrival, and `max_batch` caps device memory.
 
+Host-side costs matter as much as the policy on a 1-core host: per-item
+timed gets, per-request `concurrent.futures.Future` allocations (whose GC
+pressure pauses the producer past the quiet gap), and per-future lock
+round-trips at resolution each measurably fragmented burst capture or
+slowed the submit loop ~10x (experiments/stream_host_profile.py). Hence
+SlimFuture (shared condvar), full-gap sleeps between bulk drains, a
+two-quiet-gap hysteresis while a burst is active, and batch resolution
+under one condvar acquisition — a 3.6k burst over a stubbed 45 ms device
+batch now serves p95 ≈ 53 ms vs ~120-250 ms before.
+
 Generic over the request payload: `predict_fn(items) -> (mean, std)` — pass
 `Estimator.predict` for query-line items (its power-of-two bucketing keeps
 compiled-shape reuse), or any row-wise batch function.
@@ -37,10 +47,84 @@ import queue
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import CancelledError, TimeoutError as FutTimeout
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+_PENDING, _RESULT, _EXC, _CANCELLED = 0, 1, 2, 3
+
+
+class SlimFuture:
+    """Minimal per-request future sharing ONE condition variable across the
+    whole batcher. `concurrent.futures.Future` allocates a lock, a
+    condition and a waiter list per instance; at thousands of requests per
+    burst that allocation pressure fires cyclic-GC collections whose pauses
+    exceed the quiet gap — fragmenting burst capture into multiple device
+    batches and slowing the submit loop ~10x (measured on the 1-core host,
+    `experiments/stream_host_profile.py`: gc.disable() alone took a 3600-
+    burst from 2 batches / p95 120 ms to 1 batch / p95 53 ms). One shared
+    condvar and `__slots__` cut per-request allocations to this object and
+    its queue tuple. Supports the consumer surface the framework uses:
+    result(timeout) / done() / cancelled() / cancel().
+    """
+
+    __slots__ = ("_cond", "_state", "_value")
+
+    def __init__(self, cond: threading.Condition):
+        self._cond = cond
+        self._state = _PENDING
+        self._value = None
+
+    def done(self) -> bool:
+        return self._state != _PENDING
+
+    def cancelled(self) -> bool:
+        return self._state == _CANCELLED
+
+    def cancel(self) -> bool:
+        with self._cond:
+            if self._state == _PENDING:
+                self._state = _CANCELLED
+                self._cond.notify_all()
+                return True
+            return self._state == _CANCELLED
+
+    def result(self, timeout: Optional[float] = None):
+        with self._cond:
+            if self._state == _PENDING:
+                self._cond.wait_for(lambda: self._state != _PENDING,
+                                    timeout)
+            state = self._state
+            if state == _RESULT:
+                return self._value
+            if state == _EXC:
+                raise self._value
+            if state == _CANCELLED:
+                raise CancelledError()
+            raise FutTimeout(
+                f"request not resolved within {timeout} s")
+
+    def exception(self, timeout: Optional[float] = None):
+        try:
+            self.result(timeout)
+            return None
+        except CancelledError:
+            raise
+        except FutTimeout:
+            raise
+        except BaseException as e:          # noqa: BLE001 — mirror Future
+            return e
+
+    # dispatcher-side single set (error / bisect paths); the batch fast
+    # path in StreamingBatcher._resolve writes _state/_value directly
+    # under the shared condvar and notifies once for the whole batch.
+    def _set(self, state: int, value) -> None:
+        with self._cond:
+            if self._state == _PENDING:
+                self._state = state
+                self._value = value
+                self._cond.notify_all()
 
 
 class StreamingBatcher:
@@ -66,6 +150,7 @@ class StreamingBatcher:
         self._running = True
         self._lock = threading.Lock()
         self._submit_lock = threading.Lock()
+        self._cond = threading.Condition()   # shared by all SlimFutures
         # metrics
         self._n_requests = 0
         self._n_batches = 0
@@ -77,9 +162,9 @@ class StreamingBatcher:
         self._thread.start()
 
     # ------------------------------------------------------------- client
-    def submit(self, item) -> Future:
+    def submit(self, item) -> SlimFuture:
         """Enqueue one request; resolves to (mean, std) scalars."""
-        fut: Future = Future()
+        fut = SlimFuture(self._cond)
         # _submit_lock pairs with close(): no request can slip past the
         # _running check after close() decided the final drain. It is
         # uncontended on the hot path (producers only race close()).
@@ -101,7 +186,16 @@ class StreamingBatcher:
     def _drain_batch(self) -> Optional[List]:
         """Block for the first item, then keep draining while requests keep
         arriving within the quiet gap; ship when the queue stays quiet, the
-        SLO window closes, or the batch fills."""
+        SLO window closes, or the batch fills.
+
+        The capture loop sleeps a FULL quiet gap between bulk drains rather
+        than doing a timed get() per item: a timed get wakes the dispatcher
+        on every put, and on a 1-core host each wakeup preempts the
+        producer mid-burst (measured 10x submit-loop slowdown and a
+        fragmented capture, experiments/stream_host_profile.py). One
+        sleep per gap lets the producer run uninterrupted and the drain
+        collect its items in one sweep; a trickle still pays only the gap.
+        """
         try:
             first = self._queue.get(timeout=0.05)
         except queue.Empty:
@@ -109,6 +203,7 @@ class StreamingBatcher:
         batch = [first]
         deadline = time.monotonic() + self._max_wait_s
         while len(batch) < self._max_batch:
+            before = len(batch)
             try:
                 while len(batch) < self._max_batch:
                     batch.append(self._queue.get_nowait())
@@ -116,14 +211,26 @@ class StreamingBatcher:
                 pass
             if len(batch) >= self._max_batch:
                 break
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break                       # SLO window closed
-            try:
-                batch.append(self._queue.get(
-                    timeout=min(self._quiet_gap_s, remaining)))
-            except queue.Empty:
-                break                       # queue went quiet: ship now
+            # Hysteresis: while a burst is clearly active (the last sweep
+            # drained many items), one empty sample is not "quiet" — the
+            # producer may merely be paused by a GC collection or a
+            # scheduler preemption longer than the gap (both observed on
+            # the 1-core host). Demand TWO consecutive quiet gaps before
+            # shipping mid-burst; a trickle still ships after one.
+            need_quiet = 2 if (len(batch) - before) > 64 else 1
+            quiet = 0
+            while quiet < need_quiet:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    quiet = need_quiet      # SLO window closed: ship
+                    break
+                time.sleep(min(self._quiet_gap_s, remaining))
+                if self._queue.empty():
+                    quiet += 1
+                else:
+                    break                   # new arrivals: drain again
+            if quiet >= need_quiet:
+                break                       # queue stayed quiet: ship now
         return batch
 
     def _dispatch_loop(self):
@@ -136,19 +243,16 @@ class StreamingBatcher:
             t_enq = [b[2] for b in batch]
             self._resolve(items, futs, t_enq)
 
-    # A client may cancel its Future at any moment; an unguarded
-    # set_result/set_exception on a cancelled future raises
-    # InvalidStateError OUT of the dispatcher loop and kills the daemon
-    # thread — every later request would then hang forever.
+    # A client may cancel its future at any moment; SlimFuture._set is a
+    # no-op on anything already cancelled/resolved, so the dispatcher
+    # thread can never die on a set race (the concurrent.futures
+    # InvalidStateError failure mode).
     @staticmethod
-    def _safe_set(fut: Future, result=None, exc=None):
-        try:
-            if exc is not None:
-                fut.set_exception(exc)
-            else:
-                fut.set_result(result)
-        except Exception:
-            pass
+    def _safe_set(fut: SlimFuture, result=None, exc=None):
+        if exc is not None:
+            fut._set(_EXC, exc)
+        else:
+            fut._set(_RESULT, result)
 
     def _resolve(self, items, futs, t_enq):
         """Predict a batch and resolve its futures. On failure, BISECT:
@@ -173,8 +277,14 @@ class StreamingBatcher:
                 self._batch_sizes.append(len(items))
                 self._latencies.extend(done - t for t in t_enq)
             mvals, svals = mean.tolist(), std.tolist()
-            for f, m, s in zip(futs, mvals, svals):
-                self._safe_set(f, result=(float(m), float(s)))
+            # Batch fast path: one condvar acquisition + ONE notify_all for
+            # the whole batch instead of a lock round-trip per future.
+            with self._cond:
+                for f, m, s in zip(futs, mvals, svals):
+                    if f._state == _PENDING:
+                        f._state = _RESULT
+                        f._value = (float(m), float(s))
+                self._cond.notify_all()
         except Exception as e:
             if len(items) == 1:
                 self._safe_set(futs[0], exc=e)
