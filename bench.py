@@ -147,7 +147,10 @@ def main():
             xb = np.concatenate(
                 [xb, np.tile(xb[-1:], (bucket - nrows, 1))], axis=0)
         m, s = post.predict_mean_std(jnp.asarray(xb))
-        return np.asarray(m).ravel()[:nrows], np.asarray(s).ravel()[:nrows]
+        # single fetch: two separate np.asarray materializations cost two
+        # ~28 ms tunnel roundtrips (experiments/stream_tpu_profile.log)
+        ms = np.asarray(jnp.stack([jnp.ravel(m), jnp.ravel(s)]))
+        return ms[0, :nrows], ms[1, :nrows]
 
     for nb in buckets:                    # compile every bucket shape
         predict_rows([np.asarray(x_te[0])] * nb)

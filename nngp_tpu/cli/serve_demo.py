@@ -91,6 +91,11 @@ def main(argv=None):
     p.add_argument("--interval_alpha", type=float, default=0.1,
                    help="with --calibrate_file: miscoverage level of the "
                         "demo conformal intervals (>= 1-alpha coverage)")
+    p.add_argument("--warmup_batch", type=int, default=4096,
+                   help="with --listen: pre-compile every power-of-two "
+                        "serving bucket up to this size before accepting "
+                        "connections (0 disables); first-request compiles "
+                        "cost seconds-to-minutes on a remote TPU")
     p.add_argument("--listen_max_requests", type=int, default=None,
                    help="with --listen: stop after serving this many "
                         "requests (soak tests / CI; default: forever)")
@@ -152,6 +157,12 @@ def main(argv=None):
         from nngp_tpu.serve import EstimatorSocketServer
         host, _, port = args.listen.rpartition(":")
         alpha = args.interval_alpha if args.calibrate_file else None
+        if args.warmup_batch:
+            # pay every bucket's compile + cold-transfer cost BEFORE the
+            # first client connects, not mid-traffic (Estimator.warmup)
+            print(f"warming serving buckets up to {args.warmup_batch} ...",
+                  flush=True)
+            est.warmup(max_batch=args.warmup_batch)
         with EstimatorSocketServer(est, host=host or "127.0.0.1",
                                    port=int(port), alpha=alpha) as srv:
             print(f"serving on {srv.host}:{srv.port} "

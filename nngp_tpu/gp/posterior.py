@@ -165,10 +165,18 @@ def chunked_predict(predict_fn, x_test, chunk: int = 8192):
     sets, `chunk` rows per device dispatch. Tail blocks are padded to the
     chunk shape so every full chunk reuses ONE compiled program (compiles
     cost seconds-to-minutes behind a remote-TPU tunnel). Shared by
-    `GPPosterior` and `parallel.DistributedPosterior`."""
+    `GPPosterior` and `parallel.DistributedPosterior`.
+
+    Two tunnel-cost rules shape the loop (measured,
+    experiments/stream_tpu_profile.log): every blocking fetch is a ~28 ms
+    serialized roundtrip, so (a) mean and std are stacked on device and
+    materialized in ONE fetch per chunk, and (b) all chunks are DISPATCHED
+    before any is fetched — dispatch is asynchronous, so chunk k+1's
+    device compute overlaps chunk k's fetch. The in-flight device state is
+    only the (2, chunk) result stacks, not the cross-Grams."""
     import numpy as np
     m = x_test.shape[0]
-    means, stds = [], []
+    pending = []                      # (stacked (2, chunk) device array, keep)
     for s in range(0, m, chunk):
         block = jnp.asarray(x_test[s:s + chunk])
         pad = 0
@@ -178,8 +186,13 @@ def chunked_predict(predict_fn, x_test, chunk: int = 8192):
                 [block, jnp.tile(block[-1:], (pad, 1))], axis=0)
         mean, std = predict_fn(block)
         n_keep = chunk - pad if pad else block.shape[0]
-        means.append(np.asarray(mean)[:n_keep])
-        stds.append(np.asarray(std)[:n_keep])
+        pending.append(
+            (jnp.stack([jnp.ravel(mean), jnp.ravel(std)]), n_keep))
+    means, stds = [], []
+    for stacked, n_keep in pending:
+        ms = np.asarray(stacked)
+        means.append(ms[0, :n_keep])
+        stds.append(ms[1, :n_keep])
     return np.concatenate(means), np.concatenate(stds)
 
 

@@ -21,6 +21,7 @@ TPU-native upgrades over the reference:
 import collections
 import os
 import json
+import time
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -873,7 +874,54 @@ class Estimator:
             x = np.concatenate([x, np.tile(x[-1:], (bucket - n, 1))],
                                axis=0)
         mean, std = self.posterior.predict_mean_std(jnp.asarray(x))
-        return np.asarray(mean).ravel()[:n], np.asarray(std).ravel()[:n]
+        # ONE device->host transfer: on the tunneled TPU every blocking
+        # fetch is a ~28 ms serialized roundtrip, so materializing mean and
+        # std separately doubles the serving batch's fixed cost (measured,
+        # experiments/stream_tpu_profile.log). The stack is dispatched
+        # asynchronously; only the single np.asarray blocks.
+        ms = np.asarray(jnp.stack([jnp.ravel(mean), jnp.ravel(std)]))
+        return ms[0, :n], ms[1, :n]
+
+    def _feature_dim(self) -> int:
+        """Encoded feature width of the fitted posterior, whatever the tier
+        (exact: x_train; Nystrom: x_m inducing rows; distributed:
+        x_storage)."""
+        p = self.posterior
+        for attr in ("x_train", "x_m", "x_storage"):
+            xa = getattr(p, attr, None)
+            if xa is not None:
+                return int(xa.shape[-1])
+        raise AttributeError(
+            "posterior exposes none of x_train/x_m/x_storage")
+
+    def warmup(self, max_batch: int = 4096, verbose: bool = True) -> list:
+        """Pre-compile every serving bucket shape up to `max_batch`.
+
+        The FIRST batch at each power-of-two bucket pays a jit compile
+        (seconds to minutes behind a remote-TPU tunnel) plus a cold
+        host->device transfer program (~1.4 s measured,
+        experiments/stream_tpu_profile.log) — mid-traffic that is an SLO
+        breach, not a warmup. Run once after fit/restore (`serve_demo
+        --listen` does it before accepting connections). Synthetic rows go
+        straight through `_bucketed_predict`, so the prediction memo, the
+        drift monitor and the posterior itself are untouched.
+
+        Returns the list of bucket sizes warmed.
+        """
+        d = self._feature_dim()
+        buckets, b = [], 64
+        while b <= max_batch:
+            buckets.append(b)
+            b *= 2
+        for b in buckets:
+            t0 = time.perf_counter()
+            # benign non-zero rows: zero vectors have zero norm, which
+            # exercises the acos(rho) edge instead of the serving path
+            self._bucketed_predict(np.ones((b, d), dtype=np.float32))
+            if verbose:
+                print(f"warmup: bucket {b} ready "
+                      f"({time.perf_counter() - t0:.1f} s)")
+        return buckets
 
     def _predict_raw(self, query_lines: Sequence[str]):
         """Bucketed batch predict returning the posterior's OWN std (no

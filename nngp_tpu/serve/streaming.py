@@ -304,6 +304,7 @@ class StreamingBatcher:
                 "batches": self._n_batches,
                 "qps": self._n_requests / elapsed if elapsed > 0 else 0.0,
                 "mean_batch": float(sizes.mean()) if sizes.size else 0.0,
+                "max_batch": float(sizes.max()) if sizes.size else 0.0,
                 "p50_latency_ms": (float(np.quantile(lat, 0.5)) * 1e3
                                    if lat.size else 0.0),
                 "p95_latency_ms": (float(np.quantile(lat, 0.95)) * 1e3

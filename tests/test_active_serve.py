@@ -1047,3 +1047,35 @@ def test_predict_cache_respects_recalibration(tmp_path):
     est.std_scale = 2.5                        # stand-in for calibrate
     _, s_cal = est.predict([line])
     np.testing.assert_allclose(s_cal, 2.5 * s_raw)
+
+
+def test_warmup_precompiles_buckets_without_side_effects(tmp_path):
+    """warmup() must touch every power-of-two bucket through the real
+    predict path and leave the estimator's state (posterior, memo, drift
+    monitor) untouched — it exists to pay serving compiles before traffic
+    (serve_demo --listen runs it before accepting connections)."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    est.load_model(verbose=False)
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    before_mean, before_std = est.predict(lines)
+    post_before = est.posterior
+
+    seen = []
+    orig = est._bucketed_predict
+
+    def spy(x):
+        seen.append(x.shape[0])
+        return orig(x)
+
+    est._bucketed_predict = spy
+    buckets = est.warmup(max_batch=256, verbose=False)
+    est._bucketed_predict = orig
+
+    assert buckets == [64, 128, 256]
+    assert seen == [64, 128, 256]
+    assert est.posterior is post_before            # read-only
+    mean, std = est.predict(lines)                 # predictions unchanged
+    np.testing.assert_allclose(mean, before_mean, rtol=1e-12)
+    np.testing.assert_allclose(std, before_std, rtol=1e-12)
