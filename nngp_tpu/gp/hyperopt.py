@@ -211,7 +211,16 @@ def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals,
     k_mm = ntk_mm if get == "ntk" else nngp_mm
     idx = jnp.arange(m)
     k_mm = k_mm.at[idx, idx].set(dvec[:m])
-    jitter = (1e-10 if x.dtype == jnp.float64 else 1e-6) * jnp.mean(dvec[:m])
+    # fp32 needs a MUCH larger relative jitter than fp64: near-duplicate
+    # rows (shared categorical chunk patterns on join workloads) make
+    # kappa(K_mm) exceed 1/eps_fp32, and Cholesky breakdown scales like
+    # m * eps * ||K|| — at m=512 that is ~6e-5 relative. Measured on
+    # synth6_big chunk_norm (experiments log, /tmp/dtc_jitter sweep):
+    # 1e-6 -> NaN factor, 1e-5 marginal, 1e-4 stable with fp32/fp64 loss
+    # agreement within 0.2 nats at the same jitter. The jitter-induced
+    # evidence shift is shared by every candidate theta, so the argmax is
+    # preserved; fp64 keeps 1e-10 (the recorded CPU results' setting).
+    jitter = (1e-10 if x.dtype == jnp.float64 else 1e-4) * jnp.mean(dvec[:m])
     l_mm = jnp.linalg.cholesky(k_mm + jitter * jnp.eye(m, dtype=x.dtype))
 
     k0_nm = input_gram(x, x_m)

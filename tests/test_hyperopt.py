@@ -442,3 +442,23 @@ def test_artifact_provenance_fields_roundtrip():
     del d["get"], d["num_features"]
     old = HyperoptResult.from_json(json.dumps(d))
     assert old.get == "nngp" and old.num_features is None
+
+
+def test_dtc_fp32_near_duplicate_rows_survive():
+    """fp32 DTC jitter floor: near-duplicate rows (shared categorical
+    chunk patterns on join workloads) push kappa(K_mm) past 1/eps_fp32;
+    with the old 1e-6 relative jitter the K_mm Cholesky NaN'd at the
+    INITIAL theta and every restart 'diverged' (measured on synth6_big
+    chunk_norm fp32 — TPU and CPU alike). The fp32 path must stay finite
+    and actually descend."""
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 1000.0, size=(64, 8))
+    x = np.repeat(base, 8, axis=0) + rng.normal(0, 1e-3, (512, 8))
+    y = rng.normal(0, 5.0, (512,))
+    res = fit_kernel_hyperparams(x.astype(np.float32),
+                                 y.astype(np.float32), steps=8,
+                                 ard=True, objective="dtc", dtc_m=128)
+    assert np.isfinite(res.log_evidence)
+    hist = res.nll_history
+    assert np.all(np.isfinite(hist))
+    assert hist[-1] < hist[0]          # optimization made progress
