@@ -265,3 +265,20 @@ def test_train_cli_hyper_file_learn_then_reuse(tmp_path, capsys):
     assert "loaded hyperparameters from" in out2
     assert "hyperparameter learning (MLL)" not in out2
     assert np.isclose(p2["median"], p1["median"])
+
+
+def test_production_serving_demo_runs():
+    """The examples/ lifecycle demo (fit -> restore -> warmup -> TCP serve
+    -> calibrate -> conformal -> extend -> drift -> relearn) must keep
+    running end-to-end — it is the documented operations story."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=root, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "examples",
+                                      "production_serving_demo.py")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "drift=True (remediation hint: relearn_hyperparams)" in out.stdout
+    assert "done" in out.stdout
