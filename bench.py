@@ -263,8 +263,27 @@ def main():
         extras["imdb_median_qerror"] = round(float(np.median(qi)), 4)
         extras["imdb_p95_qerror"] = round(float(np.quantile(qi, 0.95)), 4)
         del pi
+        # ARD-learned kernel on the same workload: per-feature relevance
+        # scales cut the clique workload's median q-error ~2x (fp64-CPU
+        # table in BASELINE.md; all-numerical [0,1000] features, fp32-safe)
+        from nngp_tpu.gp import fit_kernel_hyperparams
+        resi = fit_kernel_hyperparams(xi_tr, yi_tr, steps=100,
+                                      max_points=4096, ard=True)
+        pia = fit_gp(resi.spec,
+                     jax.device_put(jnp.asarray(resi.scale_inputs(xi_tr))),
+                     jax.device_put(jnp.asarray(yi_tr)),
+                     **resi.fit_kwargs())
+        sync((pia.l, pia.alpha))
+        mia, _ = pia.predict_mean_std(
+            jax.device_put(jnp.asarray(resi.scale_inputs(xi_te))))
+        qia = symmetric_qerror(np.asarray(mia).ravel()
+                               - np.asarray(yi_te).ravel())
+        extras["imdb_median_qerror_ard"] = round(float(np.median(qia)), 4)
+        extras["imdb_p95_qerror_ard"] = round(
+            float(np.quantile(qia, 0.95)), 4)
+        del pia
     except Exception as e:                    # pragma: no cover - TPU only
-        extras["imdb_median_qerror"] = None
+        extras["imdb_median_qerror"] = extras.get("imdb_median_qerror")
         extras["imdb_error"] = type(e).__name__
 
     if not fast:

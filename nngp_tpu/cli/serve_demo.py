@@ -91,6 +91,12 @@ def main(argv=None):
     p.add_argument("--interval_alpha", type=float, default=0.1,
                    help="with --calibrate_file: miscoverage level of the "
                         "demo conformal intervals (>= 1-alpha coverage)")
+    p.add_argument("--feedback_mode", type=str, default="off",
+                   choices=("off", "monitor", "online", "auto"),
+                   help="with --listen: accept LABELED lines "
+                        "(query@...@card) over the socket as serving "
+                        "feedback — monitor drift, learn online, or "
+                        "auto-remediate (serve/socket_server.py)")
     p.add_argument("--warmup_batch", type=int, default=4096,
                    help="with --listen: pre-compile every power-of-two "
                         "serving bucket up to this size before accepting "
@@ -164,7 +170,8 @@ def main(argv=None):
                   flush=True)
             est.warmup(max_batch=args.warmup_batch)
         with EstimatorSocketServer(est, host=host or "127.0.0.1",
-                                   port=int(port), alpha=alpha) as srv:
+                                   port=int(port), alpha=alpha,
+                                   feedback_mode=args.feedback_mode) as srv:
             print(f"serving on {srv.host}:{srv.port} "
                   f"(newline-delimited queries; JSON replies"
                   f"{'; conformal intervals' if alpha else ''}) — Ctrl-C "

@@ -16,6 +16,11 @@ Protocol (newline-delimited UTF-8, one request per line):
                 when `alpha` is set and the estimator has been
                 `calibrate_uncertainty`'d (split-conformal bounds)
             {"error": "..."}                               per bad line
+  feedback  (feedback_mode != "off") a LABELED line `query@...@card` —
+            e.g. the true cardinality observed after executing the plan —
+            is acknowledged immediately with {"feedback": "queued"} and
+            folded into drift monitoring / online learning / automatic
+            remediation in the background (see EstimatorSocketServer).
 
 Concurrency: every connection gets a reader (submits lines to the shared
 `StreamingBatcher`) and a writer (resolves futures in request order), so
@@ -33,6 +38,21 @@ from typing import Optional
 from nngp_tpu.serve.streaming import StreamingBatcher
 
 
+def _is_labeled(line: str) -> bool:
+    """A LABELED line in the training grammar carries a trailing numeric
+    cardinality field (`query@...@card`); no card-less serving field
+    (predicate lists, join conditions, table lists) is ever a bare
+    number."""
+    tail = line.rsplit("@", 1)[-1].strip()
+    if not tail:
+        return False
+    try:
+        float(tail)
+        return True
+    except ValueError:
+        return False
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):
         srv: "EstimatorSocketServer" = self.server.owner  # type: ignore
@@ -43,11 +63,14 @@ class _Handler(socketserver.StreamRequestHandler):
                 fut = pending.get()
                 if fut is None:
                     return
-                try:
-                    mean, std = fut.result(timeout=srv.timeout_s)
-                    resp = srv.format_response(mean, std)
-                except Exception as e:  # noqa: BLE001 - reported to client
-                    resp = {"error": f"{type(e).__name__}: {e}"}
+                if isinstance(fut, dict):          # pre-formed reply (ack)
+                    resp = fut
+                else:
+                    try:
+                        mean, std = fut.result(timeout=srv.timeout_s)
+                        resp = srv.format_response(mean, std)
+                    except Exception as e:  # noqa: BLE001 - to the client
+                        resp = {"error": f"{type(e).__name__}: {e}"}
                 try:
                     self.wfile.write((json.dumps(resp) + "\n").encode())
                 except (BrokenPipeError, ConnectionResetError, OSError):
@@ -62,7 +85,10 @@ class _Handler(socketserver.StreamRequestHandler):
                 if not line:
                     continue
                 try:
-                    pending.put(srv.batcher.submit(line))
+                    if srv.feedback_mode != "off" and _is_labeled(line):
+                        pending.put(srv._submit_feedback(line))
+                    else:
+                        pending.put(srv.batcher.submit(line))
                 except RuntimeError:  # server closing
                     break
         except (ConnectionResetError, OSError):
@@ -85,23 +111,134 @@ class EstimatorSocketServer:
     `alpha` is given and the estimator carries `_conformal_scores`
     (set by `Estimator.calibrate_uncertainty`).
 
+    feedback_mode closes the online-learning loop OVER THE WIRE: a client
+    (e.g. the DBMS after executing a plan) sends a LABELED line — the
+    training grammar's `query@...@card`, distinguished by its trailing
+    numeric field — and gets `{"feedback": "queued"}` back immediately.
+    A background worker batches labeled lines (feedback_batch lines or
+    feedback_flush_s seconds, whichever first) and:
+
+      'monitor'  folds them into the drift detector only
+                 (`Estimator.record_feedback`);
+      'online'   monitor + `extend_with_lines` (the posterior learns the
+                 labels incrementally);
+      'auto'     online + on a drift alarm applies the report's
+                 remediation — `relearn_hyperparams` on the exact tiers;
+                 on the Nystrom tier `grow_inducing`, which needs the full
+                 training log back (pass `train_log`: the labeled lines
+                 the server was trained with; the accumulated feedback is
+                 appended) — then resets the monitor and, when the
+                 estimator was calibrated, re-runs `calibrate_uncertainty`
+                 on the most recent feedback batch.
+
+    The reference's loop is offline: predictions land in an aux FILE that
+    a separate tool merges into the next training run
+    (`/root/reference/neuroestimator/merge_subquery_card.py:37-79`).
+    Model mutations and predict batches serialize on one lock, so a
+    client never reads a half-installed posterior.
+
     port=0 binds an ephemeral port (read `.port`). Context manager.
     """
 
     def __init__(self, estimator, host: str = "127.0.0.1", port: int = 0,
                  alpha: Optional[float] = None, timeout_s: float = 120.0,
+                 feedback_mode: str = "off", feedback_batch: int = 64,
+                 feedback_flush_s: float = 2.0, train_log=None,
                  **batcher_kwargs):
+        if feedback_mode not in ("off", "monitor", "online", "auto"):
+            raise ValueError(
+                "feedback_mode must be off|monitor|online|auto, got "
+                f"{feedback_mode!r}")
         self.estimator = estimator
         self.alpha = alpha
         self.timeout_s = float(timeout_s)
-        self.batcher = StreamingBatcher(
-            lambda lines: estimator.predict(list(lines)), **batcher_kwargs)
+        self.feedback_mode = feedback_mode
+        self.feedback_batch = int(feedback_batch)
+        self.feedback_flush_s = float(feedback_flush_s)
+        self.train_log = list(train_log) if train_log is not None else None
+        self._model_lock = threading.Lock()
+        self._fb_queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._fb_log: list = []          # all labeled lines ever received
+        self._fb_stats = {"feedback_lines": 0, "feedback_batches": 0,
+                          "extends": 0, "drift_alarms": 0,
+                          "remediations": 0, "feedback_errors": 0}
+        self._fb_running = feedback_mode != "off"
+
+        def locked_predict(lines):
+            with self._model_lock:
+                return estimator.predict(list(lines))
+
+        self.batcher = StreamingBatcher(locked_predict, **batcher_kwargs)
         self._tcp = _TCPServer((host, port), _Handler)
         self._tcp.owner = self  # type: ignore[attr-defined]
         self.host, self.port = self._tcp.server_address[:2]
         self._thread = threading.Thread(target=self._tcp.serve_forever,
                                         daemon=True, name="nngp-sock-accept")
         self._thread.start()
+        self._fb_thread = None
+        if self._fb_running:
+            self._fb_thread = threading.Thread(
+                target=self._feedback_loop, daemon=True,
+                name="nngp-sock-feedback")
+            self._fb_thread.start()
+
+    # ------------------------------------------------------ feedback loop
+    def _submit_feedback(self, line: str) -> dict:
+        self._fb_queue.put(line)
+        return {"feedback": "queued", "mode": self.feedback_mode}
+
+    def _feedback_loop(self):
+        import time as _t
+        batch = []
+        last_flush = _t.monotonic()
+        while self._fb_running:
+            try:
+                batch.append(self._fb_queue.get(timeout=0.1))
+            except queue.Empty:
+                pass
+            now = _t.monotonic()
+            if not batch or (len(batch) < self.feedback_batch
+                             and now - last_flush < self.feedback_flush_s):
+                continue
+            lines, batch = batch, []
+            last_flush = now
+            self._apply_feedback(lines)
+        # final drain on close
+        try:
+            while True:
+                batch.append(self._fb_queue.get_nowait())
+        except queue.Empty:
+            pass
+        if batch:
+            self._apply_feedback(batch)
+
+    def _apply_feedback(self, lines):
+        est = self.estimator
+        st = self._fb_stats
+        try:
+            with self._model_lock:
+                report = est.record_feedback(lines)
+                st["feedback_lines"] += len(lines)
+                st["feedback_batches"] += 1
+                self._fb_log.extend(lines)
+                if self.feedback_mode in ("online", "auto"):
+                    est.extend_with_lines(lines)
+                    st["extends"] += 1
+                if report.drift:
+                    st["drift_alarms"] += 1
+                if report.drift and self.feedback_mode == "auto":
+                    if report.action == "grow_inducing":
+                        if self.train_log is None:
+                            return  # documented: growth needs the full log
+                        est.grow_inducing(self.train_log + self._fb_log)
+                    elif report.action == "relearn_hyperparams":
+                        est.relearn_hyperparams(verbose=False)
+                    est.drift_monitor.reset()
+                    if getattr(est, "_conformal_scores", None) is not None:
+                        est.calibrate_uncertainty(lines, verbose=False)
+                    st["remediations"] += 1
+        except Exception:  # noqa: BLE001 — the worker must survive bad lines
+            st["feedback_errors"] += 1
 
     def format_response(self, mean, std) -> dict:
         m, s = float(mean), float(std)
@@ -116,12 +253,18 @@ class EstimatorSocketServer:
         return resp
 
     def stats(self) -> dict:
-        return self.batcher.stats()
+        out = self.batcher.stats()
+        if self.feedback_mode != "off":
+            out.update(self._fb_stats)
+        return out
 
     def close(self, timeout: float = 10.0):
         self._tcp.shutdown()
         self._tcp.server_close()
         self.batcher.close(timeout=timeout)
+        if self._fb_thread is not None:
+            self._fb_running = False
+            self._fb_thread.join(timeout=timeout)
         self._thread.join(timeout=timeout)
 
     def __enter__(self):

@@ -96,3 +96,100 @@ def test_socket_server_real_estimator_with_intervals(tmp_path):
     # parity with the in-process API
     mean, _ = est.predict(["ta,tb@x,5.0,-5.0@@ta,tb,id"])
     assert abs(out[0]["mean"] - float(mean[0])) < 1e-9
+
+
+# -------------------------------------------------- over-the-wire feedback
+def test_is_labeled_grammar_split():
+    from nngp_tpu.serve.socket_server import _is_labeled
+    assert _is_labeled("ta,tb@x,5.0,1.0@@ta,tb,id@1234")       # multi-join
+    assert _is_labeled("t@x,5.0,1.0@77")                       # single-table
+    assert not _is_labeled("ta,tb@x,5.0,1.0@@ta,tb,id")        # card-less
+    assert not _is_labeled("t@x,5.0,1.0")                      # card-less
+    assert not _is_labeled("t@x,5.0,1.0@")                     # empty tail
+
+
+def _mk_lines(rng, n, lo_scale=1.0, labeled=True):
+    out = []
+    for _ in range(n):
+        xu = rng.uniform(-10, 10)
+        xl = rng.uniform(-10, xu)
+        card = max(1, int(lo_scale * 1000 * (xu - xl)))
+        base = f"ta,tb@x,{xu:.3f},{xl:.3f}@@ta,tb,id"
+        out.append(f"{base}@{card}" if labeled else base)
+    return out
+
+
+def test_feedback_online_learns_over_the_wire(tmp_path):
+    """Labeled lines sent over TCP must ack immediately, reach the drift
+    monitor AND extend the posterior (feedback_mode='online'); card-less
+    lines on the same connection keep serving normally."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    est.load_model(verbose=False)
+    n0 = est.posterior.num_train
+    rng = np.random.default_rng(3)
+    labeled = _mk_lines(rng, 40)
+    queries = _mk_lines(rng, 5, labeled=False)
+    with EstimatorSocketServer(est, port=0, feedback_mode="online",
+                               feedback_batch=16,
+                               feedback_flush_s=0.2) as srv:
+        replies = _client(srv.host, srv.port, labeled + queries)
+        assert len(replies) == 45
+        for r in replies[:40]:
+            assert r == {"feedback": "queued", "mode": "online"}
+        for r in replies[40:]:
+            assert "mean" in r and "std" in r
+        # the worker flushes on its own clock
+        import time as _t
+        deadline = _t.monotonic() + 30
+        while (est.posterior.num_train < n0 + 40
+               and _t.monotonic() < deadline):
+            _t.sleep(0.1)
+        st = srv.stats()
+    assert est.posterior.num_train == n0 + 40       # extended online
+    assert st["feedback_lines"] == 40
+    assert st["extends"] >= 1
+    assert est.drift_monitor is not None and est.drift_monitor.n == 40
+    assert st["feedback_errors"] == 0
+
+
+def test_feedback_auto_remediates_on_drift(tmp_path):
+    """auto mode: a workload shift big enough to alarm the drift monitor
+    must trigger the report's remediation (relearn on the exact tier) and
+    reset the monitor — all in the background worker."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    est.load_model(verbose=False)
+    rng = np.random.default_rng(4)
+    healthy = _mk_lines(rng, 150)               # > the 128-sample warmup
+    drifted = _mk_lines(rng, 150, lo_scale=4.0)
+    relearns = {"n": 0}
+    orig = est.relearn_hyperparams
+
+    def spy_relearn(*a, **k):
+        relearns["n"] += 1
+        return orig(steps=10, verbose=False)
+
+    est.relearn_hyperparams = spy_relearn
+    with EstimatorSocketServer(est, port=0, feedback_mode="auto",
+                               feedback_batch=512,
+                               feedback_flush_s=0.2) as srv:
+        _client(srv.host, srv.port, healthy)
+        import time as _t
+        deadline = _t.monotonic() + 60
+        while srv.stats().get("feedback_lines", 0) < 150 \
+                and _t.monotonic() < deadline:
+            _t.sleep(0.1)
+        _client(srv.host, srv.port, drifted)
+        deadline = _t.monotonic() + 120
+        while srv.stats().get("remediations", 0) < 1 \
+                and _t.monotonic() < deadline:
+            _t.sleep(0.2)
+        st = srv.stats()
+    assert st["drift_alarms"] >= 1
+    assert st["remediations"] >= 1
+    assert relearns["n"] >= 1
+    assert est.drift_monitor.drift is False          # reset after remediation
+    assert st["feedback_errors"] == 0
