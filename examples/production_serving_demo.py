@@ -121,6 +121,28 @@ def main():
         print(f"[9] relearned hypers on {est.posterior.num_train} rows; "
               f"first drifted-query predictions now {np.round(mean2, 2)}")
     est.save(ckpt)                          # artifacts ride the checkpoint
+
+    # -- 10. the same loop OVER THE WIRE: labeled lines as feedback ----------
+    # (feedback_mode='online': ack immediately, monitor + extend in the
+    # background; 'auto' additionally applies drift remediations)
+    more = ["ta,tb@x,4.1,0.2@@ta,tb,id@3900", "ta,tb@x,7.7,1.0@@ta,tb,id@6700"]
+    n0 = est.posterior.num_train
+    with EstimatorSocketServer(est, port=0, feedback_mode="online",
+                               feedback_flush_s=0.2) as srv:
+        with socket.create_connection((srv.host, srv.port)) as c:
+            c.sendall(("\n".join(more + ["\\stats"]) + "\n").encode())
+            buf = b""
+            while buf.count(b"\n") < 3:
+                buf += c.recv(4096)
+        import time
+        deadline = time.monotonic() + 30
+        while (est.posterior.num_train < n0 + 2
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        st = srv.stats()
+    print(f"[10] wire feedback: {st['feedback_lines']} labeled lines -> "
+          f"posterior {n0} -> {est.posterior.num_train} rows, "
+          f"drift obs {est.drift_monitor.n}")
     print("done — every step above is also exercised in tests/")
 
 

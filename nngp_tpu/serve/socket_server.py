@@ -21,6 +21,8 @@ Protocol (newline-delimited UTF-8, one request per line):
             is acknowledged immediately with {"feedback": "queued"} and
             folded into drift monitoring / online learning / automatic
             remediation in the background (see EstimatorSocketServer).
+  \\stats   returns the server's metrics as one JSON line (qps, batch
+            sizes, latency percentiles, feedback/remediation counters).
 
 Concurrency: every connection gets a reader (submits lines to the shared
 `StreamingBatcher`) and a writer (resolves futures in request order), so
@@ -85,7 +87,9 @@ class _Handler(socketserver.StreamRequestHandler):
                 if not line:
                     continue
                 try:
-                    if srv.feedback_mode != "off" and _is_labeled(line):
+                    if line == "\\stats":
+                        pending.put(srv.stats())
+                    elif srv.feedback_mode != "off" and _is_labeled(line):
                         pending.put(srv._submit_feedback(line))
                     else:
                         pending.put(srv.batcher.submit(line))

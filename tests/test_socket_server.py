@@ -134,12 +134,14 @@ def test_feedback_online_learns_over_the_wire(tmp_path):
     with EstimatorSocketServer(est, port=0, feedback_mode="online",
                                feedback_batch=16,
                                feedback_flush_s=0.2) as srv:
-        replies = _client(srv.host, srv.port, labeled + queries)
-        assert len(replies) == 45
+        replies = _client(srv.host, srv.port,
+                          labeled + queries + ["\\stats"])
+        assert len(replies) == 46
         for r in replies[:40]:
             assert r == {"feedback": "queued", "mode": "online"}
-        for r in replies[40:]:
+        for r in replies[40:45]:
             assert "mean" in r and "std" in r
+        assert "qps" in replies[45] and "feedback_lines" in replies[45]
         # the worker flushes on its own clock
         import time as _t
         deadline = _t.monotonic() + 30
