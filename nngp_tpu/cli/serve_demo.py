@@ -171,7 +171,11 @@ def main(argv=None):
             est.warmup(max_batch=args.warmup_batch)
         with EstimatorSocketServer(est, host=host or "127.0.0.1",
                                    port=int(port), alpha=alpha,
-                                   feedback_mode=args.feedback_mode) as srv:
+                                   feedback_mode=args.feedback_mode,
+                                   # Nystrom auto-growth refits on the
+                                   # training log; hand the server the
+                                   # query dir so 'auto' is never inert
+                                   train_log=args.train_query_path) as srv:
             print(f"serving on {srv.host}:{srv.port} "
                   f"(newline-delimited queries; JSON replies"
                   f"{'; conformal intervals' if alpha else ''}) — Ctrl-C "

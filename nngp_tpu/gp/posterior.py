@@ -170,14 +170,18 @@ def chunked_predict(predict_fn, x_test, chunk: int = 8192):
     Two tunnel-cost rules shape the loop (measured,
     experiments/stream_tpu_profile.log): every blocking fetch is a ~28 ms
     serialized roundtrip, so (a) mean and std are stacked on device and
-    materialized in ONE fetch per chunk, and (b) all chunks are DISPATCHED
-    before any is fetched — dispatch is asynchronous, so chunk k+1's
-    device compute overlaps chunk k's fetch. The in-flight device state is
-    only the (2, chunk) result stacks, not the cross-Grams."""
+    materialized in ONE fetch per chunk, and (b) the pipeline keeps ONE
+    chunk dispatched ahead of the fetch — dispatch is asynchronous, so
+    chunk k+1's device compute overlaps chunk k's fetch, while device
+    residency stays bounded at two chunks' inputs + their (2, chunk)
+    result stacks (dispatching ALL chunks up front would hold the whole
+    padded test set on device — an OOM hazard next to a near-HBM-limit
+    factor)."""
     import numpy as np
+    from collections import deque
     m = x_test.shape[0]
-    pending = []                      # (stacked (2, chunk) device array, keep)
-    for s in range(0, m, chunk):
+
+    def dispatch(s):
         block = jnp.asarray(x_test[s:s + chunk])
         pad = 0
         if block.shape[0] < chunk and s > 0:
@@ -186,10 +190,19 @@ def chunked_predict(predict_fn, x_test, chunk: int = 8192):
                 [block, jnp.tile(block[-1:], (pad, 1))], axis=0)
         mean, std = predict_fn(block)
         n_keep = chunk - pad if pad else block.shape[0]
-        pending.append(
-            (jnp.stack([jnp.ravel(mean), jnp.ravel(std)]), n_keep))
+        return jnp.stack([jnp.ravel(mean), jnp.ravel(std)]), n_keep
+
     means, stds = [], []
-    for stacked, n_keep in pending:
+    inflight: deque = deque()
+    for s in range(0, m, chunk):
+        inflight.append(dispatch(s))
+        if len(inflight) > 2:
+            stacked, n_keep = inflight.popleft()
+            ms = np.asarray(stacked)
+            means.append(ms[0, :n_keep])
+            stds.append(ms[1, :n_keep])
+    while inflight:
+        stacked, n_keep = inflight.popleft()
         ms = np.asarray(stacked)
         means.append(ms[0, :n_keep])
         stds.append(ms[1, :n_keep])

@@ -916,8 +916,11 @@ class Estimator:
         for b in buckets:
             t0 = time.perf_counter()
             # benign non-zero rows: zero vectors have zero norm, which
-            # exercises the acos(rho) edge instead of the serving path
-            self._bucketed_predict(np.ones((b, d), dtype=np.float32))
+            # exercises the acos(rho) edge instead of the serving path.
+            # dtype MUST match the serving tier's — jit programs are keyed
+            # on input dtype, so a float32 probe warms nothing for an fp64
+            # estimator (verified: the fp64 batch recompiled from scratch)
+            self._bucketed_predict(np.ones((b, d), dtype=self.dtype))
             if verbose:
                 print(f"warmup: bucket {b} ready "
                       f"({time.perf_counter() - t0:.1f} s)")

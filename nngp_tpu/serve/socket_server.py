@@ -130,10 +130,17 @@ class EstimatorSocketServer:
                  remediation — `relearn_hyperparams` on the exact tiers;
                  on the Nystrom tier `grow_inducing`, which needs the full
                  training log back (pass `train_log`: the labeled lines
-                 the server was trained with; the accumulated feedback is
-                 appended) — then resets the monitor and, when the
-                 estimator was calibrated, re-runs `calibrate_uncertainty`
-                 on the most recent feedback batch.
+                 the server was trained with, or the path to its query
+                 directory; the accumulated feedback is appended; without
+                 it the growth is SKIPPED, counted in
+                 stats()['remediations_skipped'], and the monitor resets
+                 so the alarm cannot latch) — then resets the monitor.
+                 When the estimator was calibrated, the conformal scores
+                 are refreshed on the NEXT feedback batch BEFORE it is
+                 folded into training (those lines are still held out,
+                 which the split-conformal guarantee requires).
+    Malformed labeled lines are validated per line and cost only
+    themselves (stats()['feedback_errors']), never the batch.
 
     The reference's loop is offline: predictions land in an aux FILE that
     a separate tool merges into the next training run
@@ -159,13 +166,20 @@ class EstimatorSocketServer:
         self.feedback_mode = feedback_mode
         self.feedback_batch = int(feedback_batch)
         self.feedback_flush_s = float(feedback_flush_s)
-        self.train_log = list(train_log) if train_log is not None else None
+        # labeled lines the server was trained with (Nystrom growth refits
+        # on them) — a list of lines, or a path to a query directory whose
+        # non-aux *.txt files are read lazily on the first growth
+        self.train_log = (train_log if isinstance(train_log, str)
+                          else list(train_log) if train_log is not None
+                          else None)
         self._model_lock = threading.Lock()
         self._fb_queue: "queue.SimpleQueue" = queue.SimpleQueue()
         self._fb_log: list = []          # all labeled lines ever received
         self._fb_stats = {"feedback_lines": 0, "feedback_batches": 0,
                           "extends": 0, "drift_alarms": 0,
-                          "remediations": 0, "feedback_errors": 0}
+                          "remediations": 0, "remediations_skipped": 0,
+                          "feedback_errors": 0}
+        self._recal_pending = False
         self._fb_running = feedback_mode != "off"
 
         def locked_predict(lines):
@@ -187,6 +201,18 @@ class EstimatorSocketServer:
             self._fb_thread.start()
 
     # ------------------------------------------------------ feedback loop
+    def _resolve_train_log(self):
+        if isinstance(self.train_log, str):
+            import os
+            lines = []
+            for fn in sorted(os.listdir(self.train_log)):
+                if not fn.endswith(".txt") or "aux" in fn:
+                    continue
+                with open(os.path.join(self.train_log, fn)) as f:
+                    lines.extend(ln.strip() for ln in f if ln.strip())
+            self.train_log = lines
+        return self.train_log
+
     def _submit_feedback(self, line: str) -> dict:
         self._fb_queue.put(line)
         return {"feedback": "queued", "mode": self.feedback_mode}
@@ -194,19 +220,20 @@ class EstimatorSocketServer:
     def _feedback_loop(self):
         import time as _t
         batch = []
-        last_flush = _t.monotonic()
+        batch_t0 = 0.0
         while self._fb_running:
             try:
-                batch.append(self._fb_queue.get(timeout=0.1))
-            except queue.Empty:
+                item = self._fb_queue.get(timeout=0.1)
+                if not batch:
+                    batch_t0 = _t.monotonic()   # flush clock starts at the
+                batch.append(item)              # batch's FIRST line, so a
+            except queue.Empty:                 # trickle still coalesces
                 pass
-            now = _t.monotonic()
-            if not batch or (len(batch) < self.feedback_batch
-                             and now - last_flush < self.feedback_flush_s):
-                continue
-            lines, batch = batch, []
-            last_flush = now
-            self._apply_feedback(lines)
+            if batch and (len(batch) >= self.feedback_batch
+                          or _t.monotonic() - batch_t0
+                          >= self.feedback_flush_s):
+                lines, batch = batch, []
+                self._apply_feedback(lines)
         # final drain on close
         try:
             while True:
@@ -219,30 +246,60 @@ class EstimatorSocketServer:
     def _apply_feedback(self, lines):
         est = self.estimator
         st = self._fb_stats
+        # Per-line parse/encode validation FIRST: one malformed line (the
+        # client already got its optimistic ack) must cost only itself,
+        # never the valid labels sharing its flush window.
+        good = []
+        for ln in lines:
+            try:
+                est._encode_labeled_lines([ln], "socket_feedback")
+                good.append(ln)
+            except Exception:  # noqa: BLE001 — reported via \stats
+                st["feedback_errors"] += 1
+        if not good:
+            return
         try:
             with self._model_lock:
-                report = est.record_feedback(lines)
-                st["feedback_lines"] += len(lines)
+                report = est.record_feedback(good)
+                st["feedback_lines"] += len(good)
                 st["feedback_batches"] += 1
-                self._fb_log.extend(lines)
+                self._fb_log.extend(good)
+                # A remediation moved the posterior, so the previous
+                # conformal calibration is stale — refresh it on THIS batch
+                # BEFORE extending with it: these lines are still held out
+                # (the posterior has not trained on them), which is what
+                # the split-conformal guarantee requires. Calibrating on
+                # lines already folded in would shrink the scores and
+                # void the coverage.
+                if (self._recal_pending
+                        and getattr(est, "_conformal_scores", None)
+                        is not None):
+                    est.calibrate_uncertainty(good, verbose=False)
+                    self._recal_pending = False
                 if self.feedback_mode in ("online", "auto"):
-                    est.extend_with_lines(lines)
+                    est.extend_with_lines(good)
                     st["extends"] += 1
                 if report.drift:
                     st["drift_alarms"] += 1
                 if report.drift and self.feedback_mode == "auto":
-                    if report.action == "grow_inducing":
-                        if self.train_log is None:
-                            return  # documented: growth needs the full log
-                        est.grow_inducing(self.train_log + self._fb_log)
-                    elif report.action == "relearn_hyperparams":
-                        est.relearn_hyperparams(verbose=False)
-                    est.drift_monitor.reset()
-                    if getattr(est, "_conformal_scores", None) is not None:
-                        est.calibrate_uncertainty(lines, verbose=False)
-                    st["remediations"] += 1
-        except Exception:  # noqa: BLE001 — the worker must survive bad lines
-            st["feedback_errors"] += 1
+                    if report.action == "grow_inducing" \
+                            and self.train_log is None:
+                        # growth needs the full training log back; without
+                        # it, surface the skip and restart detection so
+                        # the alarm doesn't latch into a re-fire loop
+                        st["remediations_skipped"] += 1
+                        est.drift_monitor.reset()
+                    else:
+                        if report.action == "grow_inducing":
+                            est.grow_inducing(
+                                self._resolve_train_log() + self._fb_log)
+                        elif report.action == "relearn_hyperparams":
+                            est.relearn_hyperparams(verbose=False)
+                        est.drift_monitor.reset()
+                        st["remediations"] += 1
+                        self._recal_pending = True
+        except Exception:  # noqa: BLE001 — the worker must survive
+            st["feedback_errors"] += len(good)
 
     def format_response(self, mean, std) -> dict:
         m, s = float(mean), float(std)

@@ -106,15 +106,23 @@ class SlimFuture:
                 f"request not resolved within {timeout} s")
 
     def exception(self, timeout: Optional[float] = None):
-        try:
-            self.result(timeout)
-            return None
-        except CancelledError:
-            raise
-        except FutTimeout:
-            raise
-        except BaseException as e:          # noqa: BLE001 — mirror Future
-            return e
+        # branch on STATE, not on exception type: a stored exception that
+        # happens to be a CancelledError (predict_fn raised it) must be
+        # RETURNED like any other failure, not mistaken for a client-side
+        # cancel — only the _CANCELLED state means cancelled.
+        with self._cond:
+            if self._state == _PENDING:
+                self._cond.wait_for(lambda: self._state != _PENDING,
+                                    timeout)
+            state = self._state
+            if state == _EXC:
+                return self._value
+            if state == _RESULT:
+                return None
+            if state == _CANCELLED:
+                raise CancelledError()
+            raise FutTimeout(
+                f"request not resolved within {timeout} s")
 
     # dispatcher-side single set (error / bisect paths); the batch fast
     # path in StreamingBatcher._resolve writes _state/_value directly

@@ -195,3 +195,33 @@ def test_feedback_auto_remediates_on_drift(tmp_path):
     assert relearns["n"] >= 1
     assert est.drift_monitor.drift is False          # reset after remediation
     assert st["feedback_errors"] == 0
+
+
+def test_feedback_bad_line_costs_only_itself(tmp_path):
+    """One malformed labeled line (numeric tail -> routed as feedback, but
+    its predicate fails to encode) must not discard the valid labels
+    sharing its flush window."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    est.load_model(verbose=False)
+    n0 = est.posterior.num_train
+    rng = np.random.default_rng(7)
+    good = _mk_lines(rng, 10)
+    # labeled by its numeric tail, but the predicate names a column the
+    # schema does not have -> encode fails for this line alone
+    bad = "ta,tb@zz,5.0,1.0@@ta,tb,id@125"
+    with EstimatorSocketServer(est, port=0, feedback_mode="online",
+                               feedback_batch=32,
+                               feedback_flush_s=0.2) as srv:
+        replies = _client(srv.host, srv.port, good[:5] + [bad] + good[5:])
+        assert all(r.get("feedback") == "queued" for r in replies)
+        import time as _t
+        deadline = _t.monotonic() + 30
+        while (est.posterior.num_train < n0 + 10
+               and _t.monotonic() < deadline):
+            _t.sleep(0.1)
+        st = srv.stats()
+    assert est.posterior.num_train == n0 + 10   # the 10 good lines landed
+    assert st["feedback_lines"] == 10
+    assert st["feedback_errors"] == 1           # the bad one, alone
