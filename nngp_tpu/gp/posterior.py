@@ -58,6 +58,30 @@ _FUSED_FIT_MIN_N = 4096
 # parity-tested (test_monolithic_tier_matches_plain).
 _MONOLITHIC_MAX_N = 0
 
+# Pallas-Gram fit tier (TPU fp32 nngp only): build the lower triangle of
+# K + reg I with the fused Mosaic kernel (`ops.gram_pallas`, mirror='lower'
+# — strictly-upper tiles are never computed NOR written) and factorize with
+# the statically-blocked right-looking Cholesky. Default 0 = DISABLED,
+# settled by a FAIR interleaved A/B (pallas_fit_ab3.log: both arms invoke
+# `_fit_impl` directly, alternating trial by trial): fused panel fit wins
+# 48.2 vs 55.4 ms at 10.8k, 95.1 vs 105.7 at 16.4k, 170.7 vs 195.9 at
+# 21.6k (11-15%, every pair disjoint). Earlier A/Bs that showed pallas
+# "winning" (pallas_fit.log, pallas_fit_ab2.log) had the fused arm calling
+# `fit_gp`, whose `_auto_input_scale` probe on a committed device array
+# costs a ~28 ms blocking fetch the pallas arm never paid — never compare
+# arms through different wrappers. Tier stays selectable
+# (`_fit_impl(..., pallas_max_n=...)`) and parity-tested
+# (test_pallas_fit_tier_matches_plain).
+_PALLAS_FIT_MAX_N = 0
+
+
+def _pallas_fit_enabled() -> bool:
+    # The Mosaic kernel is fp32/TPU; off-TPU the tier would silently run in
+    # interpret mode (Python-speed). Tests monkeypatch this to force the
+    # tier on the virtual CPU backend.
+    return jax.default_backend() == "tpu"
+
+
 # Above this size the fused fit keeps the factor as triangular COLUMN BLOCKS
 # (`BlockLowerTriangular`) end to end — factor, solves, predict, extend all
 # read the blocks — so peak memory is ~n^2/2 and the dense assembly's
@@ -419,11 +443,12 @@ class GPPosterior:
 
 @partial(jax.jit, static_argnames=("spec", "get", "absolute",
                                    "fused_min_n", "block_min_n",
-                                   "mono_max_n"))
+                                   "mono_max_n", "pallas_max_n"))
 def _fit_impl(x, y, spec, get, diag_reg, absolute,
               fused_min_n=_FUSED_FIT_MIN_N,
               block_min_n=_BLOCK_LAYOUT_MIN_N,
-              mono_max_n=_MONOLITHIC_MAX_N):
+              mono_max_n=_MONOLITHIC_MAX_N,
+              pallas_max_n=0):
     """Top-level cached jit — one compilation per (spec, get, shapes), so
     repeated fits (active-learning refits, serving restarts) don't retrace.
 
@@ -441,6 +466,20 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         diag_nngp, diag_ntk = apply_diag_recursion(input_diag(x), spec.layers)
         diag_vec = diag_nngp if get == "nngp" else diag_ntk
         reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
+
+    if (get == "nngp" and x.dtype == jnp.float32
+            and fused_min_n <= n < min(pallas_max_n, block_min_n)):
+        # Pallas-Gram tier (see _PALLAS_FIT_MAX_N): the Mosaic kernel
+        # writes only the ridged lower triangle; blocked_cholesky and the
+        # blocked solves never read the (garbage) upper tiles. fp32/TPU
+        # nngp only — fp64 oracles and NTK fits keep the routes below.
+        from nngp_tpu.ops.gram_pallas import gram_pallas
+        from nngp_tpu.ops.linalg import blocked_cholesky
+
+        k = gram_pallas(spec, x, get="nngp", mirror="lower", diag_add=reg)
+        l = blocked_cholesky(k)
+        alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
+        return l, alpha, reg, None
 
     if fused_min_n <= n < min(mono_max_n, block_min_n):
         # Monolithic tier (default-off — see _MONOLITHIC_MAX_N): one fused
@@ -592,6 +631,7 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         fused_min_n=_FUSED_FIT_MIN_N,
         block_min_n=_BLOCK_LAYOUT_MIN_N,
         mono_max_n=_MONOLITHIC_MAX_N,
+        pallas_max_n=_PALLAS_FIT_MAX_N if _pallas_fit_enabled() else 0,
     )
     return GPPosterior(
         x_train=x_train,

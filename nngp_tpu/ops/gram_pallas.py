@@ -31,16 +31,19 @@ the GP ridge into that scatter, so fit never materializes an unridged Gram.
 This is the TPU-native subsumption of `nt.batch(kernel_fn, ...)`'s
 host-blocked Gram in the reference (`/root/reference/train.py:166-168`).
 
-Status (round-3 settlement, BASELINE.md fit-path A/B): NON-default. As the
-Gram producer for the fit it ties XLA's fused monolithic Gram at 10.8k
-(60.3 vs 58.7 ms min, fit_ab.log) and loses at 21.6k (56.0 vs 42.2 ms,
-mirror='lower'); the per-tile cost is the thin K=128 in-kernel matmul at
+Status (round-3 settlement, now definitive): NON-default. The FAIR
+interleaved fit-path A/B (experiments/pallas_fit_ab3.log — both arms
+invoke `_fit_impl` directly, alternating trial by trial) has the fused
+panel fit winning at every size: 48.2 vs 55.4 ms at 10.8k, 95.1 vs 105.7
+at 16.4k, 170.7 vs 195.9 at 21.6k (11-15%). Two earlier A/Bs that showed
+this kernel "winning" (pallas_fit.log, pallas_fit_ab2.log) were biased:
+their fused arm went through `fit_gp`, whose `_auto_input_scale` probe on
+a committed device array costs a ~28 ms blocking fetch the pallas arm
+never paid. The per-tile cost is the thin K=128 in-kernel matmul at
 HIGHEST precision + the VPU recursion, and no tiling change closes it
-(gram_tiles.log). The hot fit paths therefore use XLA Gram assembly
-(fused panels; the monolithic tier is default-off — see
-`_MONOLITHIC_MAX_N` in gp/posterior.py); this kernel is
-kept for lower-triangle-only consumers and as the measured Mosaic
-reference point.
+(gram_tiles.log). The tier remains selectable
+(`_fit_impl(..., pallas_max_n=...)`, parity-tested) and the kernel serves
+lower-triangle-only consumers.
 
 Numerical layout notes:
   - feature dim d is zero-padded to a multiple of 128 (lane width); zero

@@ -385,3 +385,80 @@ def test_monolithic_tier_matches_plain(get, monkeypatch):
                                rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_p),
                                rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_fit_tier_matches_plain(monkeypatch):
+    """The Pallas-Gram + blocked-Cholesky tier (default on TPU fp32 nngp
+    fits below _PALLAS_FIT_MAX_N; interleaved A/B pallas_fit_ab2.log) must
+    be AS accurate as the plain fp32 fit — judged against the same fp64
+    oracle, since two fp32 Gram producers (Mosaic fast-math duals vs XLA)
+    legitimately differ from each other by ~2x the fp32 solve noise.
+    Runs the Mosaic kernel in interpret mode on CPU (backend gate
+    monkeypatched); predict and extend both checked."""
+    import nngp_tpu.gp.posterior as P
+    from nngp_tpu.ops.linalg import BlockLowerTriangular
+
+    spec = reference_kernel()
+    rng = np.random.default_rng(23)
+    x = rng.uniform(0, 1000, (530, 6))
+    y = rng.standard_normal((530, 1))
+    x2, y2 = rng.uniform(0, 1000, (9, 6)), rng.standard_normal((9, 1))
+    x_te = rng.uniform(0, 1000, (15, 6))
+
+    def run(post):
+        post = post.extend(jnp.asarray(x2, post.x_train.dtype),
+                           jnp.asarray(y2, post.y_train.dtype))
+        m, v = post.predict(jnp.asarray(x_te, post.x_train.dtype),
+                            compute_cov="diag")
+        return np.asarray(m), np.asarray(v)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    m_o, v_o = run(fit_gp(spec, jnp.asarray(x), jnp.asarray(y)))  # fp64
+    m_p, v_p = run(fit_gp(spec, f32(x), f32(y)))                  # plain fp32
+    monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)
+    monkeypatch.setattr(P, "_PALLAS_FIT_MAX_N", 1 << 30)
+    monkeypatch.setattr(P, "_pallas_fit_enabled", lambda: True)
+    # spy: the tier must actually route through the Mosaic kernel
+    import nngp_tpu.ops.gram_pallas as GP
+    calls = {"n": 0}
+    real = GP.gram_pallas
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(GP, "gram_pallas", spy)
+    pal = fit_gp(spec, f32(x), f32(y))
+    assert calls["n"] == 1
+    assert not isinstance(pal.l, BlockLowerTriangular)
+    m_q, v_q = run(pal)
+
+    err_plain = np.max(np.abs(m_p - m_o))
+    err_pal = np.max(np.abs(m_q - m_o))
+    # as-accurate-as: within 3x the plain fp32 path's oracle error
+    # (floored at 1e-3 log2 units so a lucky plain draw can't fail us)
+    assert err_pal <= 3 * max(err_plain, 1e-3), (err_pal, err_plain)
+    verr_plain = np.max(np.abs(v_p - v_o) / v_o)
+    verr_pal = np.max(np.abs(v_q - v_o) / v_o)
+    assert verr_pal <= 3 * max(verr_plain, 1e-3), (verr_pal, verr_plain)
+
+
+def test_pallas_fit_tier_gates():
+    """fp64 inputs and get='ntk' must never route through the Pallas tier
+    (its kernel is fp32-only and nngp-only) even when the tier is enabled."""
+    import nngp_tpu.gp.posterior as P
+
+    spec = reference_kernel()
+    rng = np.random.default_rng(5)
+    x64 = jnp.asarray(rng.uniform(0, 1000, (96, 4)), jnp.float64)
+    y64 = jnp.asarray(rng.standard_normal((96, 1)), jnp.float64)
+    # thresholds wide open: dtype/get gates alone must steer away
+    l, alpha, reg, _ = P._fit_impl(
+        x64, y64, spec, "nngp", 1e-3, False,
+        fused_min_n=64, block_min_n=10**9, pallas_max_n=10**9)
+    assert l.dtype == jnp.float64          # pallas would have cast to fp32
+    x32, y32 = x64.astype(jnp.float32), y64.astype(jnp.float32)
+    l, alpha, reg, k_tt = P._fit_impl(
+        x32, y32, spec, "ntk", 1e-3, False,
+        fused_min_n=64, block_min_n=10**9, pallas_max_n=10**9)
+    assert k_tt is not None                # ntk keeps its resident k_tt
