@@ -20,6 +20,7 @@ from nngp_tpu.data.workload import load_single_table_workload
 from nngp_tpu.eval.qerror import symmetric_qerror
 from nngp_tpu.eval.splits import train_test_val_split
 from nngp_tpu.gp import fit_gp
+from nngp_tpu.gp.posterior import input_scale_for_bound
 from nngp_tpu.models.kernel_spec import KernelSpec, mlp
 from nngp_tpu.utils.timing import sync, timed
 
@@ -46,17 +47,24 @@ def main(argv=None):
         max_num_train=args.max_num_train)
     xd, yd, xt = jnp.asarray(x_tr), jnp.asarray(y_tr), jnp.asarray(x_te)
     y_true = np.asarray(y_te).ravel()
+    max_abs = float(np.max(np.abs(x_tr))) if x_tr.size else 0.0
 
     results = []
     for depth in [int(d) for d in args.depths.split(",")]:
         for act in args.activations.split(","):
             spec = KernelSpec(mlp(depth, 512, act, args.w_std, args.b_std))
+            # explicit scale: fit_gp(input_scale=None) on a committed
+            # device array pays a ~28 ms blocking probe fetch per call,
+            # which would pollute fit_s (BASELINE.md measurement rule)
+            scale = input_scale_for_bound(max_abs, spec.layers)
             for kt in args.kernel_types.split(","):
-                post = fit_gp(spec, xd, yd, diag_reg=args.diag_reg, get=kt)
+                post = fit_gp(spec, xd, yd, diag_reg=args.diag_reg, get=kt,
+                              input_scale=scale)
                 sync((post.l, post.alpha))
                 _, fit_s = timed(
                     lambda: (lambda q: (q.l, q.alpha))(
-                        fit_gp(spec, xd, yd, diag_reg=args.diag_reg, get=kt)))
+                        fit_gp(spec, xd, yd, diag_reg=args.diag_reg, get=kt,
+                               input_scale=scale)))
                 mean, std = post.predict_mean_std(xt)
                 sync((mean, std))
                 errors = np.asarray(mean).ravel() - y_true

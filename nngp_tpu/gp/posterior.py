@@ -661,6 +661,12 @@ def select_diag_reg(spec: KernelSpec, x_train, y_train,
     Returns (best_posterior, {diag_reg: mll}). Model selection the
     reference cannot do — its ridge is hard-coded
     (`/root/reference/train.py:171`)."""
+    if input_scale is None:
+        # resolve ONCE: fit_gp's auto probe on a committed device array is
+        # a ~28 ms blocking fetch, and this loop refits per candidate
+        input_scale = _auto_input_scale(
+            x_train if isinstance(x_train, (np.ndarray, jax.Array))
+            else np.asarray(x_train), spec.layers)
     scores = {}
     for r in candidates:
         post = fit_gp(spec, x_train, y_train, diag_reg=float(r), get=get,
