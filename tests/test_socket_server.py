@@ -225,3 +225,99 @@ def test_feedback_bad_line_costs_only_itself(tmp_path):
     assert est.posterior.num_train == n0 + 10   # the 10 good lines landed
     assert st["feedback_lines"] == 10
     assert st["feedback_errors"] == 1           # the bad one, alone
+
+def test_feedback_recalibrates_conformal_on_next_heldout_batch(tmp_path):
+    """After a remediation moves the posterior, the conformal scores must be
+    refreshed on the NEXT feedback batch BEFORE that batch is folded into
+    training (split conformal requires held-out lines): the recal call must
+    observe num_train as it was BEFORE the batch's extend."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    est.load_model(verbose=False)
+    rng = np.random.default_rng(6)
+    est.calibrate_uncertainty(_mk_lines(rng, 30), verbose=False)
+    scores0 = np.array(est._conformal_scores)
+
+    recals = []
+    orig_cal = est.calibrate_uncertainty
+
+    def spy_cal(lines, **k):
+        recals.append((len(lines), est.posterior.num_train))
+        return orig_cal(lines, verbose=False)
+
+    est.calibrate_uncertainty = spy_cal
+    est.relearn_hyperparams = (            # cheap remediation stand-in
+        lambda *a, **k: 0.0)
+
+    healthy = _mk_lines(rng, 150)
+    drifted = _mk_lines(rng, 150, lo_scale=4.0)
+    after = _mk_lines(rng, 20)
+    with EstimatorSocketServer(est, port=0, feedback_mode="auto",
+                               feedback_batch=512,
+                               feedback_flush_s=0.2) as srv:
+        import time as _t
+        _client(srv.host, srv.port, healthy)
+        deadline = _t.monotonic() + 60
+        while srv.stats().get("feedback_lines", 0) < 150 \
+                and _t.monotonic() < deadline:
+            _t.sleep(0.1)
+        _client(srv.host, srv.port, drifted)
+        deadline = _t.monotonic() + 120
+        while srv.stats().get("remediations", 0) < 1 \
+                and _t.monotonic() < deadline:
+            _t.sleep(0.2)
+        n_before_after_batch = est.posterior.num_train
+        _client(srv.host, srv.port, after)
+        deadline = _t.monotonic() + 60
+        while not recals and _t.monotonic() < deadline:
+            _t.sleep(0.1)
+        st = srv.stats()
+    assert st["remediations"] >= 1
+    assert len(recals) == 1                  # exactly one deferred refresh
+    n_lines, n_train_at_recal = recals[0]
+    assert n_lines == 20                     # the post-remediation batch
+    # recal ran BEFORE that batch extended the posterior (held-out)
+    assert n_train_at_recal == n_before_after_batch
+    assert est._conformal_scores is not None
+    assert len(est._conformal_scores) == 20  # refreshed, not the old 30
+    assert not np.array_equal(np.array(est._conformal_scores), scores0)
+
+
+def test_feedback_growth_skipped_without_train_log(tmp_path):
+    """Nystrom tier in auto mode WITHOUT a train log: drift must count a
+    remediations_skipped, reset the monitor (no alarm latch-loop), and keep
+    serving — never crash the worker."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, nystrom_m=40)
+    est.load_model(verbose=False)
+    m0 = est.posterior.num_inducing
+    rng = np.random.default_rng(8)
+    healthy = _mk_lines(rng, 150)
+    drifted = _mk_lines(rng, 150, lo_scale=4.0)
+    with EstimatorSocketServer(est, port=0, feedback_mode="auto",
+                               feedback_batch=512,
+                               feedback_flush_s=0.2) as srv:
+        import time as _t
+        _client(srv.host, srv.port, healthy)
+        deadline = _t.monotonic() + 60
+        while srv.stats().get("feedback_lines", 0) < 150 \
+                and _t.monotonic() < deadline:
+            _t.sleep(0.1)
+        _client(srv.host, srv.port, drifted)
+        deadline = _t.monotonic() + 120
+        while srv.stats().get("remediations_skipped", 0) < 1 \
+                and _t.monotonic() < deadline:
+            _t.sleep(0.2)
+        st = srv.stats()
+        # serving still answers card-less queries after the skip
+        replies = _client(srv.host, srv.port, _mk_lines(rng, 3,
+                                                        labeled=False))
+    assert st["drift_alarms"] >= 1
+    assert st["remediations_skipped"] >= 1
+    assert st["remediations"] == 0
+    assert est.posterior.num_inducing == m0      # nothing grew
+    assert est.drift_monitor.drift is False      # reset: no latch loop
+    assert all("mean" in r for r in replies)
+    assert st["feedback_errors"] == 0
