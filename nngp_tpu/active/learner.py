@@ -47,7 +47,8 @@ class ActiveLearner:
                  nystrom_m=None, nystrom_grow: int = 0, relearn_hyper=None,
                  hyper_warm_steps: int = 40, hyper_points=2048,
                  hyper_ard: bool = False, selection: str = None,
-                 partition_keys: str = "num_predicates"):
+                 partition_keys: str = "num_predicates",
+                 pad_acquisitions: bool = False):
         """mesh: optional jax.sharding.Mesh — fit/predict with the
         row-sharded distributed posterior. Any train-set / selection size
         works (the distributed layout pads with inert rows). refit defaults
@@ -105,7 +106,18 @@ class ActiveLearner:
         (`DistributedPosterior.predict(compute_cov=True)` assembles the
         (P, P) pool covariance from sharded contractions). Pools beyond
         GREEDY_POOL_MAX are pre-filtered to the top-M marginal-variance
-        slice before the O(k M^2) greedy loop."""
+        slice before the O(k M^2) greedy loop.
+
+        pad_acquisitions: SHAPE-STABLE acquisition rounds (single-chip
+        exact nngp tier only): the initial fit pads its storage to
+        n0 + budget * active_iters inert rows (`fit_gp(pad_to=...)`), so
+        incremental extends and the per-round pool/val predicts reuse ONE
+        compiled program instead of compiling a fresh train shape per
+        round (30-300 s each through a remote-TPU tunnel; measured
+        dominating the round cost in experiments/active_relearn_tpu.log).
+        Note: relearn-mode refits still recompile per round — the learned
+        kernel constants live in the STATIC spec, which keys the program
+        cache independently of shapes."""
         if refit is None:
             refit = "incremental"
         if refit not in ("incremental", "full"):
@@ -140,6 +152,15 @@ class ActiveLearner:
                 "rounds full-refit with the new kernel at the original "
                 "nystrom_m, silently discarding the growth (and relearning "
                 "measurably loses on this tier anyway — BASELINE.md)")
+        if pad_acquisitions and (nystrom_m is not None or mesh is not None
+                                 or kernel_type != "nngp"):
+            raise ValueError(
+                "pad_acquisitions is the single-chip exact-nngp shape-"
+                "stability feature (fit_gp pad_to); the Nystrom tier is "
+                "already shape-stable (O(m^2) state) and the distributed "
+                "tier pads internally")
+        self.pad_acquisitions = bool(pad_acquisitions)
+        self._pad_to = None          # set per active_train run
         self.nystrom_grow = int(nystrom_grow)
         self._grow_rng = np.random.default_rng(seed)
         self.relearn = relearn_hyper is not None and relearn_hyper is not False
@@ -218,8 +239,12 @@ class ActiveLearner:
                                    get=self.kernel_type,
                                    block_size=self.dist_block_size,
                                    input_scale=self.input_scale)
+        pad_to = None
+        if self.pad_acquisitions and self._pad_to is not None:
+            pad_to = max(self._pad_to, x_train.shape[0])
         return fit_gp(self.spec, x_train, y_train, diag_reg=self.diag_reg,
-                      get=self.kernel_type, input_scale=self.input_scale)
+                      get=self.kernel_type, input_scale=self.input_scale,
+                      pad_to=pad_to)
 
     def test(self, post: GPPosterior, x_val, y_val, query_infos_val=None,
              printer=print):
@@ -338,6 +363,11 @@ class ActiveLearner:
         x_train, y_train = jnp.asarray(x_train), jnp.asarray(y_train)
         x_pool, y_pool = jnp.asarray(x_pool), jnp.asarray(y_pool)
         x_val, y_val = jnp.asarray(x_val), jnp.asarray(y_val)
+        if self.pad_acquisitions:
+            # one storage size covers the whole run: every round's fit /
+            # extend / predict program is compiled exactly once
+            self._pad_to = int(x_train.shape[0]
+                               + self.budget * self.active_iters)
         if printer:
             printer(f"# Initial Training samples: {x_train.shape[0]}")
         if self.relearn and self._hyper is None:

@@ -122,9 +122,15 @@ def _tri_solve(l, b, transpose=False):
 
 def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
                       precision=jax.lax.Precision.HIGHEST,
-                      block_min_n=None):
+                      block_min_n=None, row_mask=None):
     """L = chol(K_get + reg I) with Gram panels generated on the fly —
-    the single-chip large-n fit path (see _FUSED_FIT_MIN_N)."""
+    the single-chip large-n fit path (see _FUSED_FIT_MIN_N).
+
+    row_mask: optional (n,) 1/0 inert-padding mask (`fit_gp(pad_to=...)`):
+    pad rows/cols are zeroed after the recursion (their feature rows are
+    COPIES of a real row, so every kernel value is finite pre-mask) and
+    their diagonal is set to 1 — the factor comes out block-diagonal
+    [chol(K_real + reg I), I]."""
     from nngp_tpu.models.kernel_spec import (
         apply_diag_recursion,
         apply_recursion,
@@ -145,6 +151,10 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
                                     spec.layers)
         col = nngp if get == "nngp" else ntk
         idx = jnp.arange(e - s)
+        if row_mask is not None:
+            col = col * (row_mask[s:][:, None] * row_mask[s:e][None, :])
+            return col.at[idx, idx].set(
+                jnp.where(row_mask[s:e] > 0, diag_solve[s:e] + reg, 1.0))
         # Exact diagonal from the O(n) recursion + fused ridge (the computed
         # diagonal carries sqrt(eps) acos(rho=1) noise, worst for NTK).
         return col.at[idx, idx].set(diag_solve[s:e] + reg)
@@ -268,10 +278,36 @@ class GPPosterior:
     # (power-of-two division is exact: mantissas are untouched).
     input_scale: float = dataclasses.field(metadata=dict(static=True),
                                            default=1.0)
+    # Shape-bucketed fits (`fit_gp(pad_to=...)`): x_train/y_train/l/alpha are
+    # padded to a fixed size with INERT rows (zero kernel row/col, unit
+    # factor diagonal, zero y/alpha) and this int32 scalar counts the REAL
+    # leading rows. A TRACED data field on purpose: every program stays
+    # keyed on the PADDED shapes, so acquisition loops and serving extends
+    # reuse one compiled program as n grows (through the remote-TPU tunnel a
+    # fresh shape costs a 30-300 s compile; the distributed tier already
+    # works this way — `parallel/sharded.py` inert-row padding). None =
+    # ordinary exact-shape posterior.
+    n_real: Optional[jax.Array] = None
 
     @property
     def num_train(self) -> int:
+        """Number of REAL training rows (host int; on a padded posterior
+        this fetches the n_real scalar — one device roundtrip)."""
+        if self.n_real is None:
+            return self.x_train.shape[0]
+        return int(self.n_real)
+
+    @property
+    def num_padded(self) -> int:
+        """Storage rows including inert padding (= num_train when dense)."""
         return self.x_train.shape[0]
+
+    def _row_mask(self):
+        """(n,) 1/0 mask of real rows, or None for a dense posterior."""
+        if self.n_real is None:
+            return None
+        return (jnp.arange(self.x_train.shape[0])
+                < self.n_real).astype(self.x_train.dtype)
 
     def _ktt_matmul(self, w):
         """K_tt @ w for the NTK covariance: dense when the train NNGP Gram
@@ -289,8 +325,15 @@ class GPPosterior:
         Traced inside `predict` / `predict_mean_std` — one dispatch each."""
         if self.input_scale != 1.0:
             x_test = x_test * (1.0 / self.input_scale)
+        mask = self._row_mask()
         if self.get == "nngp":
             cross = self.spec.kernel_fn(x_test, self.x_train, "nngp")  # (m, n)
+            if mask is not None:
+                # inert padding: the pad FEATURE rows still produce nonzero
+                # kernel values (b > 0 reaches every input) — zero their
+                # cross columns so the identity factor block and zero alpha
+                # rows see exactly the dense-posterior system
+                cross = cross * mask[None, :]
             mean = cross @ self.alpha
             if compute_cov is False:
                 return mean
@@ -305,6 +348,9 @@ class GPPosterior:
         nngp_cross, ntk_cross = self.spec.kernel_fn(
             x_test, self.x_train, ("nngp", "ntk")
         )
+        if mask is not None:
+            nngp_cross = nngp_cross * mask[None, :]
+            ntk_cross = ntk_cross * mask[None, :]
         mean = ntk_cross @ self.alpha
         if compute_cov is False:
             return mean
@@ -388,10 +434,44 @@ class GPPosterior:
         return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
 
     # --------------------------------------------------------------- extend
-    @jax.jit
     def extend(self, x_new, y_new):
         """Append labeled points with an O(n^2 m) block-Cholesky update
-        instead of a full refit. Only the solve-kernel blocks are recomputed."""
+        instead of a full refit. Only the solve-kernel blocks are recomputed.
+
+        On a padded posterior (`fit_gp(pad_to=...)`) the new rows OVERWRITE
+        inert pad slots in place — shapes never change, so every acquisition
+        round reuses one compiled program (the point of padding). When the
+        slots run out the padding is stripped and the append falls back to
+        the dense path (one-time shape change; re-pad by refitting with a
+        larger pad_to)."""
+        if self.n_real is not None:
+            m = (x_new.shape[0] if hasattr(x_new, "shape")
+                 else len(x_new))
+            if self.num_train + m <= self.num_padded:
+                return _padded_append(self, jnp.asarray(x_new),
+                                      jnp.asarray(y_new))
+            return self.strip_padding().extend(x_new, y_new)
+        return self._extend_dense(x_new, y_new)
+
+    def strip_padding(self) -> "GPPosterior":
+        """Materialize the dense exact-shape posterior from a padded one
+        (drops the inert rows; host-side slice, no device math)."""
+        if self.n_real is None:
+            return self
+        n = int(self.n_real)
+        return dataclasses.replace(
+            self,
+            x_train=self.x_train[:n],
+            y_train=self.y_train[:n],
+            l=self.l[:n, :n],
+            alpha=self.alpha[:n],
+            k_tt_nngp=(self.k_tt_nngp[:n, :n]
+                       if self.k_tt_nngp is not None else None),
+            n_real=None,
+        )
+
+    @jax.jit
+    def _extend_dense(self, x_new, y_new):
         if self.input_scale != 1.0:
             x_new = x_new * (1.0 / self.input_scale)
         if self.get == "nngp":
@@ -441,6 +521,55 @@ class GPPosterior:
         )
 
 
+@jax.jit
+def _padded_append(post: GPPosterior, x_new, y_new):
+    """Write m new labeled rows into the leading inert pad slots of a
+    padded posterior — the shape-stable O(n^2 m) append.
+
+    The factor of the inert-padded Gram is block-diagonal
+    [L_real 0; 0 I], with previously-appended rows already inside L_real's
+    span (mask = arange < n_real covers them). New rows eliminate at
+    positions [n_real, n_real+m): one triangular solve against the FULL
+    padded factor gives L21 with exact zeros in every pad row (their rhs
+    rows are zero and their factor rows are unit vectors), the Schur block
+    factorizes at m x m, and two dynamic_update_slice writes replace the
+    unit pad rows. n_real is a TRACED operand throughout, so every round
+    of an acquisition loop hits this one compiled program."""
+    if y_new.ndim == 1:
+        y_new = y_new[:, None]
+    if post.input_scale != 1.0:
+        x_new = x_new * (1.0 / post.input_scale)
+    x_new = x_new.astype(post.x_train.dtype)
+    y_new = y_new.astype(post.y_train.dtype)
+    m = x_new.shape[0]
+    mask = post._row_mask()
+    k21 = post.spec.kernel_fn(x_new, post.x_train, "nngp") * mask[None, :]
+    # fit-time ridge (same policy as the dense append)
+    k22 = (post.spec.kernel_fn(x_new, x_new, "nngp")
+           + post.reg * jnp.eye(m, dtype=post.x_train.dtype))
+    u = _tri_solve(post.l, k21.T)                       # (N, m); pad rows 0
+    # Schur at HIGHEST: default bf16 error exceeds the relative ridge on
+    # ill-conditioned Grams (same hazard as ops.linalg.cholesky_append_rows)
+    schur = k22 - jax.lax.dot_general(
+        u, u, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    l22 = jax.lax.linalg.cholesky(schur)
+    start = post.n_real.astype(jnp.int32)
+    row_block = u.T                                      # (m, N)
+    row_block = jax.lax.dynamic_update_slice(
+        row_block, l22, (jnp.int32(0), start))
+    l_ext = jax.lax.dynamic_update_slice(
+        post.l, row_block, (start, jnp.int32(0)))
+    x_ext = jax.lax.dynamic_update_slice(
+        post.x_train, x_new, (start, jnp.int32(0)))
+    y_ext = jax.lax.dynamic_update_slice(
+        post.y_train, y_new, (start, jnp.int32(0)))
+    alpha = _tri_solve(l_ext, _tri_solve(l_ext, y_ext), transpose=True)
+    return dataclasses.replace(
+        post, x_train=x_ext, y_train=y_ext, l=l_ext, alpha=alpha,
+        n_real=post.n_real + m)
+
+
 @partial(jax.jit, static_argnames=("spec", "get", "absolute",
                                    "fused_min_n", "block_min_n",
                                    "mono_max_n", "pallas_max_n"))
@@ -448,7 +577,7 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
               fused_min_n=_FUSED_FIT_MIN_N,
               block_min_n=_BLOCK_LAYOUT_MIN_N,
               mono_max_n=_MONOLITHIC_MAX_N,
-              pallas_max_n=0):
+              pallas_max_n=0, row_mask=None):
     """Top-level cached jit — one compilation per (spec, get, shapes), so
     repeated fits (active-learning refits, serving restarts) don't retrace.
 
@@ -465,9 +594,16 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
     else:
         diag_nngp, diag_ntk = apply_diag_recursion(input_diag(x), spec.layers)
         diag_vec = diag_nngp if get == "nngp" else diag_ntk
-        reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
+        if row_mask is None:
+            reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
+        else:
+            # relative ridge over REAL rows only: inert pad rows (zero
+            # feature vectors, nonzero kernel diagonal when b > 0) must not
+            # shift the trace the ridge is relative to
+            reg = (diag_reg * jnp.sum(diag_vec * row_mask)
+                   / jnp.sum(row_mask)).astype(x.dtype)
 
-    if (get == "nngp" and x.dtype == jnp.float32
+    if (get == "nngp" and x.dtype == jnp.float32 and row_mask is None
             and fused_min_n <= n < min(pallas_max_n, block_min_n)):
         # Pallas-Gram tier (see _PALLAS_FIT_MAX_N): the Mosaic kernel
         # writes only the ridged lower triangle; blocked_cholesky and the
@@ -481,7 +617,7 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
         return l, alpha, reg, None
 
-    if fused_min_n <= n < min(mono_max_n, block_min_n):
+    if row_mask is None and fused_min_n <= n < min(mono_max_n, block_min_n):
         # Monolithic tier (default-off — see _MONOLITHIC_MAX_N): one fused
         # XLA Gram with the exact diagonal + ridge scattered in, then the
         # statically-blocked right-looking Cholesky.
@@ -520,13 +656,22 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
             keep_nngp = panel_gram(spec.layers, x, "nngp")
         else:
             keep_nngp = None
-        l = _fused_fit_factor(spec, x, reg, get, block_min_n=block_min_n)
+        l = _fused_fit_factor(spec, x, reg, get, block_min_n=block_min_n,
+                              row_mask=row_mask)
         alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
         return l, alpha, reg, keep_nngp
 
     idx = jnp.arange(n)
     if get == "nngp":
         k = spec.kernel_fn(x, x, "nngp")
+        if row_mask is not None:
+            # inert padding: zero pad rows/cols, unit pad diagonal — the
+            # factor is block-diagonal [chol(K_real + r I), I] and the pad
+            # rows never touch the real posterior (fit_gp pad_to contract)
+            k = k * (row_mask[:, None] * row_mask[None, :])
+            solve_k = k.at[idx, idx].add(
+                jnp.where(row_mask > 0, reg, 1.0).astype(x.dtype))
+            return _finish_plain(solve_k, y, reg, None)
         # O(n) diagonal scatter; XLA updates in place (no second n^2 buffer)
         solve_k = k.at[idx, idx].add(reg)
         keep_nngp = None
@@ -534,6 +679,10 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         k_tt, theta_tt = spec.kernel_fn(x, x, ("nngp", "ntk"))
         solve_k = theta_tt.at[idx, idx].add(reg)
         keep_nngp = k_tt
+    return _finish_plain(solve_k, y, reg, keep_nngp)
+
+
+def _finish_plain(solve_k, y, reg, keep_nngp):
     l = _cholesky(solve_k)
     alpha = jax.scipy.linalg.cho_solve((l, True), y)
     return l, alpha, reg, keep_nngp
@@ -596,7 +745,8 @@ def _auto_input_scale(x, layers) -> float:
 
 def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
            get: str = "nngp", diag_reg_absolute_scale: bool = False,
-           input_scale: Optional[float] = None) -> GPPosterior:
+           input_scale: Optional[float] = None,
+           pad_to: Optional[int] = None) -> GPPosterior:
     """Factorize the train Gram and return a ready posterior.
 
     Mirrors `nt.predict.gradient_descent_mse_ensemble(kernel_fn, X, Y,
@@ -606,6 +756,17 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     input_scale: None (default) picks an automatic power-of-two prescale
     when fp32 features would overflow the Gram (see GPPosterior.input_scale);
     pass 1.0 to force raw features or an explicit power of two to pin it.
+
+    pad_to: SHAPE-BUCKETED fit (get='nngp' only, below the column-block
+    layout threshold): storage is padded to `pad_to` rows with inert rows
+    (zero kernel row/col, unit factor diagonal, zero y) and `extend`
+    overwrites pad slots in place — so a whole acquisition/online-serving
+    loop reuses ONE compiled fit/extend/predict program while n grows up
+    to pad_to. Every compiled program costs 30-300 s through the remote-
+    TPU tunnel (seconds on attached hardware); the distributed tier
+    already pads this way (`parallel/sharded.py`). Predictions, evidence
+    and extends are exactly the dense posterior's (parity-tested); the
+    cost is O(pad_to^2) memory/flops from the start.
     """
     if get not in ("nngp", "ntk"):
         raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
@@ -622,6 +783,35 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     x_train = jnp.asarray(x_train)
     if input_scale != 1.0:
         x_train = x_train * (1.0 / input_scale)
+
+    row_mask = None
+    n_real = None
+    if pad_to is not None:
+        n = x_train.shape[0]
+        if get != "nngp":
+            raise ValueError("pad_to supports get='nngp' only (the padded "
+                             "NTK covariance needs a masked resident k_tt; "
+                             "not implemented)")
+        if pad_to < n:
+            raise ValueError(f"pad_to={pad_to} < n={n}")
+        if pad_to >= _BLOCK_LAYOUT_MIN_N:
+            raise ValueError(
+                f"pad_to={pad_to} reaches the column-block factor layout "
+                f"(>= {_BLOCK_LAYOUT_MIN_N}); padding is a dense-factor "
+                "feature — large-n loops should use the distributed tier")
+        if pad_to > n:
+            # pad FEATURES with copies of a real row (finite kernel values
+            # pre-mask — an all-zero row hits 0/0 in the dual recursion),
+            # labels with zeros; the mask makes them inert either way
+            x_train = jnp.concatenate(
+                [x_train, jnp.broadcast_to(x_train[:1],
+                                           (pad_to - n, x_train.shape[1]))])
+            y_train = jnp.concatenate(
+                [y_train, jnp.zeros((pad_to - n, y_train.shape[1]),
+                                    y_train.dtype)])
+        row_mask = (jnp.arange(pad_to) < n).astype(x_train.dtype)
+        n_real = jnp.asarray(n, jnp.int32)
+
     l, alpha, reg, k_tt_nngp = _fit_impl(
         x_train, y_train, spec, get, float(diag_reg),
         bool(diag_reg_absolute_scale),
@@ -632,6 +822,7 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         block_min_n=_BLOCK_LAYOUT_MIN_N,
         mono_max_n=_MONOLITHIC_MAX_N,
         pallas_max_n=_PALLAS_FIT_MAX_N if _pallas_fit_enabled() else 0,
+        row_mask=row_mask,
     )
     return GPPosterior(
         x_train=x_train,
@@ -644,6 +835,7 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         get=get,
         diag_reg=diag_reg,
         input_scale=float(input_scale),
+        n_real=n_real,
     )
 
 

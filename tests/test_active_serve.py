@@ -1079,3 +1079,43 @@ def test_warmup_precompiles_buckets_without_side_effects(tmp_path):
     mean, std = est.predict(lines)                 # predictions unchanged
     np.testing.assert_allclose(mean, before_mean, rtol=1e-12)
     np.testing.assert_allclose(std, before_std, rtol=1e-12)
+
+
+def test_active_padded_rounds_match_dense():
+    """pad_acquisitions: shape-stable rounds (fit_gp pad_to + in-place
+    extends) must produce the same posterior trajectory as the dense
+    incremental learner — identical selections (same seed) and matching
+    val predictions — while the factor storage never changes shape."""
+    x, y = _toy_data(300, seed=3)
+    common = dict(budget=40, active_iters=3, biased_sample=False,
+                  refit="incremental", seed=11)
+    dense = ActiveLearner(reference_kernel(), **common)
+    padded = ActiveLearner(reference_kernel(), pad_acquisitions=True,
+                           **common)
+    post_d, hist_d = dense.active_train(
+        x[:30], y[:30], x[30:240], y[30:240], x[240:], y[240:], printer=None)
+    post_p, hist_p = padded.active_train(
+        x[:30], y[:30], x[30:240], y[30:240], x[240:], y[240:], printer=None)
+    assert post_p.n_real is not None
+    assert post_p.num_padded == 30 + 3 * 40      # allocated once up front
+    assert post_p.num_train == post_d.num_train == 150
+    for hd, hp in zip(hist_d, hist_p):
+        assert hd["num_train"] == hp["num_train"]
+        np.testing.assert_allclose(hp["val_mse"], hd["val_mse"],
+                                   rtol=1e-6, atol=1e-9)
+    m_d, s_d = post_d.predict_mean_std(jnp.asarray(x[240:]))
+    m_p, s_p = post_p.predict_mean_std(jnp.asarray(x[240:]))
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_d),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_d),
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_active_padded_guards():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pad_acquisitions"):
+        ActiveLearner(reference_kernel(), nystrom_m=32,
+                      pad_acquisitions=True)
+    with _pytest.raises(ValueError, match="pad_acquisitions"):
+        ActiveLearner(reference_kernel(), kernel_type="ntk",
+                      pad_acquisitions=True)

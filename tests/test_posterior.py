@@ -462,3 +462,111 @@ def test_pallas_fit_tier_gates():
         x32, y32, spec, "ntk", 1e-3, False,
         fused_min_n=64, block_min_n=10**9, pallas_max_n=10**9)
     assert k_tt is not None                # ntk keeps its resident k_tt
+
+
+def _padded_parity_case(monkeypatch, force_fused):
+    """Shared body: a padded fit + in-place extends must equal the dense
+    posterior exactly (same tier family, fp64)."""
+    import nngp_tpu.gp.posterior as P
+
+    spec = reference_kernel()
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.uniform(0, 1000, (130, 6)))
+    y = jnp.asarray(rng.standard_normal((130, 1)))
+    x2 = jnp.asarray(rng.uniform(0, 1000, (9, 6)))
+    y2 = jnp.asarray(rng.standard_normal((9, 1)))
+    x3 = jnp.asarray(rng.uniform(0, 1000, (4, 6)))
+    y3 = jnp.asarray(rng.standard_normal((4, 1)))
+    x_te = jnp.asarray(rng.uniform(0, 1000, (15, 6)))
+
+    if force_fused:
+        monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)
+
+    dense = fit_gp(spec, x, y)
+    pad = fit_gp(spec, x, y, pad_to=160)
+    assert pad.num_padded == 160 and pad.num_train == 130
+    assert np.allclose(float(pad.reg), float(dense.reg), rtol=1e-12)
+
+    def check(p_dense, p_pad):
+        m_d, v_d = p_dense.predict(x_te, compute_cov="diag")
+        m_p, v_p = p_pad.predict(x_te, compute_cov="diag")
+        np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_d),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(v_p), np.asarray(v_d),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(p_pad.log_marginal_likelihood(),
+                                   p_dense.log_marginal_likelihood(),
+                                   rtol=1e-9)
+
+    check(dense, pad)
+
+    # two rounds of in-place extends: shapes must NOT change (the whole
+    # point — one compiled program across acquisition rounds)
+    dense2, pad2 = dense.extend(x2, y2), pad.extend(x2, y2)
+    assert pad2.num_padded == 160 and pad2.num_train == 139
+    assert pad2.l.shape == pad.l.shape
+    check(dense2, pad2)
+    dense3, pad3 = dense2.extend(x3, y3), pad2.extend(x3, y3)
+    assert pad3.num_padded == 160 and pad3.num_train == 143
+    check(dense3, pad3)
+
+    # exhausting the slots falls back to a dense append (shape change)
+    big_x = jnp.asarray(rng.uniform(0, 1000, (40, 6)))
+    big_y = jnp.asarray(rng.standard_normal((40, 1)))
+    dense4, pad4 = dense3.extend(big_x, big_y), pad3.extend(big_x, big_y)
+    assert pad4.n_real is None and pad4.num_train == 183
+    check(dense4, pad4)
+
+    # strip_padding materializes the equivalent dense posterior
+    stripped = pad3.strip_padding()
+    assert stripped.n_real is None and stripped.num_train == 143
+    check(dense3, stripped)
+
+
+def test_padded_fit_plain_tier(monkeypatch):
+    _padded_parity_case(monkeypatch, force_fused=False)
+
+
+def test_padded_fit_fused_tier(monkeypatch):
+    _padded_parity_case(monkeypatch, force_fused=True)
+
+
+def test_padded_fit_with_input_scale():
+    """Padding composes with the fp32 prescale (pinned scale 2.0). fp32
+    parity is judged against the fp64 oracle: a 96-row and a 64-row
+    program tile their Gram matmuls differently, so their last-bit fp32
+    rounding differs and the ill-conditioned solve amplifies it — the
+    padded fit must simply be AS close to fp64 truth as the dense one."""
+    spec = reference_kernel()
+    rng = np.random.default_rng(33)
+    x64 = rng.uniform(0, 1000, (64, 4))
+    y64 = rng.standard_normal((64, 1))
+    xt64 = rng.uniform(0, 1000, (7, 4))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    oracle = fit_gp(spec, jnp.asarray(x64), jnp.asarray(y64),
+                    input_scale=2.0)
+    m_o, _ = oracle.predict_mean_std(jnp.asarray(xt64))
+    dense = fit_gp(spec, f32(x64), f32(y64), input_scale=2.0)
+    pad = fit_gp(spec, f32(x64), f32(y64), input_scale=2.0, pad_to=96)
+    assert float(pad.reg) == float(dense.reg)
+    m_d, _ = dense.predict_mean_std(f32(xt64))
+    m_p, s_p = pad.predict_mean_std(f32(xt64))
+    err_d = np.max(np.abs(np.asarray(m_d) - np.asarray(m_o)))
+    err_p = np.max(np.abs(np.asarray(m_p) - np.asarray(m_o)))
+    assert err_p <= 3 * max(err_d, 1e-3), (err_p, err_d)
+    assert np.all(np.isfinite(np.asarray(s_p)))
+    ext = pad.extend(f32(xt64), jnp.zeros((7, 1), jnp.float32))
+    assert ext.num_train == 71 and ext.num_padded == 96
+
+
+def test_padded_fit_guards():
+    spec = reference_kernel()
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1000, (16, 3))
+    y = rng.standard_normal((16, 1))
+    with pytest.raises(ValueError, match="pad_to"):
+        fit_gp(spec, x, y, pad_to=8)            # pad_to < n
+    with pytest.raises(ValueError, match="nngp"):
+        fit_gp(spec, x, y, get="ntk", pad_to=32)
+    with pytest.raises(ValueError, match="column-block"):
+        fit_gp(spec, x, y, pad_to=50000)
