@@ -40,6 +40,12 @@ def build_parser():
                         "of the acquired batch; O(n (m+s)^2) streamed refit "
                         "instead of the fixed-capacity moment extend)")
     p.add_argument("--active_iters", type=int, default=3)
+    p.add_argument("--pad_acquisitions", action="store_true",
+                   help="shape-stable rounds (single-chip exact nngp): pad "
+                        "the factor storage to n0 + budget*iters inert rows "
+                        "so every round reuses one compiled program "
+                        "(fit_gp pad_to; avoids a 30-300 s remote compile "
+                        "per round)")
     p.add_argument("--budget", type=int, default=1000)
     p.add_argument("--refit", type=str, default="incremental",
                    choices=["incremental", "full"])
@@ -193,7 +199,7 @@ def main(argv=None):
         nystrom_m=args.nystrom_m, nystrom_grow=args.nystrom_grow,
         input_scale=input_scale,
         relearn_hyper=hyper_res, hyper_points=args.hyper_points or None,
-        hyper_ard=args.ard,
+        hyper_ard=args.ard, pad_acquisitions=args.pad_acquisitions,
         partition_keys="num_table" if join_workload else "num_predicates")
     post, history = learner.active_train(x_tr, y_tr, x_pool, y_pool,
                                          x_val, y_val, infos_val)

@@ -60,6 +60,12 @@ def main(argv=None):
                    help="serve from the streaming Nystrom/DTC tier with "
                         "this many inducing rows (O(m^2) device state at "
                         "any train-set size)")
+    p.add_argument("--pad_slots", type=int, default=None,
+                   help="single-chip exact tier: reserve this many inert "
+                        "rows so online feedback extends are bucketed "
+                        "IN-PLACE appends (no fresh-shape compile "
+                        "mid-traffic; size to the expected feedback "
+                        "volume between refits)")
     p.add_argument("--learn_hyper", action="store_true",
                    help="learn (w0, w, b, diag_reg) by evidence before "
                         "fitting — against the DTC tier's own evidence "
@@ -143,7 +149,8 @@ def main(argv=None):
                         learn_hyper=learn_hyper,
                         hyper_ard=args.ard,
                         hyper_steps=args.hyper_steps,
-                        hyper_points=args.hyper_points)
+                        hyper_points=args.hyper_points,
+                        pad_slots=args.pad_slots)
         if (args.hyper_file and est.hyper_result is not None
                 and not os.path.exists(args.hyper_file)):
             est.hyper_result.save(args.hyper_file)

@@ -434,7 +434,7 @@ class GPPosterior:
         return -0.5 * (quad + logdet + n * np.log(2.0 * np.pi))
 
     # --------------------------------------------------------------- extend
-    def extend(self, x_new, y_new):
+    def extend(self, x_new, y_new, bucket: Optional[int] = None):
         """Append labeled points with an O(n^2 m) block-Cholesky update
         instead of a full refit. Only the solve-kernel blocks are recomputed.
 
@@ -443,13 +443,45 @@ class GPPosterior:
         round reuses one compiled program (the point of padding). When the
         slots run out the padding is stripped and the append falls back to
         the dense path (one-time shape change; re-pad by refitting with a
-        larger pad_to)."""
+        larger pad_to).
+
+        bucket (padded posteriors only): round the append block itself up
+        to the next power of two >= max(bucket, m) with inert rows, so
+        VARIABLE batch sizes (online serving feedback) share a handful of
+        compiled append programs instead of one per distinct m. The
+        bucket-pad rows are rewritten as the unit rows they already were
+        and stay reusable; only the real rows advance n_real. The slot
+        check is against the BUCKETED size (a tail batch may fall back to
+        the dense path slightly before the slots are truly full)."""
         if self.n_real is not None:
-            m = (x_new.shape[0] if hasattr(x_new, "shape")
-                 else len(x_new))
-            if self.num_train + m <= self.num_padded:
-                return _padded_append(self, jnp.asarray(x_new),
-                                      jnp.asarray(y_new))
+            x_new = jnp.asarray(x_new)
+            y_new = jnp.asarray(y_new)
+            m = x_new.shape[0]
+            if bucket is not None and m > 0:
+                mb = max(int(bucket), 1 << (m - 1).bit_length())
+                if self.num_train + mb <= self.num_padded:
+                    if y_new.ndim == 1:
+                        y_new = y_new[:, None]
+                    pad = mb - m
+                    if pad:
+                        # pad on HOST: a jnp.concatenate here is itself a
+                        # tiny XLA program compiled PER (m, pad) shape —
+                        # measured ~2 s per fresh ragged size through the
+                        # tunnel, exactly the cost bucketing exists to
+                        # avoid (one ~30 ms fetch when x_new is already on
+                        # device is the cheaper trade)
+                        x_np = np.asarray(x_new)
+                        y_np = np.asarray(y_new)
+                        x_new = jnp.asarray(np.concatenate(
+                            [x_np, np.broadcast_to(
+                                x_np[:1], (pad, x_np.shape[1]))]))
+                        y_new = jnp.asarray(np.concatenate(
+                            [y_np, np.zeros((pad, y_np.shape[1]),
+                                            y_np.dtype)]))
+                    return _padded_append(self, x_new, y_new,
+                                          m_real=jnp.asarray(m, jnp.int32))
+            elif self.num_train + m <= self.num_padded:
+                return _padded_append(self, x_new, y_new)
             return self.strip_padding().extend(x_new, y_new)
         return self._extend_dense(x_new, y_new)
 
@@ -522,7 +554,7 @@ class GPPosterior:
 
 
 @jax.jit
-def _padded_append(post: GPPosterior, x_new, y_new):
+def _padded_append(post: GPPosterior, x_new, y_new, m_real=None):
     """Write m new labeled rows into the leading inert pad slots of a
     padded posterior — the shape-stable O(n^2 m) append.
 
@@ -534,7 +566,15 @@ def _padded_append(post: GPPosterior, x_new, y_new):
     rows are zero and their factor rows are unit vectors), the Schur block
     factorizes at m x m, and two dynamic_update_slice writes replace the
     unit pad rows. n_real is a TRACED operand throughout, so every round
-    of an acquisition loop hits this one compiled program."""
+    of an acquisition loop hits this one compiled program.
+
+    m_real: optional traced count of REAL rows in the (bucketed) new
+    block — rows past it are themselves inert pads: their kernel rows/y
+    are masked to zero and their Schur block comes out exactly identity,
+    so the slots they occupy are REWRITTEN as the unit rows they already
+    were and stay reusable. This is what lets serving extends bucket
+    variable batch sizes into a handful of compiled programs
+    (`extend(..., bucket=...)`)."""
     if y_new.ndim == 1:
         y_new = y_new[:, None]
     if post.input_scale != 1.0:
@@ -547,6 +587,17 @@ def _padded_append(post: GPPosterior, x_new, y_new):
     # fit-time ridge (same policy as the dense append)
     k22 = (post.spec.kernel_fn(x_new, x_new, "nngp")
            + post.reg * jnp.eye(m, dtype=post.x_train.dtype))
+    if m_real is None:
+        m_added = m
+    else:
+        m_added = m_real
+        new_mask = (jnp.arange(m) < m_real).astype(post.x_train.dtype)
+        k21 = k21 * new_mask[:, None]
+        k22 = k22 * (new_mask[:, None] * new_mask[None, :])
+        idx = jnp.arange(m)
+        k22 = k22.at[idx, idx].set(
+            jnp.where(new_mask > 0, k22[idx, idx], 1.0))
+        y_new = y_new * new_mask[:, None]
     u = _tri_solve(post.l, k21.T)                       # (N, m); pad rows 0
     # Schur at HIGHEST: default bf16 error exceeds the relative ridge on
     # ill-conditioned Grams (same hazard as ops.linalg.cholesky_append_rows)
@@ -567,7 +618,7 @@ def _padded_append(post: GPPosterior, x_new, y_new):
     alpha = _tri_solve(l_ext, _tri_solve(l_ext, y_ext), transpose=True)
     return dataclasses.replace(
         post, x_train=x_ext, y_train=y_ext, l=l_ext, alpha=alpha,
-        n_real=post.n_real + m)
+        n_real=post.n_real + m_added)
 
 
 @partial(jax.jit, static_argnames=("spec", "get", "absolute",

@@ -114,7 +114,8 @@ class Estimator:
                  learn_hyper=False, hyper_steps: int = 100,
                  hyper_points: int = 4096, hyper_ard: bool = False,
                  hyper_objective: str = "auto",
-                 predict_cache_size: int = 4096):
+                 predict_cache_size: int = 4096,
+                 pad_slots: Optional[int] = None):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
@@ -157,6 +158,16 @@ class Estimator:
         its loss is linear in n), and with mesh set the DTC hyperopt rows
         shard over the mesh (GSPMD psums over ICI).
 
+        pad_slots: SHAPE-STABLE online learning (single-chip exact nngp
+        tier only): the fit pads its storage with this many inert rows
+        (`fit_gp(pad_to=n + pad_slots)`) and `extend_with_lines` buckets
+        each feedback batch to a power-of-two in-place append — so online
+        extends reuse a handful of compiled programs instead of paying a
+        fresh-shape compile (30-300 s through a remote-TPU tunnel)
+        MID-TRAFFIC per batch. When the slots run out the posterior falls
+        back to dense appends (one compile per shape again); size
+        pad_slots to the expected feedback volume between refits.
+
         predict_cache_size: capacity of the cross-call prediction memo.
         PostgreSQL plan enumeration re-submits the same sub-queries across
         plan candidates and across optimizer invocations; `predict` dedups
@@ -173,6 +184,14 @@ class Estimator:
         self.dist_block_size = dist_block_size
         self.chunk_norm = bool(chunk_norm)
         self.nystrom_m = nystrom_m
+        if pad_slots is not None and (nystrom_m is not None
+                                      or mesh is not None
+                                      or kernel_type != "nngp"):
+            raise ValueError(
+                "pad_slots is the single-chip exact-nngp shape-stability "
+                "feature; the Nystrom tier is already shape-stable and the "
+                "distributed tier pads internally")
+        self.pad_slots = int(pad_slots) if pad_slots is not None else None
         self.spec = spec if spec is not None else reference_kernel()
 
         if stats is None:
@@ -349,6 +368,8 @@ class Estimator:
             y = np.log2(cards).reshape(-1, 1).astype(self.dtype)
         else:
             p = self.posterior
+            if isinstance(p, GPPosterior) and p.n_real is not None:
+                p = p.strip_padding()   # drop inert rows before reading
             if hasattr(p, "x_natural"):          # distributed (real rows)
                 x_fs = np.asarray(p.x_natural()) * float(p.input_scale)
                 y = np.asarray(p.y_natural())
@@ -425,8 +446,10 @@ class Estimator:
                                diag_reg=self.diag_reg, get=self.kernel_type,
                                mesh=self.mesh)
         if self.mesh is None:
+            pad_to = (x.shape[0] + self.pad_slots
+                      if getattr(self, "pad_slots", None) else None)
             return fit_gp(self.spec, x, y, diag_reg=self.diag_reg,
-                          get=self.kernel_type)
+                          get=self.kernel_type, pad_to=pad_to)
         # any n: distributed_fit pads to the layout quantum with inert rows
         from nngp_tpu.parallel import distributed_fit
         return distributed_fit(self.spec, x, y, self.mesh,
@@ -498,6 +521,10 @@ class Estimator:
         # the spec/ridge/scale already carry the learned values; the
         # standalone artifact is not checkpoint state
         self.hyper_result = None
+        # slot budget is construction-time config; a restored PADDED
+        # posterior (meta n_real) still bucket-extends into its remaining
+        # slots — pad_slots only governs future _fit calls
+        self.pad_slots = None
         self.std_scale = float(meta.get("std_scale", 1.0))
         self.drift_monitor = None
         self.encoder = MultiJoinEncoder(self.stats, chunk_norm=self.chunk_norm)
@@ -599,7 +626,9 @@ class Estimator:
             reg=jnp.asarray(arrs["reg"]),
             k_tt_nngp=k_tt,
             spec=self.spec, get=self.kernel_type, diag_reg=self.diag_reg,
-            input_scale=float(meta.get("input_scale", 1.0)))
+            input_scale=float(meta.get("input_scale", 1.0)),
+            n_real=(jnp.asarray(int(meta["n_real"]), jnp.int32)
+                    if "n_real" in meta else None))
         return self
 
     def save(self, ckpt_dir: str):
@@ -659,6 +688,11 @@ class Estimator:
             # x_train is stored PRE-SCALED; the scale must ride along or a
             # restored posterior would mis-scale every incoming query
             meta["input_scale"] = float(p.input_scale)
+            if p.n_real is not None:
+                # shape-bucketed posterior (fit_gp pad_to): the real-row
+                # count must ride along or the restored posterior would
+                # treat inert pad rows as training data (wrong variances)
+                meta["n_real"] = int(p.n_real)
             arrs = dict(
                 x_train=np.asarray(p.x_train), y_train=np.asarray(p.y_train),
                 alpha=np.asarray(p.alpha), reg=np.asarray(p.reg),
@@ -808,8 +842,17 @@ class Estimator:
         # Both regimes extend incrementally: single-chip via the block-
         # Cholesky append, a mesh via the distributed block-cyclic append
         # (O(n^2 k / p) — no refit, no restart).
-        self._install_posterior(
-            self.posterior.extend(jnp.asarray(x), jnp.asarray(y)))
+        if (isinstance(self.posterior, GPPosterior)
+                and self.posterior.n_real is not None):
+            # padded posterior: bucket the batch to a power-of-two inert-
+            # padded in-place append — no fresh-shape compile mid-traffic.
+            # (isinstance: DistributedPosterior also carries an n_real
+            # attribute, but pads internally with its own layout)
+            cand = self.posterior.extend(jnp.asarray(x), jnp.asarray(y),
+                                         bucket=64)
+        else:
+            cand = self.posterior.extend(jnp.asarray(x), jnp.asarray(y))
+        self._install_posterior(cand)
         return x.shape[0]
 
     def forget_with_lines(self, labeled_lines: Sequence[str]):

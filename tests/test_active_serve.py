@@ -1119,3 +1119,57 @@ def test_active_padded_guards():
     with _pytest.raises(ValueError, match="pad_acquisitions"):
         ActiveLearner(reference_kernel(), kernel_type="ntk",
                       pad_acquisitions=True)
+
+
+def test_estimator_pad_slots_online_serving(tmp_path):
+    """Estimator(pad_slots=...): online extends bucket into in-place
+    appends (no shape change), parity with the dense estimator, and the
+    padded posterior survives a checkpoint round-trip with its remaining
+    slots usable."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, pad_slots=200)
+    ref = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    n0 = est.posterior.num_train
+    cap = est.posterior.num_padded
+    assert cap == n0 + 200 and est.posterior.n_real is not None
+    lines = ["ta,tb@x,3.0,1.0@@ta,tb,id@2000",
+             "ta,tb@x,8.0,2.0@@ta,tb,id@6000",
+             "ta,tb@x,6.0,-1.0@@ta,tb,id@4500"]
+    est.extend_with_lines(lines)
+    ref.extend_with_lines(lines)
+    assert est.posterior.num_train == n0 + 3
+    assert est.posterior.num_padded == cap          # no shape change
+    q = ["ta,tb@x,3.0,1.0@@ta,tb,id", "ta,tb@x,7.5,0.5@@ta,tb,id"]
+    m_p, s_p = est.predict(q)
+    m_d, s_d = ref.predict(q)
+    np.testing.assert_allclose(m_p, m_d, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(s_p, s_d, rtol=1e-7, atol=1e-9)
+
+    ckpt = tmp_path / "padded_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.posterior.num_train == n0 + 3
+    assert est2.posterior.num_padded == cap         # padding survived
+    m_r, s_r = est2.predict(q)
+    np.testing.assert_allclose(m_r, m_p, rtol=1e-12)
+    np.testing.assert_allclose(s_r, s_p, rtol=1e-12)
+    # restored estimator keeps bucket-extending into the remaining slots
+    est2.extend_with_lines(["ta,tb@x,4.0,0.0@@ta,tb,id@3000"])
+    assert est2.posterior.num_train == n0 + 4
+    assert est2.posterior.num_padded == cap
+
+    # relearn on a padded posterior must read only the REAL rows
+    est2.relearn_hyperparams(steps=5, verbose=False)
+    assert est2.posterior.num_train == n0 + 4
+
+
+def test_estimator_pad_slots_guards(tmp_path):
+    stats, qdir = _toy_schema_files(tmp_path)
+    with pytest.raises(ValueError, match="pad_slots"):
+        Estimator("toy", None, qdir, stats=stats, verbose=False,
+                  nystrom_m=32, pad_slots=100)
+    with pytest.raises(ValueError, match="pad_slots"):
+        Estimator("toy", None, qdir, stats=stats, verbose=False,
+                  kernel_type="ntk", pad_slots=100)

@@ -570,3 +570,52 @@ def test_padded_fit_guards():
         fit_gp(spec, x, y, get="ntk", pad_to=32)
     with pytest.raises(ValueError, match="column-block"):
         fit_gp(spec, x, y, pad_to=50000)
+
+
+def test_padded_extend_bucketed():
+    """bucket=: a variable-size batch is rounded up to a power-of-two
+    inert-padded append — same posterior as the exact-size append, slots
+    past the real rows stay reusable by the NEXT append."""
+    spec = reference_kernel()
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.uniform(0, 1000, (100, 5)))
+    y = jnp.asarray(rng.standard_normal((100, 1)))
+    x_te = jnp.asarray(rng.uniform(0, 1000, (11, 5)))
+    pad = fit_gp(spec, x, y, pad_to=300)
+    dense = fit_gp(spec, x, y)
+
+    def check(p_pad, p_dense):
+        m_p, s_p = p_pad.predict_mean_std(x_te)
+        m_d, s_d = p_dense.predict_mean_std(x_te)
+        np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_d),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_d),
+                                   rtol=1e-7, atol=1e-9)
+
+    # 10 rows bucketed to 64: n_real advances by 10 only
+    x2 = jnp.asarray(rng.uniform(0, 1000, (10, 5)))
+    y2 = jnp.asarray(rng.standard_normal((10, 1)))
+    pad = pad.extend(x2, y2, bucket=64)
+    dense = dense.extend(x2, y2)
+    assert pad.num_train == 110 and pad.num_padded == 300
+    check(pad, dense)
+
+    # next bucketed append overwrites the bucket-pad slots just rewritten
+    x3 = jnp.asarray(rng.uniform(0, 1000, (70, 5)))
+    y3 = jnp.asarray(rng.standard_normal((70, 1)))
+    pad = pad.extend(x3, y3, bucket=64)      # buckets to 128
+    dense = dense.extend(x3, y3)
+    assert pad.num_train == 180
+    check(pad, dense)
+
+    # evidence stays exact through bucketed appends
+    np.testing.assert_allclose(pad.log_marginal_likelihood(),
+                               dense.log_marginal_likelihood(), rtol=1e-9)
+
+    # bucket that no longer fits -> dense fallback
+    x4 = jnp.asarray(rng.uniform(0, 1000, (100, 5)))
+    y4 = jnp.asarray(rng.standard_normal((100, 1)))
+    pad = pad.extend(x4, y4, bucket=64)      # buckets to 128 > 120 slots
+    dense = dense.extend(x4, y4)
+    assert pad.n_real is None and pad.num_train == 280
+    check(pad, dense)
