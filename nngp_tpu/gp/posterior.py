@@ -46,14 +46,14 @@ _FUSED_FIT_MIN_N = 4096
 
 # Optional tier within the blocked regime: below this bound the fit builds
 # the WHOLE Gram in one fused XLA op and factorizes it with the
-# right-looking `ops.linalg.blocked_cholesky`. Two same-code A/Bs on the
-# tunneled chip DISAGREE about it: one session measured it ~25% faster than
-# the Gram-in-the-loop fused panel fit at 10.8k (58.7 vs 78.8 ms,
-# experiments/fit_ab2.log), a later session measured it ~10% SLOWER (60.0
-# vs 54.1 ms, fit_ab3.py — forest and random features alike); the
-# between-session spread on identical code exceeds the tier gap. Default 0
-# = disabled: the fused panel fit holds one fewer live n^2 buffer (no
-# resident Gram) and owns the best recorded headline (52 ms). The tier
+# right-looking `ops.linalg.blocked_cholesky`. Settled LOSER (the round-3
+# "session disagreement" was wrapper bias, not variance): fit_ab2.log's
+# "mono 25% faster" arm compared bare-jit mono against `fit_gp`, whose
+# `_auto_input_scale` probe on a committed device array is a ~28 ms
+# blocking fetch (78.8 - 28 = 50.8 ms, matching the FAIR fit_ab3.py
+# measurement where both arms invoke `_fit_impl`: fused 54.1 vs mono
+# 60.0 ms at 10.8k). Default 0 = disabled: the fused panel fit is ~10%
+# faster and holds one fewer live n^2 buffer (no resident Gram). The tier
 # stays selectable via `_fit_impl(..., mono_max_n=16384)` and
 # parity-tested (test_monolithic_tier_matches_plain).
 _MONOLITHIC_MAX_N = 0
