@@ -115,9 +115,11 @@ class ActiveLearner:
         compiled program instead of compiling a fresh train shape per
         round (30-300 s each through a remote-TPU tunnel; measured
         dominating the round cost in experiments/active_relearn_tpu.log).
-        Note: relearn-mode refits still recompile per round — the learned
-        kernel constants live in the STATIC spec, which keys the program
-        cache independently of shapes."""
+        Composes with relearn_hyper: single-chip relearn rounds use the
+        traced-hyperparameter fit (learned constants as jit operands, the
+        structure spec fixed), so relearn + pad_acquisitions loops compile
+        every program exactly ONCE (asserted in
+        test_spec_params_programs_stable_across_values)."""
         if refit is None:
             refit = "incremental"
         if refit not in ("incremental", "full"):
@@ -164,6 +166,17 @@ class ActiveLearner:
         self.nystrom_grow = int(nystrom_grow)
         self._grow_rng = np.random.default_rng(seed)
         self.relearn = relearn_hyper is not None and relearn_hyper is not False
+        # Single-chip exact relearn loops run TRACED-hyperparameter fits
+        # (`fit_gp(spec_params=...)`): the structure spec is FIXED at the
+        # first learn and later rounds pass the learned Dense stds as jit
+        # OPERANDS, so fit/predict/extend programs compile once per
+        # structure+shape instead of per learned constants (with
+        # pad_acquisitions the whole loop is compile-once). The Nystrom /
+        # distributed tiers take static specs, so they keep concrete specs.
+        self._use_traced_hypers = (self.relearn and nystrom_m is None
+                                   and mesh is None)
+        self._structure_spec = None
+        self._spec_params = None
         # the current HyperoptResult (None until the cold learn when
         # relearn_hyper=True was passed instead of a result)
         self._hyper = relearn_hyper if self.relearn and \
@@ -182,11 +195,17 @@ class ActiveLearner:
     def _adopt_hyper(self, res):
         """Point the learner at a HyperoptResult's spec/ridge/prescale."""
         self._hyper = res
-        self.spec = res.spec
         kw = res.fit_kwargs()
         self.diag_reg = kw["diag_reg"]
         if "input_scale" in kw:          # b != 0: prescale shortcut off
             self.input_scale = kw["input_scale"]
+        if self._use_traced_hypers:
+            if self._structure_spec is None:
+                self._structure_spec = res.spec   # first learn fixes it
+            self.spec = self._structure_spec     # values ride as operands
+            self._spec_params = res.spec_params()
+        else:
+            self.spec = res.spec
 
     def _hscale(self, x):
         """Apply the CURRENT learned ARD feature scale (identity unless a
@@ -244,7 +263,7 @@ class ActiveLearner:
             pad_to = max(self._pad_to, x_train.shape[0])
         return fit_gp(self.spec, x_train, y_train, diag_reg=self.diag_reg,
                       get=self.kernel_type, input_scale=self.input_scale,
-                      pad_to=pad_to)
+                      pad_to=pad_to, spec_params=self._spec_params)
 
     def test(self, post: GPPosterior, x_val, y_val, query_infos_val=None,
              printer=print):

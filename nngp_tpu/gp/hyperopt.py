@@ -326,6 +326,19 @@ class HyperoptResult:
     get: str = "nngp"
     num_features: Optional[int] = None
 
+    def spec_params(self) -> dict:
+        """Learned Dense stds as the TRACED-operand dict for
+        `fit_gp(spec_params=...)`: pass a FIXED structure spec (same
+        depth/activation/width — e.g. the one this result was learned
+        for) and these values ride as jit operands, so per-round relearn
+        refits and the resulting posterior's predict/extend programs
+        never recompile for new constants."""
+        denses = [l for l in self.spec.layers if isinstance(l, Dense)]
+        return {
+            "w_stds": np.asarray([d.w_std for d in denses], np.float64),
+            "b_stds": np.asarray([d.b_std for d in denses], np.float64),
+        }
+
     def fit_kwargs(self) -> dict:
         """Ready-to-splat kwargs for `fit_gp` / `fit_nystrom`. b != 0 breaks
         scale equivariance, so the prescale shortcut must stay off."""

@@ -36,7 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nngp_tpu.models.kernel_spec import KernelSpec
+from nngp_tpu.models.kernel_spec import (KernelSpec, diag_eval,
+                                         kernel_eval, self_kernel_eval,
+                                         substitute_dense_params)
 from nngp_tpu.ops.linalg import cholesky_append_rows
 
 # Above this size the fit stops using XLA's Cholesky expander (full-width
@@ -120,7 +122,7 @@ def _tri_solve(l, b, transpose=False):
         l, b, left_side=True, lower=True, transpose_a=transpose)
 
 
-def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
+def _fused_fit_factor(layers, x, reg, get="nngp", block_size=512,
                       precision=jax.lax.Precision.HIGHEST,
                       block_min_n=None, row_mask=None):
     """L = chol(K_get + reg I) with Gram panels generated on the fly —
@@ -140,7 +142,7 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
 
     n = x.shape[0]
     dvec = input_diag(x)
-    diag_nngp, diag_ntk = apply_diag_recursion(dvec, spec.layers)
+    diag_nngp, diag_ntk = apply_diag_recursion(dvec, layers)
     diag_solve = diag_nngp if get == "nngp" else diag_ntk
 
     def panel_fn(s, e):
@@ -148,7 +150,7 @@ def _fused_fit_factor(spec, x, reg, get="nngp", block_size=512,
         d1 = dvec[s:][:, None]
         d2 = dvec[s:e][None, :]
         nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1, d2,
-                                    spec.layers)
+                                    layers)
         col = nngp if get == "nngp" else ntk
         idx = jnp.arange(e - s)
         if row_mask is not None:
@@ -265,7 +267,12 @@ class GPPosterior:
     k_tt_nngp: Optional[jax.Array]
     spec: KernelSpec = dataclasses.field(metadata=dict(static=True))
     get: str = dataclasses.field(metadata=dict(static=True), default="nngp")
-    diag_reg: float = dataclasses.field(metadata=dict(static=True), default=1e-3)
+    # a DATA leaf (not static): it is bookkeeping — the ridge actually
+    # applied is the traced `reg` — and a static float here would key every
+    # predict/extend program on the learned ridge VALUE, recompiling each
+    # hyperparameter-relearn round (spec_params exists to prevent exactly
+    # that). Host code reads it as a plain number either way.
+    diag_reg: float = 1e-3
     # Input prescale (fp32 overflow guard): x_train is STORED divided by
     # this power of two, and every incoming x is divided on entry. For
     # scale-equivariant specs (bias-free + 1-homogeneous activations,
@@ -288,6 +295,17 @@ class GPPosterior:
     # works this way — `parallel/sharded.py` inert-row padding). None =
     # ordinary exact-shape posterior.
     n_real: Optional[jax.Array] = None
+    # Traced kernel hyperparameters ({"w_stds": (n_dense,), "b_stds":
+    # (n_dense,)}; `fit_gp(spec_params=...)`). When set, `spec` provides
+    # the STRUCTURE only (its Dense std values are ignored) and every
+    # kernel evaluation substitutes these values positionally — so a
+    # hyperparameter-relearn loop reuses ONE compiled fit/predict/extend
+    # program per structure+shape instead of recompiling per learned
+    # constants (the spec is a static program key; these are operands).
+    spec_params: Optional[dict] = None
+
+    def _eff_layers(self):
+        return substitute_dense_params(self.spec.layers, self.spec_params)
 
     @property
     def num_train(self) -> int:
@@ -316,7 +334,7 @@ class GPPosterior:
         if self.k_tt_nngp is not None:
             return self.k_tt_nngp @ w
         from nngp_tpu.ops.gram import panel_symm_matmul
-        return panel_symm_matmul(self.spec.layers, self.x_train, w, "nngp")
+        return panel_symm_matmul(self._eff_layers(), self.x_train, w, "nngp")
 
     # -------------------------------------------------------------- predict
     def _predict_scaled(self, x_test, compute_cov):
@@ -326,8 +344,9 @@ class GPPosterior:
         if self.input_scale != 1.0:
             x_test = x_test * (1.0 / self.input_scale)
         mask = self._row_mask()
+        eff = self._eff_layers()
         if self.get == "nngp":
-            cross = self.spec.kernel_fn(x_test, self.x_train, "nngp")  # (m, n)
+            cross = kernel_eval(eff, x_test, self.x_train, "nngp")  # (m, n)
             if mask is not None:
                 # inert padding: the pad FEATURE rows still produce nonzero
                 # kernel values (b > 0 reaches every input) — zero their
@@ -339,14 +358,14 @@ class GPPosterior:
                 return mean
             v = _tri_solve(self.l, cross.T)  # (n, m)
             if compute_cov == "diag":
-                var = self.spec.diag_fn(x_test, "nngp") - jnp.sum(v * v, axis=0)
+                var = diag_eval(eff, x_test, "nngp") - jnp.sum(v * v, axis=0)
                 return mean, jnp.maximum(var, 0.0)
-            k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
+            k_ss = self_kernel_eval(eff, x_test, "nngp")  # exact diagonal
             return mean, k_ss - v.T @ v
 
         # get == 'ntk'
-        nngp_cross, ntk_cross = self.spec.kernel_fn(
-            x_test, self.x_train, ("nngp", "ntk")
+        nngp_cross, ntk_cross = kernel_eval(
+            eff, x_test, self.x_train, ("nngp", "ntk")
         )
         if mask is not None:
             nngp_cross = nngp_cross * mask[None, :]
@@ -360,12 +379,12 @@ class GPPosterior:
         kw = self._ktt_matmul(w)                     # K_tt T^-1 T_t*, (n, m)
         if compute_cov == "diag":
             var = (
-                self.spec.diag_fn(x_test, "nngp")
+                diag_eval(eff, x_test, "nngp")
                 + jnp.sum(w * kw, axis=0)
                 - 2.0 * jnp.sum(nngp_cross.T * w, axis=0)
             )
             return mean, jnp.maximum(var, 0.0)
-        k_ss = self.spec.self_kernel(x_test, "nngp")  # exact diagonal
+        k_ss = self_kernel_eval(eff, x_test, "nngp")  # exact diagonal
         cross_term = nngp_cross @ w                  # K_*t T^-1 T_t*, (m, m)
         cov = k_ss + w.T @ kw - cross_term - cross_term.T
         return mean, cov
@@ -419,9 +438,9 @@ class GPPosterior:
         and divides the quadratic term by scale^2 (exact: the scale is a
         power of two). Host compensation on purpose: the device part
         (`_gauss_mll_terms`) is keyed on shapes only, so a ridge sweep
-        reuses ONE compiled program across candidates (diag_reg is a
-        static pytree field — a self-jitted method would recompile per
-        candidate on a tunnel where compiles cost seconds-to-minutes)."""
+        reuses ONE compiled program across candidates regardless of the
+        posterior's static fields (on a tunnel, compiles cost
+        seconds-to-minutes)."""
         n = self.num_train
         diag = (self.l.diagonal() if hasattr(self.l, "blocks")
                 else jnp.diagonal(self.l))
@@ -506,15 +525,16 @@ class GPPosterior:
     def _extend_dense(self, x_new, y_new):
         if self.input_scale != 1.0:
             x_new = x_new * (1.0 / self.input_scale)
+        eff = self._eff_layers()
         if self.get == "nngp":
-            k21 = self.spec.kernel_fn(x_new, self.x_train, "nngp")  # (m, n)
-            k22 = self.spec.kernel_fn(x_new, x_new, "nngp")
+            k21 = kernel_eval(eff, x_new, self.x_train, "nngp")  # (m, n)
+            k22 = kernel_eval(eff, x_new, x_new, "nngp")
             n21 = n22 = None
         else:
             # tuple get: one recursion yields both kernels per block
-            n21, k21 = self.spec.kernel_fn(x_new, self.x_train,
-                                           ("nngp", "ntk"))
-            n22, k22 = self.spec.kernel_fn(x_new, x_new, ("nngp", "ntk"))
+            n21, k21 = kernel_eval(eff, x_new, self.x_train,
+                                   ("nngp", "ntk"))
+            n22, k22 = kernel_eval(eff, x_new, x_new, ("nngp", "ntk"))
         m = x_new.shape[0]
         # Keep the ridge the fit chose (relative reg is defined by the fit-time
         # Gram; re-deriving it from the extended Gram would silently change
@@ -583,9 +603,10 @@ def _padded_append(post: GPPosterior, x_new, y_new, m_real=None):
     y_new = y_new.astype(post.y_train.dtype)
     m = x_new.shape[0]
     mask = post._row_mask()
-    k21 = post.spec.kernel_fn(x_new, post.x_train, "nngp") * mask[None, :]
+    eff = post._eff_layers()
+    k21 = kernel_eval(eff, x_new, post.x_train, "nngp") * mask[None, :]
     # fit-time ridge (same policy as the dense append)
-    k22 = (post.spec.kernel_fn(x_new, x_new, "nngp")
+    k22 = (kernel_eval(eff, x_new, x_new, "nngp")
            + post.reg * jnp.eye(m, dtype=post.x_train.dtype))
     if m_real is None:
         m_added = m
@@ -628,7 +649,7 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
               fused_min_n=_FUSED_FIT_MIN_N,
               block_min_n=_BLOCK_LAYOUT_MIN_N,
               mono_max_n=_MONOLITHIC_MAX_N,
-              pallas_max_n=0, row_mask=None):
+              pallas_max_n=0, row_mask=None, spec_params=None):
     """Top-level cached jit — one compilation per (spec, get, shapes), so
     repeated fits (active-learning refits, serving restarts) don't retrace.
 
@@ -640,10 +661,11 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
     from nngp_tpu.ops.gram import input_diag
 
     n = x.shape[0]
+    eff = substitute_dense_params(spec.layers, spec_params)
     if absolute:
         reg = jnp.asarray(diag_reg, x.dtype)
     else:
-        diag_nngp, diag_ntk = apply_diag_recursion(input_diag(x), spec.layers)
+        diag_nngp, diag_ntk = apply_diag_recursion(input_diag(x), eff)
         diag_vec = diag_nngp if get == "nngp" else diag_ntk
         if row_mask is None:
             reg = (diag_reg * jnp.mean(diag_vec)).astype(x.dtype)
@@ -655,6 +677,7 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
                    / jnp.sum(row_mask)).astype(x.dtype)
 
     if (get == "nngp" and x.dtype == jnp.float32 and row_mask is None
+            and spec_params is None
             and fused_min_n <= n < min(pallas_max_n, block_min_n)):
         # Pallas-Gram tier (see _PALLAS_FIT_MAX_N): the Mosaic kernel
         # writes only the ridged lower triangle; blocked_cholesky and the
@@ -675,13 +698,13 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         from nngp_tpu.models.kernel_spec import apply_diag_recursion as _adr
         from nngp_tpu.ops.linalg import blocked_cholesky
 
-        diag_nngp, diag_ntk = _adr(input_diag(x), spec.layers)
+        diag_nngp, diag_ntk = _adr(input_diag(x), eff)
         diag_solve = diag_nngp if get == "nngp" else diag_ntk
         idx = jnp.arange(n)
         if get == "ntk":
-            keep_nngp, solve_k = spec.kernel_fn(x, x, ("nngp", "ntk"))
+            keep_nngp, solve_k = kernel_eval(eff, x, x, ("nngp", "ntk"))
         else:
-            solve_k = spec.kernel_fn(x, x, "nngp")
+            solve_k = kernel_eval(eff, x, x, "nngp")
             keep_nngp = None
         # exact O(n) diagonal (computed one carries acos(rho=1) noise)
         solve_k = solve_k.at[idx, idx].set(diag_solve + reg)
@@ -704,17 +727,17 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         # column blocks) and shares the NNGP single-chip ceiling.
         if get == "ntk" and n < block_min_n:
             from nngp_tpu.ops.gram import panel_gram
-            keep_nngp = panel_gram(spec.layers, x, "nngp")
+            keep_nngp = panel_gram(eff, x, "nngp")
         else:
             keep_nngp = None
-        l = _fused_fit_factor(spec, x, reg, get, block_min_n=block_min_n,
+        l = _fused_fit_factor(eff, x, reg, get, block_min_n=block_min_n,
                               row_mask=row_mask)
         alpha = _tri_solve(l, _tri_solve(l, y), transpose=True)
         return l, alpha, reg, keep_nngp
 
     idx = jnp.arange(n)
     if get == "nngp":
-        k = spec.kernel_fn(x, x, "nngp")
+        k = kernel_eval(eff, x, x, "nngp")
         if row_mask is not None:
             # inert padding: zero pad rows/cols, unit pad diagonal — the
             # factor is block-diagonal [chol(K_real + r I), I] and the pad
@@ -727,7 +750,7 @@ def _fit_impl(x, y, spec, get, diag_reg, absolute,
         solve_k = k.at[idx, idx].add(reg)
         keep_nngp = None
     else:
-        k_tt, theta_tt = spec.kernel_fn(x, x, ("nngp", "ntk"))
+        k_tt, theta_tt = kernel_eval(eff, x, x, ("nngp", "ntk"))
         solve_k = theta_tt.at[idx, idx].add(reg)
         keep_nngp = k_tt
     return _finish_plain(solve_k, y, reg, keep_nngp)
@@ -797,7 +820,8 @@ def _auto_input_scale(x, layers) -> float:
 def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
            get: str = "nngp", diag_reg_absolute_scale: bool = False,
            input_scale: Optional[float] = None,
-           pad_to: Optional[int] = None) -> GPPosterior:
+           pad_to: Optional[int] = None,
+           spec_params: Optional[dict] = None) -> GPPosterior:
     """Factorize the train Gram and return a ready posterior.
 
     Mirrors `nt.predict.gradient_descent_mse_ensemble(kernel_fn, X, Y,
@@ -818,6 +842,18 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     already pads this way (`parallel/sharded.py`). Predictions, evidence
     and extends are exactly the dense posterior's (parity-tested); the
     cost is O(pad_to^2) memory/flops from the start.
+
+    spec_params: TRACED kernel hyperparameters — {"w_stds": (n_dense,),
+    "b_stds": (n_dense,)} arrays substituted positionally into `spec`'s
+    Dense layers (whose own std values are then ignored; `spec` provides
+    structure only and MUST be the same object/structure across calls).
+    Because the values ride as jit operands, a hyperparameter-relearn
+    loop reuses ONE compiled fit program — and the returned posterior
+    carries the params, so its predict/extend programs are relearn-stable
+    too (`HyperoptResult.spec_params()` produces this dict). The
+    equivariance-based input prescale cannot be derived from traced
+    values, so input_scale defaults to 1.0 here (pass an explicit power
+    of two only if the spec is KNOWN bias-free).
     """
     if get not in ("nngp", "ntk"):
         raise ValueError(f"get must be 'nngp' or 'ntk', got {get!r}")
@@ -825,6 +861,19 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
     y_train = jnp.asarray(y_train)
     if y_train.ndim == 1:
         y_train = y_train[:, None]
+    if spec_params is not None:
+        from nngp_tpu.models.kernel_spec import Dense
+        n_dense = sum(1 for l in spec.layers if isinstance(l, Dense))
+        spec_params = {
+            "w_stds": jnp.asarray(spec_params["w_stds"]),
+            "b_stds": jnp.asarray(spec_params["b_stds"]),
+        }
+        if spec_params["w_stds"].shape != (n_dense,) or                 spec_params["b_stds"].shape != (n_dense,):
+            raise ValueError(
+                f"spec_params arrays must have shape ({n_dense},) to match "
+                f"the spec's Dense layers")
+        if input_scale is None:
+            input_scale = 1.0   # equivariance undecidable on traced b
     if input_scale is None:
         # probe BEFORE the device conversion: on host (numpy) inputs the
         # max is free; a committed device array costs one blocking fetch
@@ -874,6 +923,7 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         mono_max_n=_MONOLITHIC_MAX_N,
         pallas_max_n=_PALLAS_FIT_MAX_N if _pallas_fit_enabled() else 0,
         row_mask=row_mask,
+        spec_params=spec_params,
     )
     return GPPosterior(
         x_train=x_train,
@@ -887,6 +937,7 @@ def fit_gp(spec: KernelSpec, x_train, y_train, diag_reg: float = 1e-3,
         diag_reg=diag_reg,
         input_scale=float(input_scale),
         n_real=n_real,
+        spec_params=spec_params,
     )
 
 

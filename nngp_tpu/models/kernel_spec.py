@@ -149,6 +149,57 @@ def apply_diag_recursion(d, layers: Sequence[Layer]):
     return nngp, ntk
 
 
+def substitute_dense_params(layers, params):
+    """Rebuild `layers` with each Dense's (w_std, b_std) replaced
+    positionally from params = {"w_stds": (n_dense,), "b_stds": (n_dense,)}.
+
+    The values may be TRACED scalars — this is the seam that lets kernel
+    hyperparameters ride through jit as OPERANDS while the layer STRUCTURE
+    stays a static program constant, so a hyperparameter-relearn loop
+    reuses one compiled fit/predict program instead of recompiling per
+    new constants (`gp.posterior fit_gp(spec_params=...)`). The returned
+    Dense objects must never be hashed (tracers); params=None returns
+    `layers` unchanged."""
+    if params is None:
+        return tuple(layers)
+    out, j = [], 0
+    for layer in layers:
+        if isinstance(layer, Dense):
+            out.append(Dense(layer.width, params["w_stds"][j],
+                             params["b_stds"][j]))
+            j += 1
+        else:
+            out.append(layer)
+    return tuple(out)
+
+
+def kernel_eval(layers, x1, x2=None, get="nngp"):
+    """`KernelSpec.kernel_fn` as a free function over a (possibly traced-
+    valued) layer tuple — call from inside an already-jitted caller."""
+    if x2 is None:
+        x2 = x1
+    k0 = input_gram(x1, x2)
+    d1 = input_diag(x1)[:, None]
+    d2 = input_diag(x2)[None, :]
+    nngp, ntk = apply_recursion(k0, jnp.zeros_like(k0), d1, d2, layers)
+    return KernelSpec._select(nngp, ntk, get)
+
+
+def diag_eval(layers, x, get="nngp"):
+    """`KernelSpec.diag_fn` as a free function (traced-layer friendly)."""
+    nngp, ntk = apply_diag_recursion(input_diag(x), layers)
+    return KernelSpec._select(nngp, ntk, get)
+
+
+def self_kernel_eval(layers, x, get="nngp"):
+    """`KernelSpec.self_kernel` as a free function (traced-layer
+    friendly): kernel_eval with the exact on-diagonal recursion scattered
+    onto the diagonal (see KernelSpec.self_kernel for why)."""
+    k = kernel_eval(layers, x, x, get)
+    i = jnp.arange(x.shape[0])
+    return k.at[i, i].set(diag_eval(layers, x, get))
+
+
 class KernelSpec:
     """kernel_fn over a serial layer stack. get in {'nngp','ntk'} or a tuple.
 

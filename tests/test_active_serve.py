@@ -71,9 +71,10 @@ def test_active_incremental_tracks_full_refit():
 
 def test_active_relearn_hyper_updates_spec_each_round():
     """relearn_hyper warm-relearns (w0, w, b, reg) after every merge and
-    full-refits with the new spec (experiments/hyper_active_relearn.log:
-    relearn beats learn-once on forest). The learner must adopt a NEW
-    spec/ridge each round and keep the loop functional end to end."""
+    full-refits with the new values. Single-chip relearn loops run the
+    TRACED-hyperparameter fit: the STRUCTURE spec is fixed at the first
+    learn (so every round shares one compiled program) and the learned
+    Dense stds ride as the posterior's spec_params operands."""
     from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
 
     x, y = _toy_data(260, seed=2)
@@ -89,10 +90,19 @@ def test_active_relearn_hyper_updates_spec_each_round():
     assert len(history) == 2
     assert post.num_train == 40 + 2 * 30
     assert learner._hyper is not res0           # relearned at least once
-    assert learner.spec is learner._hyper.spec  # posterior uses latest spec
-    assert np.isfinite(history[-1]["val_mse"])
-    # the final posterior must actually carry the relearned kernel
+    # the STRUCTURE spec stays the object fixed at construction — that is
+    # what keeps every round's programs cached...
+    assert learner.spec is res0.spec
     assert post.spec is learner.spec
+    # ...while the latest learned values ride as traced operands and must
+    # match the newest HyperoptResult exactly
+    latest = learner._hyper.spec_params()
+    np.testing.assert_allclose(np.asarray(post.spec_params["w_stds"]),
+                               latest["w_stds"], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(post.spec_params["b_stds"]),
+                               latest["b_stds"], rtol=1e-12)
+    assert learner.diag_reg == learner._hyper.diag_reg
+    assert np.isfinite(history[-1]["val_mse"])
 
 
 def test_active_relearn_hyper_over_mesh():

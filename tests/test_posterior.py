@@ -147,7 +147,7 @@ def test_fused_fit_factor_matches_dense():
     dn, dt = apply_diag_recursion(input_diag(x), spec.layers)
     for get, dvec in (("nngp", dn), ("ntk", dt)):
         reg = 1e-3 * jnp.mean(dvec)
-        l = _fused_fit_factor(spec, x, reg, get, block_size=128)
+        l = _fused_fit_factor(spec.layers, x, reg, get, block_size=128)
         k = spec.kernel_fn(x, x, get)
         idx = jnp.arange(n)
         k = k.at[idx, idx].set(dvec + reg)
@@ -619,3 +619,77 @@ def test_padded_extend_bucketed():
     dense = dense.extend(x4, y4)
     assert pad.n_real is None and pad.num_train == 280
     check(pad, dense)
+
+
+def test_spec_params_matches_concrete_spec():
+    """fit_gp(spec_params=...) with a structure spec must equal the
+    concrete-spec fit bit-for-bit at fp64 rounding (same arithmetic, the
+    constants just arrive as operands) — predict, evidence, and extend."""
+    from nngp_tpu.models.kernel_spec import KernelSpec, mlp
+
+    rng = np.random.default_rng(51)
+    x = rng.uniform(0, 1000, (150, 5))
+    y = rng.standard_normal((150, 1))
+    xt = jnp.asarray(rng.uniform(0, 1000, (9, 5)))
+    y2 = jnp.asarray(rng.standard_normal((9, 1)))
+    concrete = KernelSpec(mlp(1, 512, "relu", 0.7, 30.0))
+    structure = reference_kernel()          # different values, same shape
+    params = {"w_stds": np.array([0.7, 0.7]),
+              "b_stds": np.array([30.0, 30.0])}
+
+    a = fit_gp(concrete, x, y, input_scale=1.0)
+    b = fit_gp(structure, x, y, spec_params=params)
+    assert b.input_scale == 1.0             # probe skipped (traced b)
+    m_a, v_a = a.predict(xt, compute_cov="diag")
+    m_b, v_b = b.predict(xt, compute_cov="diag")
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_a),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_a),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(b.log_marginal_likelihood(),
+                               a.log_marginal_likelihood(), rtol=1e-10)
+    ea, eb = a.extend(xt, y2), b.extend(xt, y2)
+    m_a, _ = ea.predict_mean_std(xt)
+    m_b, _ = eb.predict_mean_std(xt)
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_a),
+                               rtol=1e-10, atol=1e-10)
+    with pytest.raises(ValueError, match="spec_params"):
+        fit_gp(structure, x, y,
+               spec_params={"w_stds": np.ones(3), "b_stds": np.ones(3)})
+
+
+def test_spec_params_programs_stable_across_values(monkeypatch):
+    """The whole point: new learned constants (and a new diag_reg — now a
+    data leaf) must NOT retrace fit, predict, or extend — including the
+    padded/bucketed append, so relearn + pad_acquisitions loops compile
+    once. Exercised on both the plain and fused tiers."""
+    import nngp_tpu.gp.posterior as P
+
+    structure = reference_kernel()
+    rng = np.random.default_rng(53)
+    x = rng.uniform(0, 1000, (140, 5))
+    y = rng.standard_normal((140, 1))
+    xt = jnp.asarray(rng.uniform(0, 1000, (9, 5)))
+    y2 = jnp.asarray(rng.standard_normal((9, 1)))
+    p1 = {"w_stds": np.array([1.0, 1.0]), "b_stds": np.array([0.1, 0.1])}
+    p2 = {"w_stds": np.array([0.5, 0.9]), "b_stds": np.array([40.0, 2.0])}
+
+    for force_fused in (False, True):
+        if force_fused:
+            monkeypatch.setattr(P, "_FUSED_FIT_MIN_N", 64)
+        a = fit_gp(structure, x, y, spec_params=p1, pad_to=180)
+        sa, _ = a.predict_mean_std(xt)
+        a = a.extend(xt, y2, bucket=8)
+        c_fit = P._fit_impl._cache_size()
+        c_app = P._padded_append._cache_size()
+        c_pred = type(a).predict_mean_std._cache_size()
+
+        b = fit_gp(structure, x, y, spec_params=p2, diag_reg=3e-3,
+                   pad_to=180)
+        sb, _ = b.predict_mean_std(xt)
+        b = b.extend(xt, y2, bucket=8)
+        assert P._fit_impl._cache_size() == c_fit
+        assert type(a).predict_mean_std._cache_size() == c_pred
+        assert P._padded_append._cache_size() == c_app
+        # and they really are different models
+        assert float(np.max(np.abs(np.asarray(sb) - np.asarray(sa)))) > 1e-3
