@@ -251,6 +251,47 @@ def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol"):
             if w_kmm_np is not None else None)
 
 
+@jax.jit
+def _finalize_device_jit(c_raw, b_w, reg):
+    """On-device finalize in emulated fp64 (`ops/df64.py`): same contract
+    as `_finalize_host` — ic ic^T = (C + rI)^-1, beta = that @ b — but no
+    16 MB device->host fetch, no single-core fp64 LAPACK, no host->device
+    ship-back. `reg` stays a traced operand (matches the traced-ridge
+    policy of `_fit_impl`). Pivots floored at reg: in exact arithmetic
+    every Schur pivot of C + rI is >= r (C is PSD), so a smaller pivot is
+    fp32 moment noise and reverts to the ridge prior — the device analog
+    of the host fallback's eigenvalue clamp."""
+    from nngp_tpu.ops.df64 import df_cholesky_inverse_factor
+
+    ic, beta, _ld = df_cholesky_inverse_factor(c_raw, reg, b_w,
+                                               pivot_floor_rel=1.0)
+    return ic, beta
+
+
+def _finalize(c_raw, b_w, reg, dtype, mode: str):
+    """Dispatch the k x k solve stage: 'host' (fp64 LAPACK via the
+    tunnel) or 'device' (emulated-fp64 on the MXU, fp32 posteriors
+    only)."""
+    if mode == "device":
+        if dtype != jnp.float32:
+            raise ValueError("finalize='device' runs the emulated-fp64 "
+                             f"path (fp32 posteriors only), got {dtype}")
+        return _finalize_device_jit(c_raw, b_w, reg)
+    return _finalize_host(c_raw, b_w, reg, dtype)
+
+
+def _resolve_finalize(mode: str, dtype) -> str:
+    """'auto' -> 'device' on a TPU backend for fp32 posteriors (no host
+    round-trip), 'host' otherwise (CPU fp64 LAPACK is native there)."""
+    if mode not in ("host", "device", "auto"):
+        raise ValueError(
+            f"finalize must be 'host', 'device' or 'auto', got {mode!r}")
+    if mode == "auto":
+        return ("device" if jax.default_backend() == "tpu"
+                and dtype == jnp.float32 else "host")
+    return mode
+
+
 def _finalize_host(c_raw, b_w, reg, dtype):
     """Host-fp64 k x k solve stage: returns (ic, beta) with
     ic ic^T = (C + r I)^-1 and beta = that @ b. Cholesky first (~3x
@@ -313,6 +354,10 @@ class NystromPosterior:
                                          default=1e-6)
     panel_size: int = dataclasses.field(metadata=dict(static=True),
                                         default=_DEFAULT_PANEL)
+    # k x k solve stage: 'host' (fp64 LAPACK) or 'device' (emulated-fp64
+    # on the MXU, ops/df64.py) — extend/forget/grow reuse the fit's choice
+    finalize: str = dataclasses.field(metadata=dict(static=True),
+                                      default="host")
     # runtime-only: moment streaming shards panel rows over this mesh
     # (never serialized — reattach after checkpoint restore)
     mesh: Optional[object] = dataclasses.field(
@@ -416,7 +461,8 @@ class NystromPosterior:
             mesh=self.mesh, mesh_axis=self.mesh_axis)
         # keep the fit-time ridge: the relative reg is defined by the
         # fit-time trace (same policy as GPPosterior.extend)
-        ic, beta_w = _finalize_host(c_raw, b_w, self.reg, self.x_m.dtype)
+        ic, beta_w = _finalize(c_raw, b_w, self.reg, self.x_m.dtype,
+                               self.finalize)
         return dataclasses.replace(
             self, ic=ic, beta_w=beta_w,
             c_raw=c_raw, b_w=b_w, m1_w=m1_w, diag_sum=diag_sum,
@@ -455,7 +501,8 @@ class NystromPosterior:
         c_raw = self.c_raw - dc
         b_w = self.b_w - db
         m1_w = self.m1_w - dm1 if self.get == "ntk" else None
-        ic, beta_w = _finalize_host(c_raw, b_w, self.reg, self.x_m.dtype)
+        ic, beta_w = _finalize(c_raw, b_w, self.reg, self.x_m.dtype,
+                               self.finalize)
         return dataclasses.replace(
             self, ic=ic, beta_w=beta_w,
             c_raw=c_raw, b_w=b_w, m1_w=m1_w,
@@ -491,7 +538,8 @@ class NystromPosterior:
             get=self.get, panel_size=self.panel_size,
             rank_rtol=self.rank_rtol, input_scale=self.input_scale,
             precision=self.precision, inducing_rows=rows,
-            mesh=self.mesh, mesh_axis=self.mesh_axis)
+            mesh=self.mesh, mesh_axis=self.mesh_axis,
+            finalize=self.finalize)
 
     # ------------------------------------------------------- model evidence
     def log_evidence(self) -> float:
@@ -741,7 +789,8 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
                 input_scale: Optional[float] = None,
                 precision: str = "highest", whiten: str = "chol",
                 inducing: str = "uniform", inducing_rows=None,
-                mesh=None, mesh_axis: str = "data") -> NystromPosterior:
+                mesh=None, mesh_axis: str = "data",
+                finalize: str = "host") -> NystromPosterior:
     """Streaming Nystrom/DTC fit. O(n m^2) MXU flops, O(m^2 + panel*m)
     device memory — n is unbounded by HBM (the row panels stream from
     host). With num_inducing >= n this IS the exact posterior (up to the
@@ -774,6 +823,13 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     requires inducing points to be training rows, so any feature-space
     rows work; this is the hook `NystromPosterior.grow_inducing` uses to
     refit with an enlarged set.
+
+    finalize: where the k x k solve stage runs — 'host' (default: fp64
+    LAPACK on the host, one 16 MB fetch + ~1-3 s single-core at m=2048),
+    'device' (emulated-fp64 Cholesky/inverse on the MXU, `ops/df64.py` —
+    no host round-trip; fp32 posteriors only), or 'auto' ('device' on a
+    TPU backend for fp32, else 'host'). extend/forget/grow_inducing
+    reuse the fit's resolved choice.
 
     mesh: optional jax.sharding.Mesh — shard every panel's rows over
     `mesh_axis` so the O(n m^2) moment flops data-parallelize across
@@ -824,11 +880,12 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         reg = jnp.asarray(diag_reg, x_m.dtype)
     else:
         reg = (diag_reg * diag_sum / n).astype(x_m.dtype)
-    ic, beta_w = _finalize_host(c_raw, b_w, reg, x_m.dtype)
+    finalize = _resolve_finalize(finalize, x_m.dtype)
+    ic, beta_w = _finalize(c_raw, b_w, reg, x_m.dtype, finalize)
     return NystromPosterior(
         x_m=x_m, w_solve=w_solve, ic=ic, beta_w=beta_w, reg=reg,
         c_raw=c_raw, b_w=b_w, diag_sum=diag_sum, m1_w=m1_w,
         w_kmm=w_kmm, spec=spec, get=get, diag_reg=diag_reg, num_train=n,
         input_scale=float(input_scale), precision=precision,
         rank_rtol=float(rank_rtol), panel_size=panel_size,
-        mesh=mesh, mesh_axis=mesh_axis, yty=yty)
+        mesh=mesh, mesh_axis=mesh_axis, yty=yty, finalize=finalize)

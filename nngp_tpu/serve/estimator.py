@@ -559,6 +559,7 @@ class Estimator:
                 precision=d["precision"],
                 rank_rtol=float(d["rank_rtol"]),
                 panel_size=int(d["panel_size"]),
+                finalize=d.get("finalize", "host"),
                 mesh=mesh,
                 yty=(jnp.asarray(arrs["yty"]) if "yty" in arrs else None))
             return self
@@ -658,6 +659,7 @@ class Estimator:
                 "precision": p.precision,
                 "rank_rtol": float(p.rank_rtol),
                 "panel_size": int(p.panel_size),
+                "finalize": p.finalize,
             }
             arrs = dict(
                 x_m=np.asarray(p.x_m), w_solve=np.asarray(p.w_solve),

@@ -1,0 +1,207 @@
+"""ops/df64: emulated double precision on fp32 hardware.
+
+The int8-slice Ozaki products are exact by construction on ANY backend
+(int32 accumulation), so the CPU suite verifies the full accuracy claims;
+the chip run only re-confirms MXU lowering (experiments/ozaki_probe.py).
+
+Oracle construction note: an fp32 ROUNDING of a kappa >= 1e9 SPD matrix
+is generally indefinite in exact arithmetic (rounding perturbs
+eigenvalues by ~eps32 * |A| > lam_min), so the high-kappa tests build
+the input as an EXACT df pair of a matrix that is PD by construction
+(L L^T with fp32 L), and every oracle is evaluated on the df-representable
+value — cancellation against unrepresentable bits is not the ops' doing.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nngp_tpu.ops.df64 import (DF, df_add, df_div, df_from_f32, df_mul,
+                               df_round, df_sqrt, df_sub, hp_matmul,
+                               df_cholesky, df_trtri_lower,
+                               df_cholesky_inverse_factor,
+                               _df_trtri_block)
+
+
+def _df_to_f64(a: DF) -> np.ndarray:
+    return np.asarray(a.hi, np.float64) + np.asarray(a.lo, np.float64)
+
+
+def _lift(x64) -> DF:
+    """Round-trip x64 into its df-representable value."""
+    hi = np.asarray(x64, np.float32)
+    lo = np.asarray(x64 - hi.astype(np.float64), np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def test_elementwise_df_ops_reach_twice_fp32_accuracy():
+    rng = np.random.default_rng(0)
+    a = _lift(rng.uniform(0.1, 10.0, 4096))
+    b = _lift(rng.uniform(0.1, 10.0, 4096))
+    a64, b64 = _df_to_f64(a), _df_to_f64(b)
+    for op, ref in [(df_add, a64 + b64), (df_sub, a64 - b64),
+                    (df_mul, a64 * b64), (df_div, a64 / b64)]:
+        got = _df_to_f64(op(a, b))
+        rel = np.abs(got - ref) / np.abs(ref)
+        assert rel.max() < 1e-13, (op.__name__, rel.max())
+    got = _df_to_f64(df_sqrt(a))
+    rel = np.abs(got - np.sqrt(a64)) / np.sqrt(a64)
+    assert rel.max() < 1e-13
+
+
+def test_df_sqrt_handles_zero():
+    out = df_sqrt(df_from_f32(jnp.zeros(4)))
+    assert np.all(np.asarray(out.hi) == 0.0)
+    assert np.all(np.isfinite(np.asarray(out.lo)))
+
+
+def test_hp_matmul_fp32_inputs_beats_fp32_by_many_digits():
+    rng = np.random.default_rng(1)
+    # wide dynamic range ACROSS rows of a / columns of b: the slicing
+    # grids are per-row/per-column, so this must not cost accuracy
+    a = (rng.standard_normal((192, 384)) *
+         10.0 ** rng.uniform(-6, 6, (192, 1))).astype(np.float32)
+    b = (rng.standard_normal((384, 160)) *
+         10.0 ** rng.uniform(-6, 6, (1, 160))).astype(np.float32)
+    want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    got = _df_to_f64(jax.jit(hp_matmul)(jnp.asarray(a), jnp.asarray(b)))
+    # contract: error <= ~2^-49 relative to rowmax(a) x colmax(b) — the
+    # same normwise backward-error SHAPE as any GEMM, 2^25 tighter than
+    # fp32's 2^-24
+    contract = (np.abs(a).max(1, keepdims=True).astype(np.float64) @
+                np.abs(b).max(0, keepdims=True).astype(np.float64))
+    rel = np.abs(got - want) / contract
+    assert rel.max() < 1e-12, rel.max()
+    got32 = np.asarray(
+        jnp.asarray(a) @ jnp.asarray(b), np.float64)
+    rel32 = np.abs(got32 - want) / contract
+    assert rel.max() < 1e-4 * rel32.max()   # >= 10^4 x better than fp32
+
+
+def test_hp_matmul_df_inputs_and_transpose_b():
+    rng = np.random.default_rng(2)
+    a64 = rng.standard_normal((128, 256))
+    b64 = rng.standard_normal((96, 256))
+    got = _df_to_f64(hp_matmul(_lift(a64), _lift(b64), transpose_b=True))
+    want = _df_to_f64(_lift(a64)) @ _df_to_f64(_lift(b64)).T
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-12, rel
+
+
+def test_hp_matmul_zero_rows_and_ragged_k():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((17, 33)).astype(np.float32)
+    a[5] = 0.0                       # all-zero row: grid guard
+    b = rng.standard_normal((33, 9)).astype(np.float32)
+    got = _df_to_f64(hp_matmul(jnp.asarray(a), jnp.asarray(b)))
+    want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    assert np.abs(got - want).max() < 1e-10 * max(np.abs(want).max(), 1.0)
+
+
+def test_hp_matmul_rejects_overflowing_contraction():
+    a = jnp.zeros((2, 16385), jnp.float32)
+    b = jnp.zeros((16385, 2), jnp.float32)
+    with pytest.raises(ValueError, match="16384"):
+        hp_matmul(a, b)
+
+
+def _hard_chol_problem(m, diag_bits, seed):
+    """(a_df, l_repr64): A = L L^T with fp32 L whose diagonal spans
+    2^0 .. 2^-diag_bits (kappa(A) ~ 2^(2*diag_bits)), PD by construction;
+    a_df is the df-representable A, exact to 2^-48."""
+    rng = np.random.default_rng(seed)
+    l32 = np.tril(rng.standard_normal((m, m)) * 0.1).astype(np.float32)
+    d = np.exp2(-np.linspace(0, diag_bits, m)).astype(np.float32)
+    for i in range(m):
+        l32[i, i] = d[i]
+        l32[i, :i] *= d[i]           # keep rows scaled like their pivot
+    a64 = l32.astype(np.float64) @ l32.astype(np.float64).T
+    return _lift(a64), np.linalg.cholesky(_df_to_f64(_lift(a64)))
+
+
+@pytest.mark.parametrize("m,diag_bits", [(96, 6), (200, 15), (384, 15)])
+def test_df_cholesky_matches_fp64_where_fp32_fails(m, diag_bits):
+    a_df, want = _hard_chol_problem(m, diag_bits, seed=4)
+    got = _df_to_f64(jax.jit(df_cholesky)(a_df))
+    # contract: column errors scale with the column's pivot (like fp64
+    # Cholesky); normalize per column
+    scale = np.maximum(np.abs(want).max(0), np.abs(want).max() * 1e-16)
+    rel = (np.abs(got - want) / scale[None, :]).max()
+    assert rel < 1e-9, (diag_bits, rel)
+    if diag_bits >= 15:              # kappa ~ 1e9: fp32 chol unusable
+        a32 = np.asarray(_df_to_f64(a_df), np.float32)
+        try:
+            l32 = np.linalg.cholesky(a32.astype(np.float64)
+                                     .astype(np.float32))
+            err32 = (np.abs(l32.astype(np.float64) - want)
+                     / scale[None, :]).max()
+        except np.linalg.LinAlgError:
+            err32 = np.inf
+        assert rel < 1e-3 * err32
+
+
+def test_df_trtri_blocked_contract_and_unblocked_exactness():
+    """Unblocked trtri is ~exact; the blocked path's explicit inverse
+    carries ~kappa^2 * 2^-49 normwise (same shape as LAPACK dtrtri at
+    2^-53) — both asserted."""
+    rng = np.random.default_rng(5)
+    m = 160
+    q, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    lam = np.logspace(0, -8, m)
+    l64 = np.linalg.cholesky((q * lam) @ q.T)       # kappa(L) ~ 1e4
+    l_df = _lift(l64)
+    want = np.linalg.inv(_df_to_f64(l_df))
+    got_u = _df_to_f64(_df_trtri_block(l_df))
+    rel_u = np.abs(got_u - want).max() / np.abs(want).max()
+    assert rel_u < 1e-12, rel_u
+    got_b = _df_to_f64(df_trtri_lower(l_df, block=64))
+    rel_b = np.abs(got_b - want).max() / np.abs(want).max()
+    kappa_l = np.abs(lam).max() ** 0.5 / np.abs(lam).min() ** 0.5
+    assert rel_b < 100.0 * kappa_l ** 2 * 2.0 ** -49, rel_b
+
+
+@pytest.mark.parametrize("m,block", [(96, 96), (200, 64)])
+def test_df_cholesky_inverse_factor_vs_host_fp64(m, block):
+    """The on-device finalize against the host-fp64 semantics it
+    replaces, at conditioning fp32 cannot touch (|C|/r = 1e8)."""
+    rng = np.random.default_rng(6)
+    psi = rng.standard_normal((4 * m, m))
+    c64 = psi.T @ psi
+    c32 = np.asarray(c64, np.float32)
+    reg = 1e-8 * float(np.abs(np.diag(c32)).mean()) * m
+    b32 = rng.standard_normal((m, 1)).astype(np.float32)
+    ic, beta, ld = jax.jit(
+        lambda c, b: df_cholesky_inverse_factor(c, jnp.float32(reg), b,
+                                                block=block))(
+        jnp.asarray(c32), jnp.asarray(b32))
+    c_exact = 0.5 * (c32.astype(np.float64) + c32.astype(np.float64).T)
+    a_exact = c_exact + reg * np.eye(m)
+    # ic is fp32 OUTPUT (its contract): compare the implied inverse at
+    # a tolerance set by ic's own fp32 rounding, kappa-amplified
+    want_inv = np.linalg.inv(a_exact)
+    got_inv = np.asarray(ic, np.float64) @ np.asarray(ic, np.float64).T
+    rel = np.abs(got_inv - want_inv).max() / np.abs(want_inv).max()
+    kappa = np.linalg.cond(a_exact)
+    assert rel < max(1e-5, 100.0 * kappa * 2.0 ** -24), (kappa, rel)
+    # beta goes through df SOLVES: much tighter than the inverse
+    want_beta = np.linalg.solve(a_exact, b32.astype(np.float64))
+    rel_b = np.abs(np.asarray(beta, np.float64) - want_beta).max() / \
+        np.abs(want_beta).max()
+    assert rel_b < 1e-5, rel_b
+    sign, want_ld = np.linalg.slogdet(a_exact)
+    assert sign > 0
+    assert abs(float(ld) - want_ld) < 1e-4 * abs(want_ld)
+
+
+def test_df_cholesky_pivot_floor_recovers_indefinite_noise():
+    """A matrix that is PSD in exact arithmetic but rank-deficient: the
+    floored pivots keep the factor and inverse finite."""
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal((64, 8))
+    c32 = np.asarray(u @ u.T, np.float32)          # rank 8: zero pivots
+    reg = 1e-6 * float(np.abs(np.diag(c32)).mean())
+    ic, beta, _ = df_cholesky_inverse_factor(
+        jnp.asarray(c32), jnp.float32(reg),
+        jnp.ones((64, 1), jnp.float32))
+    assert np.all(np.isfinite(np.asarray(ic)))
+    assert np.all(np.isfinite(np.asarray(beta)))
