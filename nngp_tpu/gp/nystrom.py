@@ -206,49 +206,99 @@ def _whiten_basis_chol(kmm64: np.ndarray, rank_rtol: float) -> np.ndarray:
         f"{jitter:.3e} (lam_max ~ {lam_max:.3e})")
 
 
+@jax.jit
+def _basis_device_jit(kmm, jitter):
+    """Device analog of `_whiten_basis_chol` in emulated fp64
+    (`ops/df64.py`): W = inv(chol(K_mm + j I))^T, fp32 out. Instead of
+    the host path's 10x jitter-escalation retry loop, pivots are floored
+    at the jitter itself — per-direction escalation with the same
+    semantics (noise directions get damped), no host control flow."""
+    from nngp_tpu.ops.df64 import (DF, _two_sum, df_from_f32,
+                                   _df_chol_blocks, _df_trtri_blocks,
+                                   _assemble, df_round)
+
+    m = kmm.shape[0]
+    sym = 0.5 * (kmm + kmm.T)
+    # lam_max estimate: fp32 power iteration (16 matvecs, MXU)
+    def body(_, v):
+        w = sym @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+    v = jax.lax.fori_loop(0, 16, body,
+                          jnp.full((m,), 1.0 / jnp.sqrt(m * 1.0),
+                                   sym.dtype))
+    lam_max = jnp.maximum(v @ (sym @ v), jnp.max(jnp.diag(sym)))
+    j = jitter * lam_max
+    diag = jnp.arange(m)
+    d_hi, d_lo = _two_sum(sym[diag, diag], jnp.broadcast_to(j, (m,)))
+    a = DF(sym.at[diag, diag].set(d_hi),
+           jnp.zeros_like(sym).at[diag, diag].set(d_lo))
+    l_blocks, inv_diag, nb, blk = _df_chol_blocks(a, 512, j)
+    x = _df_trtri_blocks(l_blocks, inv_diag, nb)
+    return df_round(_assemble(x, nb, blk, m).T)
+
+
 _BASES_CACHE = {}                       # host numpy results only
 _BASES_CACHE_MAX = 4
 
 
-def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol"):
-    """Host-fp64 whitening bases from the device-computed K_mm kernels.
+def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
+                    device=False):
+    """Whitening bases from the device-computed K_mm kernels.
 
     whiten='chol' (default): jittered-Cholesky basis, ~5x cheaper on host;
     whiten='eigh': eigenvalue-truncated basis (the semantics anchor).
+    device=True (finalize='device' fits, 'chol' only): the emulated-fp64
+    factorization runs on the accelerator (`_basis_device_jit`) — no K_mm
+    fetch, no single-core LAPACK; pays off on cold fits and every
+    `grow_inducing` (fresh inducing set = guaranteed cache miss).
 
     Cached on the VALUE of the inducing set (sha1 of its bytes + spec/get/
-    rtol/whiten): the factorization costs seconds on this image's single
-    CPU core, and repeated fits with the same inducing rows (active-
-    learning full refits, best-of-N timing loops) would otherwise pay it
-    every time. The cache holds HOST numpy arrays (never traced values —
-    see the CLAUDE.md lru_cache rule) and is tiny (<= 4 entries of ~m*k
-    floats)."""
+    rtol/whiten/device): the factorization costs seconds on this image's
+    single CPU core, and repeated fits with the same inducing rows
+    (active-learning full refits, best-of-N timing loops) would otherwise
+    pay it every time. The cache holds CONCRETE arrays — host numpy or
+    committed device buffers, never traced values (CLAUDE.md lru_cache
+    rule) — and is tiny (<= 4 entries of ~m*k floats)."""
     import hashlib
 
+    if device and whiten != "chol":
+        raise ValueError("device bases require whiten='chol' (the eigh "
+                         "basis is a host semantics anchor)")
     basis_fn = _whiten_basis_chol if whiten == "chol" else _whiten_basis
     x_np = np.asarray(x_m)
-    key = (spec, get, float(rank_rtol), whiten, str(x_np.dtype), x_np.shape,
+    key = (spec, get, float(rank_rtol), whiten, bool(device),
+           str(x_np.dtype), x_np.shape,
            hashlib.sha1(x_np.tobytes()).hexdigest())
     hit = _BASES_CACHE.get(key)
     if hit is not None:
-        w_solve_np, w_kmm_np = hit
-        return (jnp.asarray(w_solve_np, x_m.dtype),
-                jnp.asarray(w_kmm_np, x_m.dtype)
-                if w_kmm_np is not None else None)
+        w_solve_c, w_kmm_c = hit
+        return (jnp.asarray(w_solve_c, x_m.dtype),
+                jnp.asarray(w_kmm_c, x_m.dtype)
+                if w_kmm_c is not None else None)
 
-    if get == "ntk":
+    if device:
+        jit32 = jnp.float32(rank_rtol)
+        if get == "ntk":
+            kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
+            w_kmm_c = _basis_device_jit(kmm_nngp, jit32)
+        else:
+            kmm_solve = spec.kernel_fn(x_m, x_m, "nngp")
+            w_kmm_c = None
+        w_solve_c = _basis_device_jit(kmm_solve, jit32)
+    elif get == "ntk":
         kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
-        w_kmm_np = basis_fn(np.asarray(kmm_nngp, np.float64), rank_rtol)
+        w_kmm_c = basis_fn(np.asarray(kmm_nngp, np.float64), rank_rtol)
+        w_solve_c = basis_fn(np.asarray(kmm_solve, np.float64), rank_rtol)
     else:
         kmm_solve = spec.kernel_fn(x_m, x_m, "nngp")
-        w_kmm_np = None
-    w_solve_np = basis_fn(np.asarray(kmm_solve, np.float64), rank_rtol)
+        w_kmm_c = None
+        w_solve_c = basis_fn(np.asarray(kmm_solve, np.float64), rank_rtol)
     if len(_BASES_CACHE) >= _BASES_CACHE_MAX:
         _BASES_CACHE.pop(next(iter(_BASES_CACHE)))
-    _BASES_CACHE[key] = (w_solve_np, w_kmm_np)
-    return (jnp.asarray(w_solve_np, x_m.dtype),
-            jnp.asarray(w_kmm_np, x_m.dtype)
-            if w_kmm_np is not None else None)
+    _BASES_CACHE[key] = (w_solve_c, w_kmm_c)
+    return (jnp.asarray(w_solve_c, x_m.dtype),
+            jnp.asarray(w_kmm_c, x_m.dtype)
+            if w_kmm_c is not None else None)
 
 
 @jax.jit
@@ -790,7 +840,7 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
                 precision: str = "highest", whiten: str = "chol",
                 inducing: str = "uniform", inducing_rows=None,
                 mesh=None, mesh_axis: str = "data",
-                finalize: str = "host") -> NystromPosterior:
+                finalize: str = "auto") -> NystromPosterior:
     """Streaming Nystrom/DTC fit. O(n m^2) MXU flops, O(m^2 + panel*m)
     device memory — n is unbounded by HBM (the row panels stream from
     host). With num_inducing >= n this IS the exact posterior (up to the
@@ -824,12 +874,16 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     rows work; this is the hook `NystromPosterior.grow_inducing` uses to
     refit with an enlarged set.
 
-    finalize: where the k x k solve stage runs — 'host' (default: fp64
-    LAPACK on the host, one 16 MB fetch + ~1-3 s single-core at m=2048),
-    'device' (emulated-fp64 Cholesky/inverse on the MXU, `ops/df64.py` —
-    no host round-trip; fp32 posteriors only), or 'auto' ('device' on a
-    TPU backend for fp32, else 'host'). extend/forget/grow_inducing
-    reuse the fit's resolved choice.
+    finalize: where the k x k solve stage and the whitening bases run —
+    'host' (fp64 LAPACK on the host: one 16 MB fetch + ~1-3 s single-core
+    at m=2048), 'device' (emulated-fp64 Cholesky/inverse on the MXU,
+    `ops/df64.py` — no host round-trip; fp32 posteriors only), or 'auto'
+    (default: 'device' on a TPU backend for fp32, else 'host').
+    Measured on chip at m=2048 (experiments/finalize_ab.log, interleaved
+    A/B): fit 1.39 -> 0.35 s, extend-1000 1.01 -> 0.088 s, q-error
+    IDENTICAL to 4 decimals. extend/forget/grow_inducing reuse the fit's
+    resolved choice. First use per (m, get) shape pays a one-time ~250 s
+    remote compile — `Estimator.warmup` covers serving.
 
     mesh: optional jax.sharding.Mesh — shard every panel's rows over
     `mesh_axis` so the O(n m^2) moment flops data-parallelize across
@@ -871,8 +925,10 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
 
     if whiten not in ("chol", "eigh"):
         raise ValueError(f"whiten must be 'chol' or 'eigh', got {whiten!r}")
-    w_solve, w_kmm = _inducing_bases(spec, get, float(rank_rtol), x_m,
-                                     whiten=whiten)
+    finalize = _resolve_finalize(finalize, x_m.dtype)
+    w_solve, w_kmm = _inducing_bases(
+        spec, get, float(rank_rtol), x_m, whiten=whiten,
+        device=(finalize == "device" and whiten == "chol"))
     c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
         spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size,
         mesh=mesh, mesh_axis=mesh_axis)
@@ -880,7 +936,6 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         reg = jnp.asarray(diag_reg, x_m.dtype)
     else:
         reg = (diag_reg * diag_sum / n).astype(x_m.dtype)
-    finalize = _resolve_finalize(finalize, x_m.dtype)
     ic, beta_w = _finalize(c_raw, b_w, reg, x_m.dtype, finalize)
     return NystromPosterior(
         x_m=x_m, w_solve=w_solve, ic=ic, beta_w=beta_w, reg=reg,

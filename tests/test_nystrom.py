@@ -462,3 +462,48 @@ def test_active_learner_nystrom_grow():
     assert all(np.isfinite(h["val_mse"]) for h in history)
     with pytest.raises(ValueError, match="nystrom_grow"):
         ActiveLearner(spec, nystrom_grow=8)
+
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_device_finalize_matches_host(get):
+    """finalize='device' (emulated-fp64 on the accelerator, ops/df64.py)
+    must agree with the host-fp64 solve stage it replaces — fit, predict
+    AND the extend path, which reuses the posterior's finalize choice."""
+    x, y, xt = _data(n=80)
+    x32 = x.astype(np.float32)
+    y32 = y.astype(np.float32)
+    xt32 = jnp.asarray(xt.astype(np.float32))
+    spec = reference_kernel()
+    host = fit_nystrom(spec, x32[:64], y32[:64], num_inducing=48, get=get)
+    dev = fit_nystrom(spec, x32[:64], y32[:64], num_inducing=48, get=get,
+                      finalize="device")
+    assert host.finalize == "host" and dev.finalize == "device"
+    m0, s0 = host.predict_mean_std(xt32)
+    m1, s1 = dev.predict_mean_std(xt32)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=2e-3, atol=1e-5)
+    host2 = host.extend(x32[64:], y32[64:])
+    dev2 = dev.extend(x32[64:], y32[64:])
+    m0, s0 = host2.predict_mean_std(xt32)
+    m1, s1 = dev2.predict_mean_std(xt32)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_finalize_auto_resolves_by_backend_and_dtype():
+    x, y, _ = _data(n=40)
+    spec = reference_kernel()
+    # CPU backend: auto -> host (native fp64 LAPACK is right there)
+    post = fit_nystrom(spec, x.astype(np.float32), y.astype(np.float32),
+                       num_inducing=24, finalize="auto")
+    assert post.finalize == "host"
+    # fp64 posteriors must reject the (48-bit) device path outright
+    with pytest.raises(ValueError, match="fp32"):
+        fit_nystrom(spec, x, y, num_inducing=24, finalize="device")
+    with pytest.raises(ValueError, match="finalize"):
+        fit_nystrom(spec, x.astype(np.float32), y.astype(np.float32),
+                    num_inducing=24, finalize="gpu")
