@@ -197,9 +197,13 @@ def _row_grids(hi, w=_W):
     mx = jnp.max(jnp.abs(hi), axis=1, keepdims=True)
     # exact power of two >= mx (frexp: mx = f * 2^e with f in [0.5, 1));
     # ldexp is EXACT scaling — jnp.exp2 is a polynomial approximation and
-    # a grid that is off by 1e-7 breaks the exact-reconstruction contract
+    # a grid that is off by 1e-7 breaks the exact-reconstruction contract.
+    # Floor e so the LAST slice's grid (g0 * 2^-49) stays a normal fp32:
+    # an underflowed grid is 0 and r/g would NaN — rows with max < 2^-70
+    # slice as ~zero instead (they are below any use here anyway).
     _, e = jnp.frexp(jnp.where(mx > 0, mx, 1.0))
-    return jnp.ldexp(jnp.float32(1.0), e - w).astype(jnp.float32)
+    return jnp.ldexp(jnp.float32(1.0), jnp.maximum(e - w, -70)
+                     ).astype(jnp.float32)
 
 
 def _int_slices(a: DF, num=_SLICES, w=_W):
@@ -234,9 +238,11 @@ def hp_matmul(a, b, transpose_b: bool = False) -> DF:
     a_df = a if isinstance(a, DF) else df_from_f32(a)
     b_df = b if isinstance(b, DF) else df_from_f32(b)
     k = a_df.hi.shape[1]
-    # worst case |level partial| <= (#pairs per level) * 127^2 * k < 2^31
-    if k > 16384:
-        raise ValueError(f"hp_matmul contraction dim {k} > 16384 could "
+    # worst case |level partial| <= (#pairs per level) * 127^2 * k: at
+    # k = 8192 that is 1.06e9, a 2x margin under int32 (at 16384 it would
+    # sit at 98% of INT32_MAX — too close for a correctness kernel)
+    if k > 8192:
+        raise ValueError(f"hp_matmul contraction dim {k} > 8192 could "
                          "overflow the int32 accumulator — block the call")
     # slice A by rows; slice B along its contraction dim (rows of B, or
     # rows of B.T when transpose_b — i.e. per-row grids of the stored b)
@@ -248,8 +254,9 @@ def hp_matmul(a, b, transpose_b: bool = False) -> DF:
         sbt, gb = _int_slices(b_df.T)
         sb = [s.T for s in sbt]
         dims = (((1,), (0,)), ((), ()))
-    # scale outer product (powers of two: exact fp32 multiply)
-    scale = ga @ gb.T                                   # (m, n)
+    # scale outer product via broadcast multiply (powers of two: exact;
+    # a matmul here would be subject to the ambient precision context)
+    scale = ga * gb.T                                   # (m, n)
 
     # pairs grouped by total level l = i + j: same scale -> sum the int32
     # partials in INTEGER first (<= 8 pairs of 14+log2(k) bits: safe),

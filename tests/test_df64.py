@@ -99,9 +99,9 @@ def test_hp_matmul_zero_rows_and_ragged_k():
 
 
 def test_hp_matmul_rejects_overflowing_contraction():
-    a = jnp.zeros((2, 16385), jnp.float32)
-    b = jnp.zeros((16385, 2), jnp.float32)
-    with pytest.raises(ValueError, match="16384"):
+    a = jnp.zeros((2, 8193), jnp.float32)
+    b = jnp.zeros((8193, 2), jnp.float32)
+    with pytest.raises(ValueError, match="8192"):
         hp_matmul(a, b)
 
 
@@ -205,3 +205,17 @@ def test_df_cholesky_pivot_floor_recovers_indefinite_noise():
         jnp.ones((64, 1), jnp.float32))
     assert np.all(np.isfinite(np.asarray(ic)))
     assert np.all(np.isfinite(np.asarray(beta)))
+
+
+def test_hp_matmul_tiny_magnitude_rows_stay_finite():
+    """Rows with max < 2^-70: the slice grid floors instead of
+    underflowing to 0 (which would divide r/g into NaN)."""
+    a = np.full((4, 8), 1e-25, np.float32)
+    a[1] = 1e-35                       # below the 2^-70 grid floor
+    a[2] = 0.0
+    b = np.ones((8, 3), np.float32)
+    out = hp_matmul(jnp.asarray(a), jnp.asarray(b))
+    got = _df_to_f64(out)
+    assert np.all(np.isfinite(got))
+    want = a.astype(np.float64) @ b.astype(np.float64)
+    assert np.abs(got[0] - want[0]).max() < 1e-12 * np.abs(want[0]).max()
