@@ -158,7 +158,7 @@ def _nll_ard(theta, x, y, depth, activation, width, get, duals):
 
 
 def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals,
-             mask=None):
+             mask=None, mm_jitter_rel=None):
     """Exact negative log evidence of the DTC/Nystrom model the streaming
     tier actually serves (`gp/nystrom.py`): y ~ N(0, Q + r I) with
     Q = K_nm K_mm^-1 K_mn over the FIRST m rows as inducing points
@@ -220,7 +220,9 @@ def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals,
     # agreement within 0.2 nats at the same jitter. The jitter-induced
     # evidence shift is shared by every candidate theta, so the argmax is
     # preserved; fp64 keeps 1e-10 (the recorded CPU results' setting).
-    jitter = (1e-10 if x.dtype == jnp.float64 else 1e-4) * jnp.mean(dvec[:m])
+    if mm_jitter_rel is None:
+        mm_jitter_rel = 1e-10 if x.dtype == jnp.float64 else 1e-4
+    jitter = mm_jitter_rel * jnp.mean(dvec[:m])
     l_mm = jnp.linalg.cholesky(k_mm + jitter * jnp.eye(m, dtype=x.dtype))
 
     k0_nm = input_gram(x, x_m)
@@ -247,7 +249,8 @@ def _nll_dtc(theta, x, y, m, depth, activation, width, get, duals,
                                    "steps", "lr", "eps", "ard", "objective",
                                    "dtc_m"))
 def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps,
-              ard=False, objective="exact", dtc_m=0, mask=None):
+              ard=False, objective="exact", dtc_m=0, mask=None,
+              mm_jitter_rel=None):
     """ONE dispatch: `steps` Adam iterations of the exact-MLL loss via
     lax.scan, vmapped over a BATCH of restarts (leading axis of theta0s —
     the evidence is multimodal in the ridge: a small-reg init settles into
@@ -265,7 +268,8 @@ def _optimize(x, y, theta0s, depth, activation, width, get, steps, lr, eps,
             # handles scalar AND ARD parameterizations via the theta keys
             loss = partial(_nll_dtc, x=x, y=y, m=dtc_m, depth=depth,
                            activation=activation, width=width, get=get,
-                           duals=duals, mask=mask)
+                           duals=duals, mask=mask,
+                           mm_jitter_rel=mm_jitter_rel)
         elif ard:
             loss = partial(_nll_ard, x=x, y=y, depth=depth,
                            activation=activation, width=width, get=get,
@@ -423,7 +427,9 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
                            init_feature_scale=None,
                            objective: str = "exact",
                            dtc_m: int = 512,
-                           mesh=None) -> HyperoptResult:
+                           mesh=None,
+                           mm_jitter_rel: Optional[float] = None
+                           ) -> HyperoptResult:
     """Learn (w0, w, b, diag_reg) for an `mlp(depth, activation)` kernel by
     maximizing the exact log evidence on (a subsample of) the training set.
 
@@ -462,7 +468,10 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
         exact GP: use it when the hypers will serve the streaming tier
         (`fit_nystrom` / Estimator(nystrom_m=...)) — the exact-GP optimum
         measurably loses there (BASELINE.md 90k row). O(n m^2) per step;
-        composes with ard=True.
+        composes with ard=True. mm_jitter_rel overrides the K_mm jitter
+        floor (default 1e-10 fp64 / 1e-4 fp32 — the fp32 floor is the
+        measured Cholesky-breakdown scale, _nll_dtc docstring); it is a
+        TRACED operand, so sweeping it recompiles nothing.
       * max_points=None disables the subsample — affordable with
         objective='dtc' (linear in n per step) where the exact O(n^3)
         loss is not. Measured: scalar hypers saturate by ~2k rows (a 4x
@@ -551,7 +560,8 @@ def fit_kernel_hyperparams(x, y, depth: int = 1, activation: str = "relu",
     theta, hist, final = _optimize(x, y, theta0s, depth, activation, width,
                                    get, steps, float(lr), float(eps),
                                    ard=ard, objective=objective,
-                                   dtc_m=dtc_m, mask=mask)
+                                   dtc_m=dtc_m, mask=mask,
+                                   mm_jitter_rel=mm_jitter_rel)
     if not np.isfinite(float(final)):
         # nanargmin over all-inf finals returns index 0 — without this
         # check the UN-learned init would be reported as a success
