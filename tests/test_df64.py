@@ -219,3 +219,94 @@ def test_hp_matmul_tiny_magnitude_rows_stay_finite():
     assert np.all(np.isfinite(got))
     want = a.astype(np.float64) @ b.astype(np.float64)
     assert np.abs(got[0] - want[0]).max() < 1e-12 * np.abs(want[0]).max()
+
+
+# ---------------------------------------------------------------------------
+# df kernel recursion (ops/df64_kernel.py)
+# ---------------------------------------------------------------------------
+
+def _kernel_case(layers, x1, x2, get=("nngp", "ntk")):
+    from nngp_tpu.models.kernel_spec import KernelSpec
+    from nngp_tpu.ops.df64_kernel import df_kernel_eval
+
+    ref = KernelSpec(layers).kernel_fn(
+        jnp.asarray(np.asarray(x1, np.float64)),
+        jnp.asarray(np.asarray(x2, np.float64)), get)
+    got = df_kernel_eval(layers, x1, x2, get)
+    return [(np.asarray(r), _df_to_f64(g)) for r, g in zip(ref, got)]
+
+
+def _scale_rel(ref, got):
+    return np.abs(got - ref).max() / np.abs(ref).max()
+
+
+@pytest.mark.parametrize("mk", ["relu_d1", "relu_d3", "erf_d2", "abs_d1",
+                                "relu_hypers"])
+def test_df_kernel_matches_fp64_oracle(mk):
+    """df Gram entries reach ~1e-13 scale-relative vs the fp64 CPU oracle
+    on [0,1000]-scale features — 6 decimal digits beyond fp32 (~1e-7).
+    Requires x64 (CPU suite)."""
+    from nngp_tpu.models.kernel_spec import Dense, Activation, mlp
+
+    layers = {
+        "relu_d1": mlp(depth=1),
+        "relu_d3": mlp(depth=3),
+        "erf_d2": mlp(depth=2, activation="erf", b_std=0.5),
+        "abs_d1": mlp(depth=1, activation="abs"),
+        "relu_hypers": (Dense(512, 0.24, 62.0), Activation("relu"),
+                        Dense(1, 0.26, 0.0)),
+    }[mk]
+    rng = np.random.default_rng(3)
+    x1 = rng.uniform(0, 1000, (48, 61)).astype(np.float32)
+    x2 = rng.uniform(0, 1000, (40, 61)).astype(np.float32)
+    for ref, got in _kernel_case(layers, x1, x2):
+        assert _scale_rel(ref, got) < 3e-12
+
+
+def test_df_kernel_near_duplicate_rows():
+    """rho -> 1 regime (the fp32 failure mode this module exists for):
+    NNGP entries stay ~1e-13 — the J1 dual depends on theta only through
+    theta^2 ~ 2(1-rho), which df carries exactly. The NTK multiplier is
+    LINEAR in theta, whose abs error at rho -> 1 is sqrt(df-eps) ~ 2^-24
+    — the same shape as real fp64's sqrt(2^-53) ~ 1e-8 (both "sqrt of an
+    ill-known tiny"), so the assert pins ~1e-7, far beyond fp32's 1e-4."""
+    from nngp_tpu.models.kernel_spec import mlp
+
+    rng = np.random.default_rng(5)
+    x1 = rng.uniform(0, 1000, (32, 61)).astype(np.float32)
+    x2 = np.concatenate([
+        (x1[:16] * np.float32(1 + 1e-6)).astype(np.float32),
+        x1[:16]])
+    (rn, gn), (rt, gt) = _kernel_case(mlp(depth=1), x1, x2)
+    assert _scale_rel(rn, gn) < 3e-12
+    assert _scale_rel(rt, gt) < 1e-6
+
+
+def test_df_kernel_nngp_only_and_input_moments():
+    """get='nngp' skips the NTK chain; df input Gram/diag are exact for
+    fp32-representable inputs (Ozaki slices + two_prod)."""
+    from nngp_tpu.models.kernel_spec import mlp
+    from nngp_tpu.ops.df64_kernel import (df_input_diag, df_input_gram,
+                                          df_kernel_eval)
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1000, (24, 20)).astype(np.float32)
+    k0 = _df_to_f64(df_input_gram(x, x))
+    want = np.asarray(x, np.float64) @ np.asarray(x, np.float64).T / 20.0
+    assert np.abs(k0 - want).max() / np.abs(want).max() < 1e-14
+    d0 = _df_to_f64(df_input_diag(x))
+    assert np.abs(d0 - np.diag(want)).max() / want.max() < 1e-14
+    g = df_kernel_eval(mlp(depth=1), x, None, "nngp")
+    assert _df_to_f64(g).shape == (24, 24)
+
+
+def test_df_kernel_rejects_sin_and_traced_stds():
+    from nngp_tpu.models.kernel_spec import Dense, mlp
+    from nngp_tpu.ops.df64_kernel import df_kernel_eval
+
+    x = np.ones((4, 8), np.float32)
+    with pytest.raises(NotImplementedError):
+        df_kernel_eval(mlp(depth=1, activation="sin"), x, x, "nngp")
+    traced = (Dense(4, jnp.float32(1.0), jnp.float32(0.0)),)
+    with pytest.raises(TypeError):
+        df_kernel_eval(traced, x, x, "nngp")
