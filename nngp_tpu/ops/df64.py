@@ -43,9 +43,10 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
-    "DF", "df_from_f32", "df_round", "df_add", "df_sub", "df_mul",
-    "df_div", "df_sqrt", "hp_matmul", "df_cholesky", "df_trtri_lower",
-    "df_cholesky_inverse_factor",
+    "DF", "df_from_f32", "df_const", "df_round", "df_add", "df_sub",
+    "df_mul",
+    "df_div", "df_sqrt", "hp_matmul", "hp_matmul_blocked", "df_cholesky",
+    "df_trtri_lower", "df_cholesky_inverse_factor",
 ]
 
 
@@ -69,20 +70,39 @@ def _quick_two_sum(a, b):
 
 
 def _split(a):
-    """Dekker split of fp32 into two 12-bit halves (exact)."""
-    c = jnp.float32(4097.0) * a            # 2^12 + 1
-    hi = c - (c - a)
+    """Truncation split of fp32 into two <=12-bit halves (exact): mask
+    the low 12 mantissa bits through an int32 bitcast. Bit ops are opaque
+    to both XLA's algebraic simplifier and LLVM's fma contraction — the
+    arithmetic Dekker split (c = 4097*a; hi = c - (c - a)) is NOT safe
+    under XLA:CPU, where `4097*a - a` contracts to the exact `4096*a`
+    and the outer subtract then contracts to round(a): the split
+    silently collapses to (a, 0) and every "exact" partial product turns
+    into a full fp32 rounding (measured 1.5e-8 relative on
+    df_mul(df_sub(1, rho), df_add(1, rho)) inside one fusion)."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(a, jnp.float32),
+                                        jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-4096), jnp.float32)
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    """p + e == a * b exactly (Dekker; fma-free — fma contraction by the
-    compiler only makes the error term MORE exact)."""
-    p = a * b
+    """p + e == a * b to ~2^-46 relative, built ONLY from the four EXACT
+    Dekker partial products (12-bit halves: every product is
+    fp32-representable, so compiler fma contraction is a no-op on each).
+
+    The classic form `p = a*b; e = (ah*bh - p) + ...` is NOT safe under
+    XLA:CPU: optimization barriers are expanded away before fusion, the
+    cheap rounded product gets DUPLICATED into each consumer fusion, and
+    LLVM contracts single-use `a*b + x` into fma(a, b, x) — so different
+    consumers observe differently-rounded p and the reconstructed error
+    term is off by ulp(p) (measured: 3.9e-8 relative on df_mul by a
+    scalar, tests/test_df64.py::test_df_mul_scalar_operand_under_jit)."""
     ah, al = _split(a)
     bh, bl = _split(b)
-    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, e
+    s, e1 = _two_sum(ah * bh, ah * bl)
+    s, e2 = _two_sum(s, al * bh)
+    e = (e1 + e2) + al * bl
+    return s, e
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +125,24 @@ def df_from_f32(hi):
     """Lift an fp32 array into double-float (lo = 0)."""
     hi = jnp.asarray(hi, jnp.float32)
     return DF(hi, jnp.zeros_like(hi))
+
+
+def df_const(hi, lo=0.0):
+    """An OPAQUE df constant for use inside traced df arithmetic.
+
+    A literal constant entering two_sum is unsafe under jit: XLA's
+    algebraic simplifier combines constants across add/sub chains —
+    `(x + c) - c` rewrites to `x` — which deletes the reconstructed
+    rounding error (measured: df_add(1, rho) lost its entire lo part,
+    eps32-level error on the (1-rho)(1+rho) product driving df_acos).
+    An optimization_barrier at constant creation blocks the rewrite:
+    the simplifier runs before barrier expansion. (Barriers do NOT
+    protect against LLVM fma contraction — that needed the exact-partial
+    `_two_prod` and the bit-mask `_split`; this guard is ONLY about
+    HLO-level constant algebra.)"""
+    hi, lo = jax.lax.optimization_barrier(
+        (jnp.float32(hi), jnp.float32(lo)))
+    return DF(hi, lo)
 
 
 def df_round(a: DF):
@@ -281,6 +319,32 @@ def hp_matmul(a, b, transpose_b: bool = False) -> DF:
                    rem.astype(jnp.float32) * lvl_scale)
         piece = DF(*_two_sum(piece.hi, piece.lo))
         acc = piece if acc is None else df_add(acc, piece)
+    return acc
+
+
+def _df_slice_cols(a: DF, s: int, e: int) -> DF:
+    return DF(a.hi[:, s:e], a.lo[:, s:e])
+
+
+def hp_matmul_blocked(a, b, transpose_b: bool = False,
+                      block: int = 8192) -> DF:
+    """`hp_matmul` for contraction dims beyond the int32-overflow cap:
+    split the contraction into <= `block` chunks and df_add the exact
+    partials (each chunk's slice products stay exact; the df adds carry
+    ~2^-48 — same contract as one big call)."""
+    a_df = a if isinstance(a, DF) else df_from_f32(jnp.asarray(a))
+    b_df = b if isinstance(b, DF) else df_from_f32(jnp.asarray(b))
+    k = a_df.hi.shape[1]
+    if k <= block:
+        return hp_matmul(a_df, b_df, transpose_b=transpose_b)
+    acc = None
+    for s in range(0, k, block):
+        e = min(s + block, k)
+        ac = _df_slice_cols(a_df, s, e)
+        bc = (_df_slice_cols(b_df, s, e) if transpose_b
+              else DF(b_df.hi[s:e], b_df.lo[s:e]))
+        part = hp_matmul(ac, bc, transpose_b=transpose_b)
+        acc = part if acc is None else df_add(acc, part)
     return acc
 
 
@@ -517,7 +581,8 @@ def _back_solve_blocks(l_blocks, inv_diag, nb, y):
 
 
 def df_cholesky_inverse_factor(c_hi, reg, b_hi=None, block: int = 512,
-                               pivot_floor_rel: float = 1e-3):
+                               pivot_floor_rel: float = 1e-3,
+                               c_lo=None, b_lo=None):
     """On-device (C + reg I)^-1 inverse square-root factor in emulated
     fp64 — the device counterpart of the Nystrom host finalize
     (`gp/nystrom.py:_finalize_host`): ic = inv(chol(C + rI))^T, so
@@ -540,15 +605,24 @@ def df_cholesky_inverse_factor(c_hi, reg, b_hi=None, block: int = 512,
       SOLVES (kappa * 2^-49 — tighter than the host's inverse-based
       beta at kappa^2 * 2^-53); None when b_hi is None.
       logdet = log det(C + reg I) = 2 sum log diag L.
+
+    c_lo / b_lo: optional df tails when the caller accumulated the
+    moments in double-float (`gp/nystrom.py` moments='df64') — the
+    factorization then starts from the full ~2^-48 moment value instead
+    of its fp32 rounding.
     """
     c_hi = jnp.asarray(c_hi, jnp.float32)
     m = c_hi.shape[0]
     sym = 0.5 * (c_hi + c_hi.T)
+    sym_lo = (0.5 * (jnp.asarray(c_lo, jnp.float32)
+                     + jnp.asarray(c_lo, jnp.float32).T)
+              if c_lo is not None else jnp.zeros_like(sym))
     r = jnp.asarray(reg, jnp.float32)
     diag = jnp.arange(m)
-    d_hi, d_lo = _two_sum(sym[diag, diag], jnp.broadcast_to(r, (m,)))
-    a = DF(sym.at[diag, diag].set(d_hi),
-           jnp.zeros_like(sym).at[diag, diag].set(d_lo))
+    d = df_add(DF(sym[diag, diag], sym_lo[diag, diag]),
+               df_from_f32(jnp.broadcast_to(r, (m,))))
+    a = DF(sym.at[diag, diag].set(d.hi),
+           sym_lo.at[diag, diag].set(d.lo))
     floor = jnp.float32(pivot_floor_rel) * r
     l_blocks, inv_diag, nb, blk = _df_chol_blocks(a, block, floor)
     x = _df_trtri_blocks(l_blocks, inv_diag, nb)
@@ -557,8 +631,10 @@ def df_cholesky_inverse_factor(c_hi, reg, b_hi=None, block: int = 512,
 
     beta = None
     if b_hi is not None:
-        b_chunks = _block_rows(df_from_f32(jnp.asarray(b_hi, jnp.float32)),
-                               nb, blk)
+        b_df = DF(jnp.asarray(b_hi, jnp.float32),
+                  jnp.asarray(b_lo, jnp.float32) if b_lo is not None
+                  else jnp.zeros_like(jnp.asarray(b_hi, jnp.float32)))
+        b_chunks = _block_rows(b_df, nb, blk)
         y = _forward_solve_blocks(l_blocks, inv_diag, nb, b_chunks)
         z = _back_solve_blocks(l_blocks, inv_diag, nb, y)
         beta = jnp.concatenate([df_round(zi) for zi in z], axis=0)[:m]

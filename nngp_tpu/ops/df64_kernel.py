@@ -40,8 +40,8 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from nngp_tpu.ops.df64 import (DF, df_add, df_div, df_from_f32, df_mul,
-                               df_neg, df_sqrt, df_sub, hp_matmul,
+from nngp_tpu.ops.df64 import (DF, df_add, df_const, df_div, df_from_f32,
+                               df_mul, df_neg, df_sqrt, df_sub, hp_matmul,
                                _df_tree_sum, _two_prod, _two_sum)
 
 __all__ = [
@@ -76,7 +76,9 @@ _QS = [_pair(v) for v in (
 
 
 def _dfc(pair) -> DF:
-    return DF(jnp.float32(pair[0]), jnp.float32(pair[1]))
+    # opaque constants: literal (hi, lo) pairs entering two_sum chains
+    # get algebraically simplified away under jit (ops/df64.df_const)
+    return df_const(pair[0], pair[1])
 
 
 def _df_where(mask, a: DF, b: DF) -> DF:
@@ -112,7 +114,7 @@ def _asin_core(z: DF) -> DF:
     q = _dfc(_QS[3])
     for c in _QS[2::-1]:
         q = df_add(df_mul(z, q), _dfc(c))
-    q = df_add(df_mul(z, q), df_from_f32(jnp.ones_like(z.hi)))
+    q = df_add(df_mul(z, q), df_const(1.0))
     return df_div(p, q)
 
 
@@ -125,7 +127,7 @@ def df_acos(x: DF) -> DF:
     # branch A: asin(x) directly (z = x^2)
     za = df_mul(x, x)
     # branch B/C: z = (1 - |x|)/2, asin(sqrt(z))
-    zb = _df_scale_pow2(df_sub(df_from_f32(jnp.ones_like(ax.hi)), ax), 0.5)
+    zb = _df_scale_pow2(df_sub(df_const(1.0), ax), 0.5)
     zb = DF(jnp.maximum(zb.hi, 0.0), jnp.where(zb.hi > 0, zb.lo, 0.0))
     sb = df_sqrt(zb)
     # one asin-core evaluation on the selected argument/arg^2
@@ -165,7 +167,7 @@ def df_relu_nngp(k12: DF, k11: DF, k22: DF) -> DF:
     """T(k12; k11, k22) = s (sin t + (pi - t) cos t) / (2 pi)."""
     rho, s = _df_safe_rho(k12, k11, k22)
     theta = df_acos(rho)
-    one = df_from_f32(jnp.ones_like(rho.hi))
+    one = df_const(1.0)
     sin_t = df_sqrt(df_mul(df_sub(one, rho), df_add(one, rho)))
     j1 = df_add(sin_t, df_mul(df_sub(_dfc(_PI), theta), rho))
     return df_mul(df_mul(s, j1), _dfc(_INV_2PI))
@@ -182,7 +184,7 @@ def df_relu_diag(k: DF) -> DF:
 
 def df_erf_nngp(k12: DF, k11: DF, k22: DF) -> DF:
     """(2/pi) asin(2 k12 / sqrt((1+2k11)(1+2k22)))."""
-    one = df_from_f32(jnp.ones_like(k12.hi))
+    one = df_const(1.0)
     d1 = df_add(one, _df_scale_pow2(k11, 2.0))
     d2 = df_add(one, _df_scale_pow2(k22, 2.0))
     s = df_sqrt(df_mul(d1, d2))
@@ -192,7 +194,7 @@ def df_erf_nngp(k12: DF, k11: DF, k22: DF) -> DF:
 
 def df_erf_ntk_mult(k12: DF, k11: DF, k22: DF) -> DF:
     """(4/pi) / sqrt((1+2k11)(1+2k22) - 4 k12^2)."""
-    one = df_from_f32(jnp.ones_like(k12.hi))
+    one = df_const(1.0)
     d1 = df_add(one, _df_scale_pow2(k11, 2.0))
     d2 = df_add(one, _df_scale_pow2(k22, 2.0))
     k2 = df_mul(k12, k12)
@@ -203,7 +205,7 @@ def df_erf_ntk_mult(k12: DF, k11: DF, k22: DF) -> DF:
 
 
 def df_erf_diag(k: DF) -> DF:
-    one = df_from_f32(jnp.ones_like(k.hi))
+    one = df_const(1.0)
     ratio = df_div(_df_scale_pow2(k, 2.0),
                    df_add(one, _df_scale_pow2(k, 2.0)))
     return df_mul(_dfc(_TWO_OVER_PI), df_asin(_df_clip_pm1(ratio)))

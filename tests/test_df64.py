@@ -49,6 +49,31 @@ def test_elementwise_df_ops_reach_twice_fp32_accuracy():
     assert rel.max() < 1e-13
 
 
+def test_df_mul_scalar_operand_under_jit():
+    """Regression: XLA:CPU duplicates a cheap rounded product into each
+    consumer fusion (optimization barriers are expanded before fusion)
+    and LLVM contracts the single-use `a*b + x` into fma — so the classic
+    Dekker `p = a*b; e = (ah*bh - p) + ...` two_prod saw two DIFFERENT
+    roundings of p and df_mul lost half its digits (3.9e-8 relative),
+    but ONLY when the fusion chose to duplicate (observed with a scalar
+    operand; vector*vector kept p multi-use and fused once). _two_prod is
+    now built from the four exact Dekker partials, which contraction
+    cannot change. Covers jit'd df_mul, df_div, df_sqrt against the same
+    scalar; df_kernel_eval under jit is covered in the kernel tests."""
+    rng = np.random.default_rng(1)
+    v64 = rng.uniform(1.0, 1e6, 2048)
+    a = _lift(v64)
+    c64 = 1.0 / 6.0
+    c = _lift(np.float64(c64))
+    for op, ref in [(df_mul, v64 * c64), (df_div, v64 / c64)]:
+        got = _df_to_f64(jax.jit(op)(a, c))
+        rel = np.abs(got - ref) / np.abs(ref)
+        assert rel.max() < 1e-13, (op.__name__, rel.max())
+    got = _df_to_f64(jax.jit(df_sqrt)(a))
+    rel = np.abs(got - np.sqrt(v64)) / np.sqrt(v64)
+    assert rel.max() < 1e-13
+
+
 def test_df_sqrt_handles_zero():
     out = df_sqrt(df_from_f32(jnp.zeros(4)))
     assert np.all(np.asarray(out.hi) == 0.0)
