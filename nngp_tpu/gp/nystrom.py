@@ -115,32 +115,114 @@ def _accumulate_panel(spec, get, precision, x_m, w_solve, w_kmm,
     return c_raw + dc, b_w + db, m1_w + dm1, diag_sum + dd, yty + dy2
 
 
+def _panel_delta_df64(spec, get, x_m, w_solve, w_kmm, x_p, y_p, mask):
+    """`_panel_delta` in emulated fp64 (`ops/df64_kernel.py`): kernel
+    entries AND the whitened projection/moment products carry ~1e-13
+    relative — removing the two fp32 noise sources at the whitening
+    amplification bound (the attributed ~5% fp32 median-q penalty,
+    BASELINE.md). Returns DF moments; dd/dy2 stay fp32 (they only set
+    the relative ridge / evidence constant)."""
+    from nngp_tpu.ops.df64 import DF, df_from_f32, hp_matmul, \
+        hp_matmul_blocked
+    from nngp_tpu.ops.df64_kernel import df_kernel_eval
+
+    if get == "ntk":
+        nngp_pm, ntk_pm = df_kernel_eval(spec.layers, x_p, x_m,
+                                         ("nngp", "ntk"))
+        solve_pm = ntk_pm
+    else:
+        nngp_pm = df_kernel_eval(spec.layers, x_p, x_m, "nngp")
+        solve_pm = nngp_pm
+    msk = mask[:, None]
+    solve_m = DF(solve_pm.hi * msk, solve_pm.lo * msk)  # 0/1 mask: exact
+    psi = hp_matmul(df_from_f32(w_solve.T), solve_m,
+                    transpose_b=True)                   # (k, p)
+    dc = hp_matmul_blocked(psi, psi, transpose_b=True)
+    yv = y_p * msk
+    db = hp_matmul_blocked(psi, df_from_f32(yv))
+    if get == "ntk":
+        nngp_m = DF(nngp_pm.hi * msk, nngp_pm.lo * msk)
+        psi_k = hp_matmul(df_from_f32(w_kmm.T), nngp_m,
+                          transpose_b=True)             # (k2, p)
+        psi_t = hp_matmul(df_from_f32(w_solve.T), solve_pm,
+                          transpose_b=True)             # unmasked 2nd factor
+        dm1 = hp_matmul_blocked(psi_k, psi_t, transpose_b=True)
+    else:
+        z = jnp.zeros((w_kmm.shape[1], w_solve.shape[1]), jnp.float32)
+        dm1 = DF(z, z)
+    dn, dt = apply_diag_recursion(input_diag(x_p), spec.layers)
+    dvec = dt if get == "ntk" else dn
+    dd = jnp.sum(dvec * mask)
+    dy2 = jnp.sum(yv ** 2)
+    return dc, db, dm1, dd, dy2
+
+
+@partial(jax.jit, static_argnames=("spec", "get"))
+def _accumulate_panel_df64(spec, get, x_m, w_solve, w_kmm,
+                           x_p, y_p, mask, c_raw, b_w, m1_w, diag_sum,
+                           yty):
+    """df64 panel accumulation: c_raw/b_w/m1_w are DF pairs — the
+    cross-panel sums stay exact to ~2^-48 (the extend/forget moment
+    algebra is then as bit-stable as the fp32 path's, at fp64 grade)."""
+    from nngp_tpu.ops.df64 import df_add
+
+    dc, db, dm1, dd, dy2 = _panel_delta_df64(spec, get, x_m, w_solve,
+                                             w_kmm, x_p, y_p, mask)
+    return (df_add(c_raw, dc), df_add(b_w, db), df_add(m1_w, dm1),
+            diag_sum + dd, yty + dy2)
+
+
 @lru_cache(maxsize=None)
-def _sharded_panel_fn(mesh, axis_name, spec, get, precision):
+def _sharded_panel_fn(mesh, axis_name, spec, get, precision,
+                      moments="fp32"):
     """Compiled mesh-sharded panel accumulator: panel rows are sharded over
     `axis_name`, each device computes its local whitened moments on its own
     MXU, and one psum over ICI reduces the (k, k)-sized deltas — comm is
     O(k^2) per panel, independent of n. The small replicated accumulators
     ride through so each panel is ONE dispatch. (Caches the compiled
-    FUNCTION per (mesh, spec, ...) — never traced arrays.)"""
+    FUNCTION per (mesh, spec, ...) — never traced arrays.)
+
+    moments='df64': each device's delta is a DF pair; the psum reduces hi
+    and lo separately (componentwise fp32 rounding ~eps32 * |delta| — NOT
+    whitening-amplified, since the delta is already in the whitened
+    basis) and a two_sum renormalizes before the df accumulator add."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    def body(x_m, w_solve, w_kmm, x_p, y_p, mask,
-             c_raw, b_w, m1_w, diag_sum, yty):
-        dc, db, dm1, dd, dy2 = _panel_delta(spec, get, precision, x_m,
-                                            w_solve, w_kmm, x_p, y_p, mask)
-        return (c_raw + jax.lax.psum(dc, axis_name),
-                b_w + jax.lax.psum(db, axis_name),
-                m1_w + jax.lax.psum(dm1, axis_name),
-                diag_sum + jax.lax.psum(dd, axis_name),
-                yty + jax.lax.psum(dy2, axis_name))
+    if moments == "df64":
+        from nngp_tpu.ops.df64 import DF, df_add, _two_sum
 
+        def body(x_m, w_solve, w_kmm, x_p, y_p, mask,
+                 c_raw, b_w, m1_w, diag_sum, yty):
+            dc, db, dm1, dd, dy2 = _panel_delta_df64(
+                spec, get, x_m, w_solve, w_kmm, x_p, y_p, mask)
+
+            def red(d):
+                return DF(*_two_sum(jax.lax.psum(d.hi, axis_name),
+                                    jax.lax.psum(d.lo, axis_name)))
+
+            return (df_add(c_raw, red(dc)), df_add(b_w, red(db)),
+                    df_add(m1_w, red(dm1)),
+                    diag_sum + jax.lax.psum(dd, axis_name),
+                    yty + jax.lax.psum(dy2, axis_name))
+    else:
+        def body(x_m, w_solve, w_kmm, x_p, y_p, mask,
+                 c_raw, b_w, m1_w, diag_sum, yty):
+            dc, db, dm1, dd, dy2 = _panel_delta(spec, get, precision, x_m,
+                                                w_solve, w_kmm, x_p, y_p,
+                                                mask)
+            return (c_raw + jax.lax.psum(dc, axis_name),
+                    b_w + jax.lax.psum(db, axis_name),
+                    m1_w + jax.lax.psum(dm1, axis_name),
+                    diag_sum + jax.lax.psum(dd, axis_name),
+                    yty + jax.lax.psum(dy2, axis_name))
+
+    acc = P()
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis_name, None), P(axis_name, None),
-                  P(axis_name), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()))
+                  P(axis_name), acc, acc, acc, acc, acc),
+        out_specs=(acc, acc, acc, acc, acc))
     return jax.jit(fn)
 
 
@@ -302,6 +384,17 @@ def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
 
 
 @jax.jit
+def _finalize_device_df64_jit(c: "DF", b: "DF", reg):
+    """Device finalize fed full df64 moments: the k x k factorization
+    starts from the ~2^-48 moment value instead of its fp32 rounding."""
+    from nngp_tpu.ops.df64 import df_cholesky_inverse_factor
+
+    ic, beta, _ld = df_cholesky_inverse_factor(
+        c.hi, reg, b.hi, pivot_floor_rel=1.0, c_lo=c.lo, b_lo=b.lo)
+    return ic, beta
+
+
+@jax.jit
 def _finalize_device_jit(c_raw, b_w, reg):
     """On-device finalize in emulated fp64 (`ops/df64.py`): same contract
     as `_finalize_host` — ic ic^T = (C + rI)^-1, beta = that @ b — but no
@@ -321,11 +414,16 @@ def _finalize_device_jit(c_raw, b_w, reg):
 def _finalize(c_raw, b_w, reg, dtype, mode: str):
     """Dispatch the k x k solve stage: 'host' (fp64 LAPACK via the
     tunnel) or 'device' (emulated-fp64 on the MXU, fp32 posteriors
-    only)."""
+    only). c_raw/b_w may be DF pairs (moments='df64') — both backends
+    then consume the full double-float moment value."""
+    from nngp_tpu.ops.df64 import DF
+
     if mode == "device":
         if dtype != jnp.float32:
             raise ValueError("finalize='device' runs the emulated-fp64 "
                              f"path (fp32 posteriors only), got {dtype}")
+        if isinstance(c_raw, DF):
+            return _finalize_device_df64_jit(c_raw, b_w, reg)
         return _finalize_device_jit(c_raw, b_w, reg)
     return _finalize_host(c_raw, b_w, reg, dtype)
 
@@ -353,8 +451,16 @@ def _finalize_host(c_raw, b_w, reg, dtype):
     robust at any n."""
     from scipy.linalg import lapack
 
-    c64 = 0.5 * (np.asarray(c_raw, np.float64)
-                 + np.asarray(c_raw, np.float64).T)
+    from nngp_tpu.ops.df64 import DF
+
+    if isinstance(c_raw, DF):
+        c_np = (np.asarray(c_raw.hi, np.float64)
+                + np.asarray(c_raw.lo, np.float64))
+        b_np = (np.asarray(b_w.hi, np.float64)
+                + np.asarray(b_w.lo, np.float64))
+    else:
+        c_np, b_np = np.asarray(c_raw, np.float64), np.asarray(b_w)
+    c64 = 0.5 * (c_np + c_np.T)
     ic64 = None
     try:
         ell = np.linalg.cholesky(c64 + float(reg) * np.eye(c64.shape[0]))
@@ -368,7 +474,7 @@ def _finalize_host(c_raw, b_w, reg, dtype):
         lam = np.maximum(lam, 0.0)      # fp32 accumulation noise -> prior
         inv_sqrt = 1.0 / np.sqrt(lam + float(reg))
         ic64 = v * inv_sqrt[None, :]
-    beta64 = ic64 @ (ic64.T @ np.asarray(b_w, np.float64))
+    beta64 = ic64 @ (ic64.T @ np.asarray(b_np, np.float64))
     return jnp.asarray(ic64, dtype), jnp.asarray(beta64, dtype)
 
 
@@ -420,6 +526,17 @@ class NystromPosterior:
     # extend keeps it None then, so a stale partial sum can never
     # masquerade as the real quadratic term.
     yty: Optional[jax.Array] = None
+    # moments='df64': the double-float tails of c_raw/b_w/m1_w (the hi
+    # parts live in the canonical fields, so every fp32-only consumer —
+    # capacity_gap, checkpoints of older readers — still sees the
+    # rounded moments). None on fp32-moment posteriors.
+    c_lo: Optional[jax.Array] = None
+    b_lo: Optional[jax.Array] = None
+    m1_lo: Optional[jax.Array] = None
+    # moment streaming precision: 'fp32' (6-pass MXU) or 'df64'
+    # (emulated-fp64 kernels + Ozaki projection, `ops/df64_kernel.py`)
+    moments: str = dataclasses.field(metadata=dict(static=True),
+                                     default="fp32")
 
     @property
     def num_inducing(self) -> int:
@@ -503,21 +620,42 @@ class NystromPosterior:
             y_new = y_new[:, None]
         if self.input_scale != 1.0:
             x_new = x_new * (1.0 / self.input_scale)
+        c_acc, b_acc, m1_acc = self._moment_accumulators()
         c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
             self.spec, self.get, self.precision, self.x_m,
             self.w_solve, self.w_kmm, x_new, y_new, self.panel_size,
-            c_raw=self.c_raw, b_w=self.b_w, m1_w=self.m1_w,
+            c_raw=c_acc, b_w=b_acc, m1_w=m1_acc,
             diag_sum=self.diag_sum, yty=self.yty,
-            mesh=self.mesh, mesh_axis=self.mesh_axis)
+            mesh=self.mesh, mesh_axis=self.mesh_axis,
+            moments=self.moments)
         # keep the fit-time ridge: the relative reg is defined by the
         # fit-time trace (same policy as GPPosterior.extend)
         ic, beta_w = _finalize(c_raw, b_w, self.reg, self.x_m.dtype,
                                self.finalize)
         return dataclasses.replace(
             self, ic=ic, beta_w=beta_w,
-            c_raw=c_raw, b_w=b_w, m1_w=m1_w, diag_sum=diag_sum,
+            **self._moment_fields(c_raw, b_w, m1_w), diag_sum=diag_sum,
             yty=(yty if self.yty is not None else None),
             num_train=self.num_train + x_new.shape[0])
+
+    def _moment_accumulators(self):
+        """(c, b, m1) in the form `_stream_moments` expects for this
+        posterior's moment mode — DF pairs for 'df64', raw fp32 else."""
+        if self.moments != "df64":
+            return self.c_raw, self.b_w, self.m1_w
+        from nngp_tpu.ops.df64 import DF
+
+        m1 = (DF(self.m1_w, self.m1_lo) if self.m1_w is not None else None)
+        return DF(self.c_raw, self.c_lo), DF(self.b_w, self.b_lo), m1
+
+    def _moment_fields(self, c, b, m1):
+        """dataclasses.replace kwargs splitting DF moments into the
+        canonical hi fields + _lo tails."""
+        if self.moments != "df64":
+            return dict(c_raw=c, b_w=b, m1_w=m1)
+        return dict(c_raw=c.hi, c_lo=c.lo, b_w=b.hi, b_lo=b.lo,
+                    m1_w=(m1.hi if m1 is not None else None),
+                    m1_lo=(m1.lo if m1 is not None else None))
 
     def forget(self, x_old, y_old):
         """EXACT decremental learning: remove previously-incorporated rows
@@ -547,15 +685,24 @@ class NystromPosterior:
         dc, db, dm1, dd, dy2 = _stream_moments(
             self.spec, self.get, self.precision, self.x_m,
             self.w_solve, self.w_kmm, x_old, y_old, self.panel_size,
-            mesh=self.mesh, mesh_axis=self.mesh_axis)
-        c_raw = self.c_raw - dc
-        b_w = self.b_w - db
-        m1_w = self.m1_w - dm1 if self.get == "ntk" else None
+            mesh=self.mesh, mesh_axis=self.mesh_axis,
+            moments=self.moments)
+        if self.moments == "df64":
+            from nngp_tpu.ops.df64 import df_sub
+
+            c_acc, b_acc, m1_acc = self._moment_accumulators()
+            c_raw = df_sub(c_acc, dc)
+            b_w = df_sub(b_acc, db)
+            m1_w = df_sub(m1_acc, dm1) if self.get == "ntk" else None
+        else:
+            c_raw = self.c_raw - dc
+            b_w = self.b_w - db
+            m1_w = self.m1_w - dm1 if self.get == "ntk" else None
         ic, beta_w = _finalize(c_raw, b_w, self.reg, self.x_m.dtype,
                                self.finalize)
         return dataclasses.replace(
             self, ic=ic, beta_w=beta_w,
-            c_raw=c_raw, b_w=b_w, m1_w=m1_w,
+            **self._moment_fields(c_raw, b_w, m1_w),
             diag_sum=self.diag_sum - dd,
             yty=(self.yty - dy2 if self.yty is not None else None),
             num_train=self.num_train - x_old.shape[0])
@@ -589,7 +736,7 @@ class NystromPosterior:
             rank_rtol=self.rank_rtol, input_scale=self.input_scale,
             precision=self.precision, inducing_rows=rows,
             mesh=self.mesh, mesh_axis=self.mesh_axis,
-            finalize=self.finalize)
+            finalize=self.finalize, moments=self.moments)
 
     # ------------------------------------------------------- model evidence
     def log_evidence(self) -> float:
@@ -614,6 +761,8 @@ class NystromPosterior:
         r = float(self.reg)
         ic64 = np.asarray(self.ic, np.float64)
         b64 = np.asarray(self.b_w, np.float64)
+        if self.b_lo is not None:
+            b64 = b64 + np.asarray(self.b_lo, np.float64)
         h = (ic64.T @ b64).ravel()
         quad = (float(self.yty) - float(h @ h)) / r
         sign, logabs = np.linalg.slogdet(ic64)
@@ -633,8 +782,10 @@ class NystromPosterior:
         there (measured: the 90k fixed-m arm sat at a 8% median-q penalty,
         BASELINE.md). The natural monitoring trigger for serving-side
         growth (`Estimator.grow_inducing`)."""
-        trace_gap = float(self.diag_sum) - float(np.trace(
-            np.asarray(self.c_raw, np.float64)))
+        c64 = np.asarray(self.c_raw, np.float64)
+        if self.c_lo is not None:
+            c64 = c64 + np.asarray(self.c_lo, np.float64)
+        trace_gap = float(self.diag_sum) - float(np.trace(c64))
         return max(trace_gap, 0.0) / (max(self.num_train, 1)
                                       * float(self.reg))
 
@@ -657,24 +808,43 @@ class NystromPosterior:
 
 def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
                     panel_size, c_raw=None, b_w=None, m1_w=None,
-                    diag_sum=None, yty=None, mesh=None, mesh_axis="data"):
+                    diag_sum=None, yty=None, mesh=None, mesh_axis="data",
+                    moments="fp32"):
     """Host panel loop over (x, y): zero-pad the tail to the static panel
     shape and mask it out, so every panel reuses ONE compiled program.
     With `mesh`, panel rows are sharded over `mesh_axis` and the moment
-    deltas psum over ICI (`_sharded_panel_fn`) — same math, p-way panels."""
+    deltas psum over ICI (`_sharded_panel_fn`) — same math, p-way panels.
+
+    moments='df64': kernel entries, whitened projection and moment
+    accumulators run in emulated fp64 (`_panel_delta_df64`); c_raw/b_w/
+    m1_w are then DF pairs in and out (pass DF accumulators when
+    extending a df64 posterior)."""
     dt = x_m.dtype
     k = w_solve.shape[1]
     n = x.shape[0]
+    df64 = moments == "df64"
+    if df64:
+        from nngp_tpu.ops.df64 import DF
+
+        def _z(shape):
+            z = jnp.zeros(shape, jnp.float32)
+            return DF(z, jnp.zeros_like(z))
     if c_raw is None:
-        c_raw = jnp.zeros((k, k), dt)
-        b_w = jnp.zeros((k, 1), dt)
-        m1_w = (jnp.zeros((w_kmm.shape[1], k), dt) if get == "ntk" else None)
+        if df64:
+            c_raw = _z((k, k))
+            b_w = _z((k, 1))
+            m1_w = _z((w_kmm.shape[1], k)) if get == "ntk" else None
+        else:
+            c_raw = jnp.zeros((k, k), dt)
+            b_w = jnp.zeros((k, 1), dt)
+            m1_w = (jnp.zeros((w_kmm.shape[1], k), dt)
+                    if get == "ntk" else None)
         diag_sum = jnp.zeros((), dt)
     if yty is None:
         yty = jnp.zeros((), dt)
     if get != "ntk":
         # the accumulators want concrete operands even when unused
-        m1_acc = jnp.zeros((0, k), dt)
+        m1_acc = _z((0, k)) if df64 else jnp.zeros((0, k), dt)
         w_kmm_acc = jnp.zeros((x_m.shape[0], 0), dt)
     else:
         m1_acc, w_kmm_acc = m1_w, w_kmm
@@ -682,7 +852,10 @@ def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
     if mesh is not None:
         q = mesh.shape[mesh_axis]
         p = -(-p // q) * q          # shard_map needs p % q == 0; pad covers
-        panel_fn = _sharded_panel_fn(mesh, mesh_axis, spec, get, precision)
+        panel_fn = _sharded_panel_fn(mesh, mesh_axis, spec, get, precision,
+                                     moments)
+    elif df64:
+        panel_fn = partial(_accumulate_panel_df64, spec, get)
     else:
         panel_fn = partial(_accumulate_panel, spec, get, precision)
     for s in range(0, n, p):
@@ -840,7 +1013,8 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
                 precision: str = "highest", whiten: str = "chol",
                 inducing: str = "uniform", inducing_rows=None,
                 mesh=None, mesh_axis: str = "data",
-                finalize: str = "auto") -> NystromPosterior:
+                finalize: str = "auto",
+                moments: str = "fp32") -> NystromPosterior:
     """Streaming Nystrom/DTC fit. O(n m^2) MXU flops, O(m^2 + panel*m)
     device memory — n is unbounded by HBM (the row panels stream from
     host). With num_inducing >= n this IS the exact posterior (up to the
@@ -885,6 +1059,15 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     resolved choice. First use per (m, get) shape pays a one-time ~250 s
     remote compile — `Estimator.warmup` covers serving.
 
+    moments: 'fp32' (default) — panel moments via 6-pass fp32 MXU — or
+    'df64': kernel entries, whitened projection and accumulators in
+    emulated fp64 (`ops/df64_kernel.py` recursion + Ozaki matmuls),
+    removing the fp32 psi noise at the whitening amplification bound
+    that owns the measured ~5% fp32-vs-fp64 median-q penalty
+    (BASELINE.md; experiments/nystrom_prec_attrib.py). fp32 posteriors
+    only; extend/forget/grow stay df64 through the posterior's stored
+    moment tails (c_lo/b_lo/m1_lo).
+
     mesh: optional jax.sharding.Mesh — shard every panel's rows over
     `mesh_axis` so the O(n m^2) moment flops data-parallelize across
     chips; each panel's (k, k) deltas psum over ICI (comm O(k^2)/panel,
@@ -925,22 +1108,36 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
 
     if whiten not in ("chol", "eigh"):
         raise ValueError(f"whiten must be 'chol' or 'eigh', got {whiten!r}")
+    if moments not in ("fp32", "df64"):
+        raise ValueError(f"moments must be 'fp32' or 'df64', "
+                         f"got {moments!r}")
+    if moments == "df64" and x_m.dtype != jnp.float32:
+        raise ValueError("moments='df64' is the emulated-fp64 path for "
+                         f"fp32 posteriors; got dtype {x_m.dtype} (real "
+                         "fp64 already carries full precision)")
     finalize = _resolve_finalize(finalize, x_m.dtype)
     w_solve, w_kmm = _inducing_bases(
         spec, get, float(rank_rtol), x_m, whiten=whiten,
         device=(finalize == "device" and whiten == "chol"))
     c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
         spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size,
-        mesh=mesh, mesh_axis=mesh_axis)
+        mesh=mesh, mesh_axis=mesh_axis, moments=moments)
     if diag_reg_absolute_scale:
         reg = jnp.asarray(diag_reg, x_m.dtype)
     else:
         reg = (diag_reg * diag_sum / n).astype(x_m.dtype)
     ic, beta_w = _finalize(c_raw, b_w, reg, x_m.dtype, finalize)
+    if moments == "df64":
+        mom = dict(c_raw=c_raw.hi, c_lo=c_raw.lo, b_w=b_w.hi, b_lo=b_w.lo,
+                   m1_w=(m1_w.hi if m1_w is not None else None),
+                   m1_lo=(m1_w.lo if m1_w is not None else None))
+    else:
+        mom = dict(c_raw=c_raw, b_w=b_w, m1_w=m1_w)
     return NystromPosterior(
         x_m=x_m, w_solve=w_solve, ic=ic, beta_w=beta_w, reg=reg,
-        c_raw=c_raw, b_w=b_w, diag_sum=diag_sum, m1_w=m1_w,
-        w_kmm=w_kmm, spec=spec, get=get, diag_reg=diag_reg, num_train=n,
+        diag_sum=diag_sum, w_kmm=w_kmm, spec=spec, get=get,
+        diag_reg=diag_reg, num_train=n,
         input_scale=float(input_scale), precision=precision,
         rank_rtol=float(rank_rtol), panel_size=panel_size,
-        mesh=mesh, mesh_axis=mesh_axis, yty=yty, finalize=finalize)
+        mesh=mesh, mesh_axis=mesh_axis, yty=yty, finalize=finalize,
+        moments=moments, **mom)

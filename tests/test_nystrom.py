@@ -507,3 +507,84 @@ def test_finalize_auto_resolves_by_backend_and_dtype():
     with pytest.raises(ValueError, match="finalize"):
         fit_nystrom(spec, x.astype(np.float32), y.astype(np.float32),
                     num_inducing=24, finalize="gpu")
+
+
+# ---------------------------------------------------------------------------
+# moments='df64' (emulated-fp64 kernels + projection, ops/df64_kernel.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("get", ["nngp", "ntk"])
+def test_df64_moments_extend_forget_exact(get):
+    """df64 fit runs end to end (fp32 inputs), extend == refit on the
+    concatenation (same inducing set + ridge), forget inverts extend —
+    the same contracts the fp32 moment path guarantees."""
+    x, y, xt = _data(n=160, scale=1000.0)
+    x32, y32, xt32 = (a.astype(np.float32) for a in (x, y, xt))
+    spec = reference_kernel()
+    post = fit_nystrom(spec, x32[:120], y32[:120], num_inducing=48,
+                       rank_rtol=1e-8, input_scale=1.0, get=get,
+                       moments="df64")
+    assert post.moments == "df64" and post.c_lo is not None
+    ext = post.extend(x32[120:], y32[120:])
+    ref = fit_nystrom(spec, x32, y32,
+                      inducing_rows=np.asarray(post.x_m),
+                      diag_reg_absolute_scale=True,
+                      diag_reg=float(post.reg), rank_rtol=1e-8,
+                      input_scale=1.0, get=get, moments="df64")
+    me, se = ext.predict_mean_std(xt32)
+    mr, sr = ref.predict_mean_std(xt32)
+    np.testing.assert_allclose(np.asarray(me), np.asarray(mr),
+                               rtol=0, atol=1e-6 * np.abs(mr).max())
+    np.testing.assert_allclose(np.asarray(se), np.asarray(sr),
+                               rtol=1e-4, atol=1e-6 * np.abs(sr).max())
+    back = ext.forget(x32[120:], y32[120:])
+    mb, _ = back.predict_mean_std(xt32)
+    m0, _ = post.predict_mean_std(xt32)
+    np.testing.assert_allclose(np.asarray(mb), np.asarray(m0),
+                               rtol=0, atol=1e-5 * np.abs(m0).max())
+    # evidence/ELBO consume the df tails without error
+    assert np.isfinite(ext.log_evidence()) and np.isfinite(ext.elbo())
+
+
+def test_df64_moments_beat_fp32_moments():
+    """The point of the tier: at [0,1000] feature scale the df64 moment
+    matrix tracks a SAME-BASIS fp64 oracle ~5+ digits closer than the
+    fp32 accumulation. The oracle shares the fp32 arms' inducing rows
+    and whitening basis (C = Psi Psi^T with Psi = W^T K_mn in real
+    fp64), so the comparison isolates kernel-entry + projection +
+    accumulator rounding — a full-fp64 FIT has a different (fp64) basis
+    and its c_raw is not comparable entry-wise."""
+    x, y, _ = _data(n=256, scale=1000.0)
+    spec = reference_kernel()
+    common = dict(num_inducing=64, rank_rtol=1e-8, input_scale=1.0)
+    p32 = fit_nystrom(spec, x.astype(np.float32), y.astype(np.float32),
+                      **common)
+    pdf = fit_nystrom(spec, x.astype(np.float32), y.astype(np.float32),
+                      moments="df64", **common)
+    np.testing.assert_array_equal(np.asarray(p32.x_m), np.asarray(pdf.x_m))
+    np.testing.assert_array_equal(np.asarray(p32.w_solve),
+                                  np.asarray(pdf.w_solve))
+    # same-basis fp64 oracle (x64 is on in conftest); promote the SAME
+    # fp32-cast inputs the arms saw, so input rounding isn't attributed
+    x64 = jnp.asarray(x.astype(np.float32).astype(np.float64))
+    x_m64 = jnp.asarray(np.asarray(pdf.x_m, np.float64))
+    k_nm = np.asarray(spec.kernel_fn(x64, x_m64, "nngp"), np.float64)
+    w64 = np.asarray(pdf.w_solve, np.float64)
+    psi = w64.T @ k_nm.T
+    c_ref = psi @ psi.T
+    sc = np.abs(c_ref).max()
+    err32 = np.abs(np.asarray(p32.c_raw, np.float64) - c_ref).max() / sc
+    errdf = np.abs(np.asarray(pdf.c_raw, np.float64)
+                   + np.asarray(pdf.c_lo, np.float64) - c_ref).max() / sc
+    assert errdf < 1e-4 * err32, (err32, errdf)
+    assert errdf < 1e-11, errdf
+
+
+def test_df64_moments_rejects_fp64_inputs():
+    x, y, _ = _data(n=32)
+    with pytest.raises(ValueError, match="df64"):
+        fit_nystrom(reference_kernel(), x, y, num_inducing=16,
+                    moments="df64")
+    with pytest.raises(ValueError, match="moments"):
+        fit_nystrom(reference_kernel(), x.astype(np.float32),
+                    y.astype(np.float32), num_inducing=16, moments="bf16")
