@@ -60,6 +60,11 @@ def main(argv=None):
                    help="serve from the streaming Nystrom/DTC tier with "
                         "this many inducing rows (O(m^2) device state at "
                         "any train-set size)")
+    p.add_argument("--nystrom_moments", type=str, default="fp32",
+                   choices=("fp32", "df64"),
+                   help="Nystrom moment-streaming precision (df64 = "
+                        "emulated-fp64 kernels/projection/accumulators; "
+                        "tails ride through --ckpt round-trips)")
     p.add_argument("--pad_slots", type=int, default=None,
                    help="single-chip exact tier: reserve this many inert "
                         "rows so online feedback extends are bucketed "
@@ -145,6 +150,7 @@ def main(argv=None):
                         coef_var_threshold=args.coef_var_threshold,
                         stats_dir=args.stats_dir, mesh=mesh,
                         nystrom_m=args.nystrom_m,
+                        nystrom_moments=args.nystrom_moments,
                         chunk_norm=args.chunk_norm,
                         learn_hyper=learn_hyper,
                         hyper_ard=args.ard,

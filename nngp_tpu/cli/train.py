@@ -63,6 +63,12 @@ def build_parser():
                         "O(n m^2) flops / O(m^2) device state, for train "
                         "sets beyond the exact fit's single-chip edge "
                         "(gp/nystrom.py)")
+    p.add_argument("--nystrom_moments", type=str, default="fp32",
+                   choices=("fp32", "df64"),
+                   help="Nystrom moment-streaming precision: df64 runs "
+                        "kernel entries + whitened projection + "
+                        "accumulators in emulated fp64 on device "
+                        "(fp32 posteriors only)")
     p.add_argument("--learn_hyper", action="store_true",
                    help="learn (w0, w, b, diag_reg) by exact-MLL gradient "
                         "descent before fitting (gp.hyperopt; multi-start "
@@ -298,7 +304,8 @@ def main(argv=None):
                 return fit_nystrom(spec, x_tr, y_tr,
                                    num_inducing=args.nystrom_m,
                                    diag_reg=args.diag_reg,
-                                   get=args.kernel_type)
+                                   get=args.kernel_type,
+                                   moments=args.nystrom_moments)
         else:
             def _fit():
                 # x_tr stays HOST numpy here: the fp32 prescale probe

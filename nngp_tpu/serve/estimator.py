@@ -111,6 +111,7 @@ class Estimator:
                  mesh=None, dist_block_size: Optional[int] = None,
                  chunk_norm: bool = False,
                  nystrom_m: Optional[int] = None,
+                 nystrom_moments: str = "fp32",
                  learn_hyper=False, hyper_steps: int = 100,
                  hyper_points: int = 4096, hyper_ard: bool = False,
                  hyper_objective: str = "auto",
@@ -127,6 +128,11 @@ class Estimator:
         single-chip edge. Combined with mesh, the panel moments shard over
         the mesh (psum over ICI) instead of using the exact row-sharded
         distributed posterior.
+
+        nystrom_moments: moment-streaming precision for the Nystrom tier
+        ('fp32' default, or 'df64': kernel entries + whitened projection +
+        accumulators in emulated fp64, `gp/nystrom.py` moments=... — the
+        tails ride through extend/forget/grow and checkpoints).
 
         chunk_norm: rescale packed categorical chunk slots onto the
         [0, 1000] numeric scale (featurize.SingleTableEncoder) — measured
@@ -184,6 +190,7 @@ class Estimator:
         self.dist_block_size = dist_block_size
         self.chunk_norm = bool(chunk_norm)
         self.nystrom_m = nystrom_m
+        self.nystrom_moments = str(nystrom_moments)
         if pad_slots is not None and (nystrom_m is not None
                                       or mesh is not None
                                       or kernel_type != "nngp"):
@@ -444,7 +451,8 @@ class Estimator:
             return fit_nystrom(self.spec, x, y,
                                num_inducing=self.nystrom_m,
                                diag_reg=self.diag_reg, get=self.kernel_type,
-                               mesh=self.mesh)
+                               mesh=self.mesh,
+                               moments=self.nystrom_moments)
         if self.mesh is None:
             pad_to = (x.shape[0] + self.pad_slots
                       if getattr(self, "pad_slots", None) else None)
@@ -540,6 +548,7 @@ class Estimator:
             self.mesh = mesh
             self.dist_block_size = None
             self.nystrom_m = int(arrs["x_m"].shape[0])
+            self.nystrom_moments = d.get("moments", "fp32")
             ntk = "m1_w" in arrs
             self.posterior = NystromPosterior(
                 x_m=jnp.asarray(arrs["x_m"]),
@@ -561,7 +570,12 @@ class Estimator:
                 panel_size=int(d["panel_size"]),
                 finalize=d.get("finalize", "host"),
                 mesh=mesh,
-                yty=(jnp.asarray(arrs["yty"]) if "yty" in arrs else None))
+                yty=(jnp.asarray(arrs["yty"]) if "yty" in arrs else None),
+                moments=d.get("moments", "fp32"),
+                c_lo=(jnp.asarray(arrs["c_lo"]) if "c_lo" in arrs else None),
+                b_lo=(jnp.asarray(arrs["b_lo"]) if "b_lo" in arrs else None),
+                m1_lo=(jnp.asarray(arrs["m1_lo"])
+                       if "m1_lo" in arrs else None))
             return self
         if "distributed" in meta:
             if mesh is None:
@@ -660,6 +674,7 @@ class Estimator:
                 "rank_rtol": float(p.rank_rtol),
                 "panel_size": int(p.panel_size),
                 "finalize": p.finalize,
+                "moments": p.moments,
             }
             arrs = dict(
                 x_m=np.asarray(p.x_m), w_solve=np.asarray(p.w_solve),
@@ -672,6 +687,13 @@ class Estimator:
             if p.m1_w is not None:
                 arrs["m1_w"] = np.asarray(p.m1_w)
                 arrs["w_kmm"] = np.asarray(p.w_kmm)
+            if p.c_lo is not None:
+                # df64 moment tails: dropping them on a round-trip would
+                # silently downgrade every later extend/forget to fp32
+                arrs["c_lo"] = np.asarray(p.c_lo)
+                arrs["b_lo"] = np.asarray(p.b_lo)
+                if p.m1_lo is not None:
+                    arrs["m1_lo"] = np.asarray(p.m1_lo)
         elif self.mesh is not None:
             meta["distributed"] = {"block_size": int(p.block_size),
                                    "axis_name": p.axis_name,

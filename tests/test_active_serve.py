@@ -545,6 +545,43 @@ def test_estimator_nystrom_serves_and_roundtrips(tmp_path, kernel_type):
     assert np.all(np.isfinite(m3)) and np.all(s3 >= 0)
 
 
+def test_estimator_nystrom_df64_moments_roundtrip(tmp_path):
+    """Estimator(nystrom_moments='df64') serves (fp32 inputs), and the
+    checkpoint round-trip carries the df moment TAILS — a restore that
+    dropped c_lo/b_lo would silently downgrade every later extend to
+    fp32 moment precision, so the tails must survive save/restore and
+    the restored extend must match the unrestored one bit-for-bit."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float32,
+                    verbose=False, nystrom_m=60, nystrom_moments="df64")
+    est.load_model(verbose=False)
+    assert est.posterior.moments == "df64"
+    assert est.posterior.c_lo is not None
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+             "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    mean, std = est.predict(lines)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+
+    ckpt = tmp_path / "ny_df64_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.nystrom_moments == "df64"
+    assert est2.posterior.moments == "df64"
+    np.testing.assert_array_equal(np.asarray(est2.posterior.c_lo),
+                                  np.asarray(est.posterior.c_lo))
+    fb = ["ta,tb@x,3.0,1.0@@ta,tb,id@2000"]
+    est.extend_with_lines(list(fb))
+    est2.extend_with_lines(list(fb))
+    np.testing.assert_array_equal(np.asarray(est2.posterior.c_raw),
+                                  np.asarray(est.posterior.c_raw))
+    np.testing.assert_array_equal(np.asarray(est2.posterior.c_lo),
+                                  np.asarray(est.posterior.c_lo))
+    m2, s2 = est2.predict(lines)
+    m1, s1 = est.predict(lines)
+    np.testing.assert_allclose(m2, m1, rtol=1e-12)
+    np.testing.assert_allclose(s2, s1, rtol=1e-12)
+
+
 def test_estimator_nystrom_forget_inverts_extend(tmp_path):
     """forget_with_lines removes exactly what extend_with_lines added (the
     exact tier refuses with a clear error)."""
