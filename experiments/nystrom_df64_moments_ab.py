@@ -49,9 +49,9 @@ print(f"input_scale {scale}", flush=True)
 EXT = 1000
 
 
-def run_arm(moments):
+def run_arm(moments, rank_rtol=None):
     common = dict(num_inducing=M, inducing_rows=rows, input_scale=scale,
-                  moments=moments)
+                  moments=moments, rank_rtol=rank_rtol)
     post = fit_nystrom(spec, x_tr[:-EXT], y_tr[:-EXT], **common)
     sync(post.beta_w)
     t0 = time.perf_counter()
@@ -66,7 +66,8 @@ def run_arm(moments):
     t_ext = time.perf_counter() - t0
     mm, _ = ext.predict_mean_std_chunked(np.asarray(x_te), chunk=8192)
     q = symmetric_qerror(np.asarray(mm).ravel() - yv)
-    print(f"moments={moments} (finalize={ext.finalize}): "
+    print(f"moments={moments} rtol={ext.rank_rtol:g} "
+          f"(finalize={ext.finalize}): "
           f"warm fit {t_fit:.3f}s  extend-{EXT} {t_ext:.3f}s  "
           f"median q {np.median(q):.4f}  p90 {np.quantile(q, 0.90):.2f}  "
           f"p95 {np.quantile(q, 0.95):.2f}  "
@@ -74,10 +75,13 @@ def run_arm(moments):
     return q
 
 
+# round-3k: the gap is the RANK CUT, not stage precision
+# (nystrom_prec_attrib.log) — df64 entries unlock the deeper cuts.
+ARMS = [("fp32", 1e-8), ("df64", 1e-12), ("df64", 1e-14), ("df64", 1e-10)]
 # interleave arms twice to expose tunnel drift (round-3 lesson)
 for trial in range(2):
-    for moments in ("fp32", "df64"):
+    for moments, rtol in ARMS:
         t0 = time.perf_counter()
-        run_arm(moments)
+        run_arm(moments, rtol)
         print(f"  trial {trial} total (incl. compile on first) "
               f"{time.perf_counter() - t0:.1f}s", flush=True)

@@ -70,7 +70,7 @@ from nngp_tpu.ops.gram import input_diag
 _DEFAULT_PANEL = 16384
 
 
-def _default_rank_rtol(dtype) -> float:
+def _default_rank_rtol(dtype, moments: str = "fp32") -> float:
     # K_mm eigenpairs below rank_rtol * lam_max are dropped from the
     # whitening basis. Measured on the fp32 forest workload (10.8k train,
     # experiments/nystrom_acc10k8*.log): accuracy improves MONOTONICALLY as
@@ -79,7 +79,19 @@ def _default_rank_rtol(dtype) -> float:
     # finite, because the host solve stage's eigenvalue clamping already
     # owns the noise floor. 1e-8 keeps the tail that carries signal while
     # still dropping the strictly-rounding directions.
-    return 1e-14 if dtype == jnp.float64 else 1e-8
+    #
+    # The fp32 floor is set by the K_mm ENTRY noise (eps32 ~ 6e-8 of
+    # lam_max): eigendirections below it are unidentifiable, so cutting
+    # deeper buys nothing. That floor — not arithmetic anywhere else —
+    # owns the measured fp32-vs-fp64 serving gap (2.52 vs 2.40 at 90k
+    # m=2048: an all-fp64 pipeline PINNED to rtol=1e-8 scores 2.51,
+    # experiments/nystrom_prec_attrib.log). moments='df64' computes the
+    # K_mm entries in double-float (~1e-13 relative), so its default cut
+    # drops to 1e-12 — above the df64 entry noise with margin, deep
+    # enough to recover the signal-carrying tail directions.
+    if dtype == jnp.float64:
+        return 1e-14
+    return 1e-12 if moments == "df64" else 1e-8
 
 
 def _panel_delta(spec, get, precision, x_m, w_solve, w_kmm, x_p, y_p, mask):
@@ -319,13 +331,56 @@ def _basis_device_jit(kmm, jitter):
     return df_round(_assemble(x, nb, blk, m).T)
 
 
+@jax.jit
+def _basis_device_df64_jit(kmm_hi, kmm_lo, jitter):
+    """`_basis_device_jit` fed double-float K_mm ENTRIES (moments='df64'
+    fits): the factorization starts from ~1e-13-relative kernel values,
+    so rank cuts down to ~1e-12 * lam_max see real eigendirections
+    instead of fp32 entry noise. W still rounds to fp32 — a CONSISTENT
+    basis perturbation (every downstream product uses the same W), not a
+    kappa-amplified model error."""
+    from nngp_tpu.ops.df64 import (DF, df_add, df_from_f32,
+                                   _df_chol_blocks, _df_trtri_blocks,
+                                   _assemble, df_round)
+
+    m = kmm_hi.shape[0]
+    sym = DF(0.5 * (kmm_hi + kmm_hi.T), 0.5 * (kmm_lo + kmm_lo.T))
+    # lam_max estimate on the hi part: fp32 accuracy is plenty for a
+    # jitter SCALE (the pivot floor absorbs the slack)
+    sym_hi = sym.hi
+
+    def body(_, v):
+        w = sym_hi @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+    v = jax.lax.fori_loop(0, 16, body,
+                          jnp.full((m,), 1.0 / jnp.sqrt(m * 1.0),
+                                   sym_hi.dtype))
+    lam_max = jnp.maximum(v @ (sym_hi @ v), jnp.max(jnp.diag(sym_hi)))
+    j = jitter * lam_max
+    diag = jnp.arange(m)
+    d = df_add(DF(sym.hi[diag, diag], sym.lo[diag, diag]),
+               df_from_f32(jnp.broadcast_to(j, (m,))))
+    a = DF(sym.hi.at[diag, diag].set(d.hi),
+           sym.lo.at[diag, diag].set(d.lo))
+    l_blocks, inv_diag, nb, blk = _df_chol_blocks(a, 512, j)
+    x = _df_trtri_blocks(l_blocks, inv_diag, nb)
+    return df_round(_assemble(x, nb, blk, m).T)
+
+
 _BASES_CACHE = {}                       # host numpy results only
 _BASES_CACHE_MAX = 4
 
 
 def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
-                    device=False):
+                    device=False, entries="fp32"):
     """Whitening bases from the device-computed K_mm kernels.
+
+    entries='df64' (moments='df64' fits): K_mm entries come from the
+    double-float kernel recursion (`ops/df64_kernel.py`, ~1e-13 relative)
+    instead of the fp32 one — the precondition for rank cuts below the
+    fp32 entry-noise floor (see `_default_rank_rtol`). Host whitening
+    consumes hi + lo as a true fp64 matrix; device whitening factorizes
+    the DF pair directly (`_basis_device_df64_jit`).
 
     whiten='chol' (default): jittered-Cholesky basis, ~5x cheaper on host;
     whiten='eigh': eigenvalue-truncated basis (the semantics anchor).
@@ -348,7 +403,7 @@ def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
                          "basis is a host semantics anchor)")
     basis_fn = _whiten_basis_chol if whiten == "chol" else _whiten_basis
     x_np = np.asarray(x_m)
-    key = (spec, get, float(rank_rtol), whiten, bool(device),
+    key = (spec, get, float(rank_rtol), whiten, bool(device), entries,
            str(x_np.dtype), x_np.shape,
            hashlib.sha1(x_np.tobytes()).hexdigest())
     hit = _BASES_CACHE.get(key)
@@ -358,23 +413,52 @@ def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
                 jnp.asarray(w_kmm_c, x_m.dtype)
                 if w_kmm_c is not None else None)
 
+    df64 = entries == "df64"
+    if df64:
+        from nngp_tpu.ops.df64_kernel import df_kernel_eval
+        gets = ("nngp", "ntk") if get == "ntk" else ("nngp",)
+        kmms = df_kernel_eval(spec.layers, x_m, x_m, gets)
     if device:
         jit32 = jnp.float32(rank_rtol)
-        if get == "ntk":
+        if df64:
+            if get == "ntk":
+                kmm_nngp, kmm_solve = kmms
+                w_kmm_c = _basis_device_df64_jit(kmm_nngp.hi, kmm_nngp.lo,
+                                                 jit32)
+            else:
+                kmm_solve, = kmms
+                w_kmm_c = None
+            w_solve_c = _basis_device_df64_jit(kmm_solve.hi, kmm_solve.lo,
+                                               jit32)
+        elif get == "ntk":
             kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
             w_kmm_c = _basis_device_jit(kmm_nngp, jit32)
+            w_solve_c = _basis_device_jit(kmm_solve, jit32)
         else:
             kmm_solve = spec.kernel_fn(x_m, x_m, "nngp")
             w_kmm_c = None
-        w_solve_c = _basis_device_jit(kmm_solve, jit32)
-    elif get == "ntk":
-        kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
-        w_kmm_c = basis_fn(np.asarray(kmm_nngp, np.float64), rank_rtol)
-        w_solve_c = basis_fn(np.asarray(kmm_solve, np.float64), rank_rtol)
+            w_solve_c = _basis_device_jit(kmm_solve, jit32)
     else:
-        kmm_solve = spec.kernel_fn(x_m, x_m, "nngp")
-        w_kmm_c = None
-        w_solve_c = basis_fn(np.asarray(kmm_solve, np.float64), rank_rtol)
+        if df64:
+            def _to64(k):
+                return (np.asarray(k.hi, np.float64)
+                        + np.asarray(k.lo, np.float64))
+            if get == "ntk":
+                kmm_nngp64, kmm_solve64 = (_to64(k) for k in kmms)
+            else:
+                kmm_solve64, = (_to64(k) for k in kmms)
+                kmm_nngp64 = None
+        elif get == "ntk":
+            kmm_nngp, kmm_solve = spec.kernel_fn(x_m, x_m, ("nngp", "ntk"))
+            kmm_nngp64 = np.asarray(kmm_nngp, np.float64)
+            kmm_solve64 = np.asarray(kmm_solve, np.float64)
+        else:
+            kmm_solve64 = np.asarray(spec.kernel_fn(x_m, x_m, "nngp"),
+                                     np.float64)
+            kmm_nngp64 = None
+        w_kmm_c = (basis_fn(kmm_nngp64, rank_rtol)
+                   if kmm_nngp64 is not None else None)
+        w_solve_c = basis_fn(kmm_solve64, rank_rtol)
     if len(_BASES_CACHE) >= _BASES_CACHE_MAX:
         _BASES_CACHE.pop(next(iter(_BASES_CACHE)))
     _BASES_CACHE[key] = (w_solve_c, w_kmm_c)
@@ -1060,13 +1144,18 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     remote compile — `Estimator.warmup` covers serving.
 
     moments: 'fp32' (default) — panel moments via 6-pass fp32 MXU — or
-    'df64': kernel entries, whitened projection and accumulators in
-    emulated fp64 (`ops/df64_kernel.py` recursion + Ozaki matmuls),
-    removing the fp32 psi noise at the whitening amplification bound
-    that owns the measured ~5% fp32-vs-fp64 median-q penalty
-    (BASELINE.md; experiments/nystrom_prec_attrib.py). fp32 posteriors
-    only; extend/forget/grow stay df64 through the posterior's stored
-    moment tails (c_lo/b_lo/m1_lo).
+    'df64': the K_mm entries behind the whitening bases, the panel
+    kernel entries, the whitened projection and the accumulators all run
+    in emulated fp64 (`ops/df64_kernel.py` recursion + Ozaki matmuls).
+    The payoff is NOT lower arithmetic noise per se (measured ~0 q-error
+    change at a fixed rank cut, experiments/nystrom_df64_moments_ab.log)
+    but a DEEPER default rank cut: fp32 K_mm entry noise floors the
+    usable rank_rtol at 1e-8 and that floor owns the measured fp32-vs-
+    fp64 serving gap (2.52 vs 2.40 at 90k m=2048 — an all-fp64 pipeline
+    pinned to 1e-8 also scores 2.51, experiments/nystrom_prec_attrib.py);
+    df64 entries push the default cut to 1e-12 (`_default_rank_rtol`).
+    fp32 posteriors only; extend/forget/grow stay df64 through the
+    posterior's stored moment tails (c_lo/b_lo/m1_lo).
 
     mesh: optional jax.sharding.Mesh — shard every panel's rows over
     `mesh_axis` so the O(n m^2) moment flops data-parallelize across
@@ -1104,7 +1193,7 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         raise ValueError(
             f"inducing must be 'uniform' or 'rpchol', got {inducing!r}")
     if rank_rtol is None:
-        rank_rtol = _default_rank_rtol(x_m.dtype)
+        rank_rtol = _default_rank_rtol(x_m.dtype, moments)
 
     if whiten not in ("chol", "eigh"):
         raise ValueError(f"whiten must be 'chol' or 'eigh', got {whiten!r}")
@@ -1118,7 +1207,8 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     finalize = _resolve_finalize(finalize, x_m.dtype)
     w_solve, w_kmm = _inducing_bases(
         spec, get, float(rank_rtol), x_m, whiten=whiten,
-        device=(finalize == "device" and whiten == "chol"))
+        device=(finalize == "device" and whiten == "chol"),
+        entries=moments)
     c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
         spec, get, precision, x_m, w_solve, w_kmm, x, y, panel_size,
         mesh=mesh, mesh_axis=mesh_axis, moments=moments)

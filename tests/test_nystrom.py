@@ -562,22 +562,89 @@ def test_df64_moments_beat_fp32_moments():
     pdf = fit_nystrom(spec, x.astype(np.float32), y.astype(np.float32),
                       moments="df64", **common)
     np.testing.assert_array_equal(np.asarray(p32.x_m), np.asarray(pdf.x_m))
-    np.testing.assert_array_equal(np.asarray(p32.w_solve),
-                                  np.asarray(pdf.w_solve))
-    # same-basis fp64 oracle (x64 is on in conftest); promote the SAME
-    # fp32-cast inputs the arms saw, so input rounding isn't attributed
+    # per-arm same-basis fp64 oracle (the arms' BASES legitimately differ:
+    # df64 builds W from df64 K_mm entries); promote the SAME fp32-cast
+    # inputs the arms saw, so input rounding isn't attributed
     x64 = jnp.asarray(x.astype(np.float32).astype(np.float64))
     x_m64 = jnp.asarray(np.asarray(pdf.x_m, np.float64))
     k_nm = np.asarray(spec.kernel_fn(x64, x_m64, "nngp"), np.float64)
-    w64 = np.asarray(pdf.w_solve, np.float64)
-    psi = w64.T @ k_nm.T
-    c_ref = psi @ psi.T
-    sc = np.abs(c_ref).max()
-    err32 = np.abs(np.asarray(p32.c_raw, np.float64) - c_ref).max() / sc
-    errdf = np.abs(np.asarray(pdf.c_raw, np.float64)
-                   + np.asarray(pdf.c_lo, np.float64) - c_ref).max() / sc
+
+    def moment_err(post, c64):
+        w64 = np.asarray(post.w_solve, np.float64)
+        psi = w64.T @ k_nm.T
+        c_ref = psi @ psi.T
+        return np.abs(c64 - c_ref).max() / np.abs(c_ref).max()
+
+    err32 = moment_err(p32, np.asarray(p32.c_raw, np.float64))
+    errdf = moment_err(pdf, np.asarray(pdf.c_raw, np.float64)
+                       + np.asarray(pdf.c_lo, np.float64))
     assert errdf < 1e-4 * err32, (err32, errdf)
     assert errdf < 1e-11, errdf
+
+
+def test_df64_bases_whiten_below_fp32_entry_noise():
+    """The reason moments='df64' exists: fp32 K_mm ENTRY noise floors the
+    usable rank cut at ~1e-8 (deeper eigendirections are unidentifiable),
+    and that floor owns the measured fp32-vs-fp64 serving gap. With df64
+    entries the whitening residual ||W^T K64 W - I|| at a 1e-12 cut must
+    be orders below the fp32-entry basis's at the same cut."""
+    from nngp_tpu.gp.nystrom import _inducing_bases
+
+    from nngp_tpu.gp.nystrom import _inducing_bases as bases
+
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 1000.0, (48, 6))
+    # near-duplicate rows at ~1e-3 relative separation: the pair-difference
+    # eigendirections land at 2e-10..5e-9 of lam_max (measured) — BETWEEN
+    # the fp32 floor (1e-8) and the df64 default cut (1e-12). Whether they
+    # are usable is exactly the question the entry precision decides.
+    x = np.concatenate([base, base + 1.0 * rng.standard_normal((48, 6))])
+    x32 = jnp.asarray(x, jnp.float32)
+    spec = reference_kernel()
+    k64 = np.asarray(spec.kernel_fn(jnp.asarray(x32, jnp.float64),
+                                    jnp.asarray(x32, jnp.float64),
+                                    "nngp"), np.float64)
+
+    rtol = 1e-12
+
+    def metrics(w):
+        g = np.asarray(w, np.float64).T @ k64 @ np.asarray(w, np.float64)
+        d = np.diag(g)
+        ok = np.abs(d - 1) < 0.1
+        off = g - np.diag(d)
+        return int(ok.sum()), np.abs(off[np.ix_(ok, ok)]).max()
+
+    n_df, r_df = metrics(bases(spec, "nngp", rtol, x32,
+                               entries="df64")[0])
+    n_32, r_32 = metrics(bases(spec, "nngp", rtol, x32,
+                               entries="fp32")[0])
+    # df64 entries whiten the deep pair-difference directions fp32
+    # entries cannot (they sit below the fp32 entry-noise floor) ...
+    assert n_df >= n_32 + 32, (n_df, n_32)
+    # ... and the directions BOTH whiten are cleaner. The df64 arm's
+    # residual floor is the fp32 STORAGE of W itself (a consistent basis
+    # perturbation ~ eps32 * sqrt(lam_i/lam_j), NOT entry noise), so the
+    # measurable ratio is ~10x, not the entry-noise 1e5x.
+    assert r_df < 0.2 * r_32, (r_df, r_32)
+    # the device df64 factorization matches the host semantics
+    n_dev, r_dev = metrics(bases(spec, "nngp", rtol, x32,
+                                 entries="df64", device=True)[0])
+    assert n_dev >= n_32 + 32 and r_dev < 0.2 * r_32, (n_dev, r_dev)
+
+
+def test_df64_moments_default_rank_rtol_deepens():
+    from nngp_tpu.gp.nystrom import _default_rank_rtol
+    assert _default_rank_rtol(jnp.float32) == 1e-8
+    assert _default_rank_rtol(jnp.float32, "df64") == 1e-12
+    assert _default_rank_rtol(jnp.float64) == 1e-14
+    x, y, xt = _data(n=96, scale=1000.0)
+    x32, y32 = x.astype(np.float32), y.astype(np.float32)
+    post = fit_nystrom(reference_kernel(), x32, y32, num_inducing=32,
+                       moments="df64")
+    assert post.rank_rtol == 1e-12
+    m, s = post.predict_mean_std(xt.astype(np.float32))
+    assert np.all(np.isfinite(np.asarray(m)))
+    assert np.all(np.asarray(s) >= 0)
 
 
 def test_df64_moments_rejects_fp64_inputs():
