@@ -132,8 +132,11 @@ def _panel_delta_df64(spec, get, x_m, w_solve, w_kmm, x_p, y_p, mask):
     entries AND the whitened projection/moment products carry ~1e-13
     relative — removing the two fp32 noise sources at the whitening
     amplification bound (the attributed ~5% fp32 median-q penalty,
-    BASELINE.md). Returns DF moments; dd/dy2 stay fp32 (they only set
-    the relative ridge / evidence constant)."""
+    BASELINE.md). `w_solve`/`w_kmm` are DF PAIRS (the fp64 whitening
+    basis, `_inducing_bases(entries='df64')`) — at deep rank cuts the
+    fp32-rounded basis alone costs +15% median q
+    (experiments/nystrom_cut_depth.py). Returns DF moments; dd/dy2 stay
+    fp32 (they only set the relative ridge / evidence constant)."""
     from nngp_tpu.ops.df64 import DF, df_from_f32, hp_matmul, \
         hp_matmul_blocked
     from nngp_tpu.ops.df64_kernel import df_kernel_eval
@@ -145,22 +148,24 @@ def _panel_delta_df64(spec, get, x_m, w_solve, w_kmm, x_p, y_p, mask):
     else:
         nngp_pm = df_kernel_eval(spec.layers, x_p, x_m, "nngp")
         solve_pm = nngp_pm
+    w_solve_t = DF(w_solve.hi.T, w_solve.lo.T)
     msk = mask[:, None]
     solve_m = DF(solve_pm.hi * msk, solve_pm.lo * msk)  # 0/1 mask: exact
-    psi = hp_matmul(df_from_f32(w_solve.T), solve_m,
+    psi = hp_matmul(w_solve_t, solve_m,
                     transpose_b=True)                   # (k, p)
     dc = hp_matmul_blocked(psi, psi, transpose_b=True)
     yv = y_p * msk
     db = hp_matmul_blocked(psi, df_from_f32(yv))
     if get == "ntk":
         nngp_m = DF(nngp_pm.hi * msk, nngp_pm.lo * msk)
-        psi_k = hp_matmul(df_from_f32(w_kmm.T), nngp_m,
+        psi_k = hp_matmul(DF(w_kmm.hi.T, w_kmm.lo.T), nngp_m,
                           transpose_b=True)             # (k2, p)
-        psi_t = hp_matmul(df_from_f32(w_solve.T), solve_pm,
+        psi_t = hp_matmul(w_solve_t, solve_pm,
                           transpose_b=True)             # unmasked 2nd factor
         dm1 = hp_matmul_blocked(psi_k, psi_t, transpose_b=True)
     else:
-        z = jnp.zeros((w_kmm.shape[1], w_solve.shape[1]), jnp.float32)
+        z = jnp.zeros((w_kmm.hi.shape[1], w_solve.hi.shape[1]),
+                      jnp.float32)
         dm1 = DF(z, z)
     dn, dt = apply_diag_recursion(input_diag(x_p), spec.layers)
     dvec = dt if get == "ntk" else dn
@@ -336,12 +341,15 @@ def _basis_device_df64_jit(kmm_hi, kmm_lo, jitter):
     """`_basis_device_jit` fed double-float K_mm ENTRIES (moments='df64'
     fits): the factorization starts from ~1e-13-relative kernel values,
     so rank cuts down to ~1e-12 * lam_max see real eigendirections
-    instead of fp32 entry noise. W still rounds to fp32 — a CONSISTENT
-    basis perturbation (every downstream product uses the same W), not a
-    kappa-amplified model error."""
+    instead of fp32 entry noise. Returns the basis as a DF PAIR — fp32
+    rounding of W alone perturbs the whitening identity W^T K_mm W = I
+    by O(eps32 * sqrt(lam_max / lam_cut)) ~ 0.1 at a 1e-12 cut, which
+    the finalize stage (it substitutes I for W^T K_mm W) turns into a
+    model error; measured +15% median q at 18k
+    (experiments/nystrom_cut_depth.py). Every consumer keeps the pair."""
     from nngp_tpu.ops.df64 import (DF, df_add, df_from_f32,
                                    _df_chol_blocks, _df_trtri_blocks,
-                                   _assemble, df_round)
+                                   _assemble)
 
     m = kmm_hi.shape[0]
     sym = DF(0.5 * (kmm_hi + kmm_hi.T), 0.5 * (kmm_lo + kmm_lo.T))
@@ -364,7 +372,15 @@ def _basis_device_df64_jit(kmm_hi, kmm_lo, jitter):
            sym.lo.at[diag, diag].set(d.lo))
     l_blocks, inv_diag, nb, blk = _df_chol_blocks(a, 512, j)
     x = _df_trtri_blocks(l_blocks, inv_diag, nb)
-    return df_round(_assemble(x, nb, blk, m).T)
+    w = _assemble(x, nb, blk, m)
+    return DF(w.hi.T, w.lo.T)
+
+
+def _df_split64(w64: np.ndarray):
+    """np.float64 -> (hi, lo) fp32 numpy pair, hi = round(w), lo exact."""
+    hi = np.asarray(w64, np.float32)
+    lo = np.asarray(w64 - np.asarray(hi, np.float64), np.float32)
+    return hi, lo
 
 
 _BASES_CACHE = {}                       # host numpy results only
@@ -380,7 +396,12 @@ def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
     instead of the fp32 one — the precondition for rank cuts below the
     fp32 entry-noise floor (see `_default_rank_rtol`). Host whitening
     consumes hi + lo as a true fp64 matrix; device whitening factorizes
-    the DF pair directly (`_basis_device_df64_jit`).
+    the DF pair directly (`_basis_device_df64_jit`). The bases are then
+    RETURNED as DF pairs: at deep cuts the fp32 rounding of W itself is
+    the binding noise source (it breaks W^T K_mm W = I by
+    eps32 * sqrt(lam_max / lam_cut), measured +15% median q at a 1e-12
+    cut, experiments/nystrom_cut_depth.py), so every moment/predict
+    projection keeps the pair.
 
     whiten='chol' (default): jittered-Cholesky basis, ~5x cheaper on host;
     whiten='eigh': eigenvalue-truncated basis (the semantics anchor).
@@ -403,17 +424,27 @@ def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
                          "basis is a host semantics anchor)")
     basis_fn = _whiten_basis_chol if whiten == "chol" else _whiten_basis
     x_np = np.asarray(x_m)
+    df64 = entries == "df64"
+
+    def _conv(c):
+        # cache holds numpy (hi, lo) tuples / DF device pairs for df64,
+        # plain arrays otherwise; DF is a NamedTuple so [0]/[1] covers both
+        if c is None:
+            return None
+        if df64:
+            from nngp_tpu.ops.df64 import DF
+            return DF(jnp.asarray(c[0], x_m.dtype),
+                      jnp.asarray(c[1], x_m.dtype))
+        return jnp.asarray(c, x_m.dtype)
+
     key = (spec, get, float(rank_rtol), whiten, bool(device), entries,
            str(x_np.dtype), x_np.shape,
            hashlib.sha1(x_np.tobytes()).hexdigest())
     hit = _BASES_CACHE.get(key)
     if hit is not None:
         w_solve_c, w_kmm_c = hit
-        return (jnp.asarray(w_solve_c, x_m.dtype),
-                jnp.asarray(w_kmm_c, x_m.dtype)
-                if w_kmm_c is not None else None)
+        return _conv(w_solve_c), _conv(w_kmm_c)
 
-    df64 = entries == "df64"
     if df64:
         from nngp_tpu.ops.df64_kernel import df_kernel_eval
         gets = ("nngp", "ntk") if get == "ntk" else ("nngp",)
@@ -459,12 +490,15 @@ def _inducing_bases(spec, get, rank_rtol, x_m, whiten="chol",
         w_kmm_c = (basis_fn(kmm_nngp64, rank_rtol)
                    if kmm_nngp64 is not None else None)
         w_solve_c = basis_fn(kmm_solve64, rank_rtol)
+        if df64:
+            # keep the fp64 basis as an fp32 (hi, lo) pair — see docstring
+            w_solve_c = _df_split64(w_solve_c)
+            w_kmm_c = (_df_split64(w_kmm_c)
+                       if w_kmm_c is not None else None)
     if len(_BASES_CACHE) >= _BASES_CACHE_MAX:
         _BASES_CACHE.pop(next(iter(_BASES_CACHE)))
     _BASES_CACHE[key] = (w_solve_c, w_kmm_c)
-    return (jnp.asarray(w_solve_c, x_m.dtype),
-            jnp.asarray(w_kmm_c, x_m.dtype)
-            if w_kmm_c is not None else None)
+    return _conv(w_solve_c), _conv(w_kmm_c)
 
 
 @jax.jit
@@ -621,6 +655,15 @@ class NystromPosterior:
     # (emulated-fp64 kernels + Ozaki projection, `ops/df64_kernel.py`)
     moments: str = dataclasses.field(metadata=dict(static=True),
                                      default="fp32")
+    # moments='df64': fp32 TAILS of the whitening bases — w_solve/w_kmm
+    # hold the hi halves, these complete the fp64 basis as a DF pair
+    # (`_inducing_bases(entries='df64')`). Required for deep rank cuts:
+    # a rounded basis breaks W^T K_mm W = I by eps32*sqrt(lam_max/lam_cut)
+    # (measured +15% median q at 1e-12, experiments/nystrom_cut_depth.py).
+    # None on fp32-moment posteriors; df64 checkpoints predating the tails
+    # fall back to a zero tail (consistent, just noisier at deep cuts).
+    w_solve_lo: Optional[jax.Array] = None
+    w_kmm_lo: Optional[jax.Array] = None
 
     @property
     def num_inducing(self) -> int:
@@ -632,13 +675,44 @@ class NystromPosterior:
         return self.w_solve.shape[1]
 
     # ------------------------------------------------------------- predict
+    def _df64_projections(self, x_test, need_kmm=True):
+        """Whitened projections of the test cross-kernels computed in
+        emulated fp64, rounded to fp32 AFTER the projection. At deep rank
+        cuts the projection amplifies cross-kernel entry noise by
+        lam^-1/2 (up to sqrt(lam_max/lam_cut) ~ 1e6 relative at 1e-12),
+        so fp32 entries/products here would corrupt exactly the deep
+        directions the df64 fit recovered; rounding the RESULT is
+        componentwise eps32 — benign. Returns psi ('nngp') or
+        (psi_t, psi_k) ('ntk'), fp32."""
+        from nngp_tpu.ops.df64 import DF, hp_matmul, df_round
+        from nngp_tpu.ops.df64_kernel import df_kernel_eval
+
+        w_s, w_k = self._w_pair()
+        w_st = DF(w_s.hi.T, w_s.lo.T)
+        if self.get == "nngp":
+            cross = df_kernel_eval(self.spec.layers, x_test, self.x_m,
+                                   "nngp")
+            return df_round(hp_matmul(w_st, cross, transpose_b=True))
+        nngp_c, ntk_c = df_kernel_eval(self.spec.layers, x_test, self.x_m,
+                                       ("nngp", "ntk"))
+        psi_t = df_round(hp_matmul(w_st, ntk_c, transpose_b=True))
+        if not need_kmm:
+            return psi_t, None
+        psi_k = df_round(hp_matmul(DF(w_k.hi.T, w_k.lo.T), nngp_c,
+                                   transpose_b=True))
+        return psi_t, psi_k
+
     def _predict_scaled(self, x_test, compute_cov):
         if self.input_scale != 1.0:
             x_test = x_test * (1.0 / self.input_scale)
+        df64 = self.moments == "df64"
         with jax.default_matmul_precision(self.precision):
             if self.get == "nngp":
-                cross = self.spec.kernel_fn(x_test, self.x_m, "nngp")
-                psi = self.w_solve.T @ cross.T             # (k, mt)
+                if df64:
+                    psi = self._df64_projections(x_test)   # (k, mt)
+                else:
+                    cross = self.spec.kernel_fn(x_test, self.x_m, "nngp")
+                    psi = self.w_solve.T @ cross.T         # (k, mt)
                 mean = psi.T @ self.beta_w
                 if compute_cov is False:
                     return mean
@@ -652,16 +726,21 @@ class NystromPosterior:
                 return mean, k_ss - psi.T @ psi + self.reg * (h.T @ h)
 
             # get == 'ntk': Nystrom both kernels in the mixed covariance
-            nngp_cross, ntk_cross = self.spec.kernel_fn(
-                x_test, self.x_m, ("nngp", "ntk"))
-            psi_t = self.w_solve.T @ ntk_cross.T           # (k, mt)
+            if df64:
+                psi_t, psi_k = self._df64_projections(
+                    x_test, need_kmm=(compute_cov is not False))
+            else:
+                nngp_cross, ntk_cross = self.spec.kernel_fn(
+                    x_test, self.x_m, ("nngp", "ntk"))
+                psi_t = self.w_solve.T @ ntk_cross.T       # (k, mt)
             mean = psi_t.T @ self.beta_w
             if compute_cov is False:
                 return mean
             # (C + rI)^-1 psi_t in the whitened basis
             ct = self.ic @ (self.ic.T @ psi_t)             # (k, mt)
             g = self.m1_w @ ct                             # (k2, mt)
-            psi_k = self.w_kmm.T @ nngp_cross.T            # (k2, mt)
+            if not df64:
+                psi_k = self.w_kmm.T @ nngp_cross.T        # (k2, mt)
             if compute_cov == "diag":
                 var = (self.spec.diag_fn(x_test, "nngp")
                        + jnp.sum(g * g, axis=0)
@@ -705,9 +784,10 @@ class NystromPosterior:
         if self.input_scale != 1.0:
             x_new = x_new * (1.0 / self.input_scale)
         c_acc, b_acc, m1_acc = self._moment_accumulators()
+        w_s, w_k = self._w_pair()
         c_raw, b_w, m1_w, diag_sum, yty = _stream_moments(
             self.spec, self.get, self.precision, self.x_m,
-            self.w_solve, self.w_kmm, x_new, y_new, self.panel_size,
+            w_s, w_k, x_new, y_new, self.panel_size,
             c_raw=c_acc, b_w=b_acc, m1_w=m1_acc,
             diag_sum=self.diag_sum, yty=self.yty,
             mesh=self.mesh, mesh_axis=self.mesh_axis,
@@ -731,6 +811,21 @@ class NystromPosterior:
 
         m1 = (DF(self.m1_w, self.m1_lo) if self.m1_w is not None else None)
         return DF(self.c_raw, self.c_lo), DF(self.b_w, self.b_lo), m1
+
+    def _w_pair(self):
+        """(w_solve, w_kmm) in the form `_stream_moments` expects — DF
+        pairs for 'df64' (zero tail for pre-DF-W checkpoints), plain
+        arrays otherwise."""
+        if self.moments != "df64":
+            return self.w_solve, self.w_kmm
+        from nngp_tpu.ops.df64 import DF
+
+        def pair(hi, lo):
+            if hi is None:
+                return None
+            return DF(hi, lo if lo is not None else jnp.zeros_like(hi))
+        return (pair(self.w_solve, self.w_solve_lo),
+                pair(self.w_kmm, self.w_kmm_lo))
 
     def _moment_fields(self, c, b, m1):
         """dataclasses.replace kwargs splitting DF moments into the
@@ -766,9 +861,10 @@ class NystromPosterior:
                 f"({self.num_train})")
         if self.input_scale != 1.0:
             x_old = x_old * (1.0 / self.input_scale)
+        w_s, w_k = self._w_pair()
         dc, db, dm1, dd, dy2 = _stream_moments(
             self.spec, self.get, self.precision, self.x_m,
-            self.w_solve, self.w_kmm, x_old, y_old, self.panel_size,
+            w_s, w_k, x_old, y_old, self.panel_size,
             mesh=self.mesh, mesh_axis=self.mesh_axis,
             moments=self.moments)
         if self.moments == "df64":
@@ -900,36 +996,45 @@ def _stream_moments(spec, get, precision, x_m, w_solve, w_kmm, x, y,
     deltas psum over ICI (`_sharded_panel_fn`) — same math, p-way panels.
 
     moments='df64': kernel entries, whitened projection and moment
-    accumulators run in emulated fp64 (`_panel_delta_df64`); c_raw/b_w/
-    m1_w are then DF pairs in and out (pass DF accumulators when
-    extending a df64 posterior)."""
+    accumulators run in emulated fp64 (`_panel_delta_df64`); w_solve/
+    w_kmm AND c_raw/b_w/m1_w are then DF pairs in and out (pass DF
+    accumulators when extending a df64 posterior)."""
     dt = x_m.dtype
-    k = w_solve.shape[1]
     n = x.shape[0]
     df64 = moments == "df64"
     if df64:
         from nngp_tpu.ops.df64 import DF
 
+        k = w_solve.hi.shape[1]
+        k2 = w_kmm.hi.shape[1] if get == "ntk" else 0
+
         def _z(shape):
             z = jnp.zeros(shape, jnp.float32)
             return DF(z, jnp.zeros_like(z))
+    else:
+        k = w_solve.shape[1]
+        k2 = w_kmm.shape[1] if get == "ntk" else 0
     if c_raw is None:
         if df64:
             c_raw = _z((k, k))
             b_w = _z((k, 1))
-            m1_w = _z((w_kmm.shape[1], k)) if get == "ntk" else None
+            m1_w = _z((k2, k)) if get == "ntk" else None
         else:
             c_raw = jnp.zeros((k, k), dt)
             b_w = jnp.zeros((k, 1), dt)
-            m1_w = (jnp.zeros((w_kmm.shape[1], k), dt)
+            m1_w = (jnp.zeros((k2, k), dt)
                     if get == "ntk" else None)
         diag_sum = jnp.zeros((), dt)
     if yty is None:
         yty = jnp.zeros((), dt)
     if get != "ntk":
         # the accumulators want concrete operands even when unused
-        m1_acc = _z((0, k)) if df64 else jnp.zeros((0, k), dt)
-        w_kmm_acc = jnp.zeros((x_m.shape[0], 0), dt)
+        if df64:
+            m1_acc = _z((0, k))
+            w_kmm_acc = _z((x_m.shape[0], 0))
+        else:
+            m1_acc = jnp.zeros((0, k), dt)
+            w_kmm_acc = jnp.zeros((x_m.shape[0], 0), dt)
     else:
         m1_acc, w_kmm_acc = m1_w, w_kmm
     p = min(panel_size, max(n, 1))
@@ -1221,6 +1326,10 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
         mom = dict(c_raw=c_raw.hi, c_lo=c_raw.lo, b_w=b_w.hi, b_lo=b_w.lo,
                    m1_w=(m1_w.hi if m1_w is not None else None),
                    m1_lo=(m1_w.lo if m1_w is not None else None))
+        # the whitening bases are DF pairs — split into hi fields + tails
+        w_solve, mom["w_solve_lo"] = w_solve.hi, w_solve.lo
+        if w_kmm is not None:
+            w_kmm, mom["w_kmm_lo"] = w_kmm.hi, w_kmm.lo
     else:
         mom = dict(c_raw=c_raw, b_w=b_w, m1_w=m1_w)
     return NystromPosterior(

@@ -575,7 +575,11 @@ class Estimator:
                 c_lo=(jnp.asarray(arrs["c_lo"]) if "c_lo" in arrs else None),
                 b_lo=(jnp.asarray(arrs["b_lo"]) if "b_lo" in arrs else None),
                 m1_lo=(jnp.asarray(arrs["m1_lo"])
-                       if "m1_lo" in arrs else None))
+                       if "m1_lo" in arrs else None),
+                w_solve_lo=(jnp.asarray(arrs["w_solve_lo"])
+                            if "w_solve_lo" in arrs else None),
+                w_kmm_lo=(jnp.asarray(arrs["w_kmm_lo"])
+                          if "w_kmm_lo" in arrs else None))
             return self
         if "distributed" in meta:
             if mesh is None:
@@ -694,6 +698,13 @@ class Estimator:
                 arrs["b_lo"] = np.asarray(p.b_lo)
                 if p.m1_lo is not None:
                     arrs["m1_lo"] = np.asarray(p.m1_lo)
+            if p.w_solve_lo is not None:
+                # df64 whitening-basis tails: dropping them would round
+                # the basis to fp32, which breaks deep rank cuts
+                # (gp/nystrom.NystromPosterior.w_solve_lo)
+                arrs["w_solve_lo"] = np.asarray(p.w_solve_lo)
+                if p.w_kmm_lo is not None:
+                    arrs["w_kmm_lo"] = np.asarray(p.w_kmm_lo)
         elif self.mesh is not None:
             meta["distributed"] = {"block_size": int(p.block_size),
                                    "axis_name": p.axis_name,

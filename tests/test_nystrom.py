@@ -571,6 +571,8 @@ def test_df64_moments_beat_fp32_moments():
 
     def moment_err(post, c64):
         w64 = np.asarray(post.w_solve, np.float64)
+        if post.w_solve_lo is not None:   # df64 keeps the basis as a pair
+            w64 = w64 + np.asarray(post.w_solve_lo, np.float64)
         psi = w64.T @ k_nm.T
         c_ref = psi @ psi.T
         return np.abs(c64 - c_ref).max() / np.abs(c_ref).max()
@@ -607,8 +609,18 @@ def test_df64_bases_whiten_below_fp32_entry_noise():
 
     rtol = 1e-12
 
+    def as64(w):
+        # entries='df64' bases come back as DF pairs (the fp32-rounded
+        # basis alone breaks deep cuts — nystrom_cut_depth.py): evaluate
+        # the EFFECTIVE basis hi + lo
+        if hasattr(w, "hi"):
+            return (np.asarray(w.hi, np.float64)
+                    + np.asarray(w.lo, np.float64))
+        return np.asarray(w, np.float64)
+
     def metrics(w):
-        g = np.asarray(w, np.float64).T @ k64 @ np.asarray(w, np.float64)
+        w = as64(w)
+        g = w.T @ k64 @ w
         d = np.diag(g)
         ok = np.abs(d - 1) < 0.1
         off = g - np.diag(d)
@@ -621,10 +633,9 @@ def test_df64_bases_whiten_below_fp32_entry_noise():
     # df64 entries whiten the deep pair-difference directions fp32
     # entries cannot (they sit below the fp32 entry-noise floor) ...
     assert n_df >= n_32 + 32, (n_df, n_32)
-    # ... and the directions BOTH whiten are cleaner. The df64 arm's
-    # residual floor is the fp32 STORAGE of W itself (a consistent basis
-    # perturbation ~ eps32 * sqrt(lam_i/lam_j), NOT entry noise), so the
-    # measurable ratio is ~10x, not the entry-noise 1e5x.
+    # ... and the directions BOTH whiten are cleaner. With the basis kept
+    # as a DF pair the residual floor is the df64 entry/arithmetic noise
+    # itself — orders below the fp32-entry arm.
     assert r_df < 0.2 * r_32, (r_df, r_32)
     # the device df64 factorization matches the host semantics
     n_dev, r_dev = metrics(bases(spec, "nngp", rtol, x32,
