@@ -44,7 +44,8 @@ class ActiveLearner:
                  biased_sample: bool = True, diag_reg: float = 1e-3,
                  refit: str = None, seed: int = 10,
                  mesh=None, dist_block_size=None, input_scale=None,
-                 nystrom_m=None, nystrom_grow: int = 0, relearn_hyper=None,
+                 nystrom_m=None, nystrom_grow: int = 0,
+                 nystrom_moments: str = "fp32", relearn_hyper=None,
                  hyper_warm_steps: int = 40, hyper_points=2048,
                  hyper_ard: bool = False, selection: str = None,
                  partition_keys: str = "num_predicates",
@@ -67,6 +68,11 @@ class ActiveLearner:
         at any pool/train size, and acquisition rounds extend EXACTLY for
         that model class (moments are row sums). With mesh, the moment
         panels shard across chips.
+
+        nystrom_moments: 'fp32' (default) or 'df64' — the emulated-fp64
+        accuracy tier (DF-pair whitening basis + deep rank cut; fp64-
+        grade serving from the fp32 pipeline, `gp/nystrom.fit_nystrom`).
+        Per-round extends stay df64 through the posterior's moment tails.
 
         nystrom_grow: with nystrom_m, additionally GROW the inducing set
         by this many rows per acquisition round — a seeded uniform
@@ -141,6 +147,7 @@ class ActiveLearner:
         self.dist_block_size = dist_block_size
         self.input_scale = input_scale
         self.nystrom_m = nystrom_m
+        self.nystrom_moments = nystrom_moments
         if nystrom_grow and nystrom_m is None:
             raise ValueError("nystrom_grow requires nystrom_m")
         if nystrom_grow and refit == "full":
@@ -249,7 +256,8 @@ class ActiveLearner:
             return fit_nystrom(self.spec, x_train, y_train,
                                num_inducing=self.nystrom_m,
                                diag_reg=self.diag_reg, get=self.kernel_type,
-                               input_scale=self.input_scale, mesh=self.mesh)
+                               input_scale=self.input_scale, mesh=self.mesh,
+                               moments=self.nystrom_moments)
         if self.mesh is not None:
             # any n: distributed_fit pads to the layout quantum internally
             from nngp_tpu.parallel import distributed_fit

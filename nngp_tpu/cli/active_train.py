@@ -105,6 +105,11 @@ def build_parser():
                    help="run the loop on the streaming Nystrom/DTC tier "
                         "with this many inducing rows (O(m^2) device "
                         "state at any n; exact moment extends per round)")
+    p.add_argument("--nystrom_moments", type=str, default="fp32",
+                   choices=["fp32", "df64"],
+                   help="Nystrom moment/basis precision: df64 = emulated-"
+                        "fp64 accuracy tier (deep rank cut; fp64-grade "
+                        "serving from the fp32 pipeline, BASELINE.md)")
     return p
 
 
@@ -197,6 +202,7 @@ def main(argv=None):
         selection=args.selection,
         diag_reg=args.diag_reg, refit=args.refit, mesh=mesh,
         nystrom_m=args.nystrom_m, nystrom_grow=args.nystrom_grow,
+        nystrom_moments=args.nystrom_moments,
         input_scale=input_scale,
         relearn_hyper=hyper_res, hyper_points=args.hyper_points or None,
         hyper_ard=args.ard, pad_acquisitions=args.pad_acquisitions,

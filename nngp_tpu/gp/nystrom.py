@@ -1259,6 +1259,11 @@ def fit_nystrom(spec: KernelSpec, x_train, y_train, num_inducing: int = 2048,
     fp64 serving gap (2.52 vs 2.40 at 90k m=2048 — an all-fp64 pipeline
     pinned to 1e-8 also scores 2.51, experiments/nystrom_prec_attrib.py);
     df64 entries push the default cut to 1e-12 (`_default_rank_rtol`).
+    Deep cuts additionally require the whitening basis itself to stay a
+    DF pair (w_solve_lo/w_kmm_lo tails) and the predict projections to
+    run in df64 — with both, the fp32 pipeline reproduces the fp64
+    oracle's q-error digit-for-digit at every cut
+    (experiments/nystrom_cut_depth.py; BASELINE.md round 3l).
     fp32 posteriors only; extend/forget/grow stay df64 through the
     posterior's stored moment tails (c_lo/b_lo/m1_lo).
 

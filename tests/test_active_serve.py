@@ -569,6 +569,12 @@ def test_estimator_nystrom_df64_moments_roundtrip(tmp_path):
     assert est2.posterior.moments == "df64"
     np.testing.assert_array_equal(np.asarray(est2.posterior.c_lo),
                                   np.asarray(est.posterior.c_lo))
+    # the whitening-basis tails must survive too: a restore that dropped
+    # them would round W to fp32 and break the deep rank cut
+    # (gp/nystrom.NystromPosterior.w_solve_lo)
+    assert est.posterior.w_solve_lo is not None
+    np.testing.assert_array_equal(np.asarray(est2.posterior.w_solve_lo),
+                                  np.asarray(est.posterior.w_solve_lo))
     fb = ["ta,tb@x,3.0,1.0@@ta,tb,id@2000"]
     est.extend_with_lines(list(fb))
     est2.extend_with_lines(list(fb))

@@ -388,6 +388,29 @@ def test_active_learner_on_nystrom_tier():
     assert all(np.isfinite(h["val_mse"]) for h in history)
 
 
+def test_active_learner_nystrom_df64_moments():
+    """ActiveLearner(nystrom_moments='df64') threads the accuracy tier
+    through the acquisition loop's fits (fp32 inputs; the per-round
+    moment extends stay df64 through the posterior's stored tails)."""
+    from nngp_tpu.active import ActiveLearner
+
+    x, y, _ = _data(n=80, scale=1000.0, seed=20)
+    xp, yp, _ = _data(n=40, scale=1000.0, seed=21)
+    xv, yv, _ = _data(n=20, scale=1000.0, seed=22)
+
+    def f32(a):
+        return a.astype(np.float32)
+
+    learner = ActiveLearner(reference_kernel(), budget=8, active_iters=1,
+                            biased_sample=False, nystrom_m=24,
+                            nystrom_moments="df64", input_scale=1.0)
+    post, history = learner.active_train(f32(x), f32(y), f32(xp), f32(yp),
+                                         f32(xv), f32(yv), printer=None)
+    assert post.moments == "df64" and post.w_solve_lo is not None
+    assert post.c_lo is not None
+    assert np.isfinite(history[0]["val_mse"])
+
+
 def test_inducing_rows_override_matches_selection():
     """fit_nystrom(inducing_rows=x[idx]) is bit-equivalent to the seeded
     internal selection of the same rows (the override is the grow hook)."""
