@@ -65,10 +65,14 @@ def run_arm(moments, rank_rtol=None):
     sync(ext.beta_w)
     t_ext = time.perf_counter() - t0
     mm, _ = ext.predict_mean_std_chunked(np.asarray(x_te), chunk=8192)
+    t0 = time.perf_counter()          # warm predict wall (df64 predict-
+    mm, _ = ext.predict_mean_std_chunked(np.asarray(x_te), chunk=8192)
+    t_pred = time.perf_counter() - t0  # side projection costs extra)
     q = symmetric_qerror(np.asarray(mm).ravel() - yv)
     print(f"moments={moments} rtol={ext.rank_rtol:g} "
           f"(finalize={ext.finalize}): "
           f"warm fit {t_fit:.3f}s  extend-{EXT} {t_ext:.3f}s  "
+          f"predict-30k {t_pred:.3f}s  "
           f"median q {np.median(q):.4f}  p90 {np.quantile(q, 0.90):.2f}  "
           f"p95 {np.quantile(q, 0.95):.2f}  "
           f"p99 {np.quantile(q, 0.99):.2f}  max {q.max():.1f}", flush=True)
