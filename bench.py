@@ -18,6 +18,17 @@ Extras in the same JSON line (driver-captured each round):
   fit_21600_s                         scale row (2x train set), skipped when
                                       NNGP_BENCH_FAST=1
 
+Key schema v2 (bench_schema=2): workload+config-explicit names alongside
+the legacy keys (whose r03 semantics are frozen) —
+  <workload>_parity_*      bit-exact reference encoding + pinned hypers
+  <workload>_best_*        the measured-best configuration (BASELINE.md
+                           decision table: chunk_norm / ARD evidence-
+                           learned hypers / DTC objective / df64 moments)
+  forest_calibration_mae_{raw,calibrated}   coverage MAE before/after the
+                           MLE std temperature (Estimator calibrate flow)
+  synth6big_90k_best_*     the 90k-row Nystrom headline (only when
+                           workloads/synth6_big_data is present)
+
 North star (BASELINE.json): fit < 1 s on a v5e-8. The reference publishes no
 numbers (`BASELINE.md`), so vs_baseline is north_star_seconds / measured —
 values > 1 beat the target.
@@ -119,6 +130,35 @@ def main():
 
     extras = {}
     fast = os.environ.get("NNGP_BENCH_FAST") == "1"
+
+    # ---- key schema v2 -------------------------------------------------
+    # Round-3 lesson: `join_median_qerror` silently changed workloads
+    # between rounds (3-table synth_join in r02, synth6 in r03) and the
+    # headline keys report reference-PARITY configs, not the framework's
+    # measured-best ones. v2 keys are workload-explicit and config-explicit
+    # (`<workload>_<config>_<stat>`); the legacy keys keep their r03
+    # semantics for cross-round continuity.
+    extras["bench_schema"] = 2
+
+    # Forest calibration: expected-vs-observed coverage MAE over 10 levels
+    # on the TEST split — raw posterior std vs the MLE std temperature
+    # fitted on the VAL split (the Estimator calibrate_frac/
+    # calibrate_uncertainty flow; the reference can only PLOT calibration).
+    from nngp_tpu.eval.calibration import (
+        calibration_mae, calibration_table, fit_std_scale)
+    x_val_d = jax.device_put(jnp.asarray(x_val))
+    mv, sv = post.predict_mean_std(x_val_d)
+    std_scale = fit_std_scale(np.asarray(y_val).ravel(),
+                              np.asarray(mv).ravel(), np.asarray(sv).ravel())
+    std_te = np.asarray(std).ravel()
+    y_te_r = np.asarray(y_te, np.float64).ravel()
+    mean_r = np.asarray(mean).ravel()
+    extras["forest_calibration_mae_raw"] = round(
+        calibration_mae(calibration_table(y_te_r, mean_r, std_te)), 4)
+    extras["forest_calibration_mae_calibrated"] = round(
+        calibration_mae(calibration_table(y_te_r, mean_r,
+                                          std_te * std_scale)), 4)
+    extras["forest_calibration_std_scale"] = round(std_scale, 4)
 
     # Incremental active-learning append: 1,000 labeled rows folded into the
     # factor in O(n^2 k) (the reference refits from scratch each round).
@@ -287,6 +327,100 @@ def main():
         extras["imdb_error"] = type(e).__name__
 
     if not fast:
+        # Forest BEST config (BASELINE.md decision table): ARD evidence-
+        # learned hypers, exact fit — beats the reference's pinned
+        # hyperparameters on every quantile (fp64-CPU: median 2.535/p95
+        # 19.90 vs default 2.596/22.33).
+        try:
+            from nngp_tpu.gp import fit_kernel_hyperparams as _fkh_f
+            res_f = _fkh_f(x_tr, y_tr, steps=100, max_points=4096, ard=True)
+            pf = fit_gp(res_f.spec,
+                        jax.device_put(jnp.asarray(res_f.scale_inputs(x_tr))),
+                        y_tr_d, **res_f.fit_kwargs())
+            sync((pf.l, pf.alpha))
+            mf, _ = pf.predict_mean_std(
+                jax.device_put(jnp.asarray(res_f.scale_inputs(x_te))))
+            qf = symmetric_qerror(np.asarray(mf).ravel()
+                                  - np.asarray(y_te).ravel())
+            extras["forest_best_median_qerror"] = round(
+                float(np.median(qf)), 4)
+            extras["forest_best_p95_qerror"] = round(
+                float(np.quantile(qf, 0.95)), 4)
+            del pf, res_f
+        except Exception as e:               # pragma: no cover - TPU only
+            extras["forest_best_median_qerror"] = None
+            extras["forest_best_error"] = type(e).__name__
+
+        # synth6 BEST config at 10.8k: chunk_norm features + ARD exact-
+        # objective hypers, exact fit (fp64-CPU: 2.3235/28.0 vs raw parity
+        # 9.85/5504 and chunk_norm default 2.685/33.0 — BASELINE.md).
+        try:
+            from nngp_tpu.gp import fit_kernel_hyperparams as _fkh_s
+            res_s = _fkh_s(xn_tr, yn_tr, steps=100, max_points=4096,
+                           ard=True)
+            ps = fit_gp(res_s.spec,
+                        jax.device_put(jnp.asarray(res_s.scale_inputs(xn_tr))),
+                        jax.device_put(jnp.asarray(yn_tr)),
+                        **res_s.fit_kwargs())
+            sync((ps.l, ps.alpha))
+            msb, _ = ps.predict_mean_std(
+                jax.device_put(jnp.asarray(res_s.scale_inputs(xn_te))))
+            qsb = symmetric_qerror(np.asarray(msb).ravel()
+                                   - np.asarray(yn_te).ravel())
+            extras["synth6_best_median_qerror"] = round(
+                float(np.median(qsb)), 4)
+            extras["synth6_best_p95_qerror"] = round(
+                float(np.quantile(qsb, 0.95)), 4)
+            del ps, res_s
+        except Exception as e:               # pragma: no cover - TPU only
+            extras["synth6_best_median_qerror"] = None
+            extras["synth6_best_error"] = type(e).__name__
+
+        # 90k headline (only when the synth6_big workload is present —
+        # regenerate with `python workloads/make_synth6_join.py --per_arity
+        # 25000 --out_name synth6_big_data`): chunk_norm + full-n ARD x DTC
+        # learned hypers + Nystrom m=2048 with df64 moment streaming — the
+        # measured-best large-n serving configuration (BASELINE.md).
+        big_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "workloads", "synth6_big_data")
+        if os.path.isdir(big_dir):
+            try:
+                import time as _tb
+                from nngp_tpu.gp import (fit_kernel_hyperparams as _fkh_b,
+                                         fit_nystrom as _fitny_b)
+                xb, yb, infos_b, _encb = load_multi_join_workload(
+                    big_dir, schema_name="synth6", dtype=np.float32,
+                    chunk_norm=True)
+                xb_tr, yb_tr, _, xb_te, yb_te, _, _, _, _ = \
+                    train_test_val_split(xb, yb, train_frac=0.6,
+                                         test_frac=0.2,
+                                         all_query_infos=infos_b)
+                res_b = _fkh_b(xb_tr, yb_tr, steps=100, max_points=0,
+                               ard=True, objective="dtc", dtc_m=512)
+                xb_trs = res_b.scale_inputs(xb_tr)
+                pb = _fitny_b(res_b.spec, xb_trs, yb_tr, num_inducing=2048,
+                              moments="df64", **res_b.fit_kwargs())
+                sync(pb.beta_w)
+                t0 = _tb.perf_counter()
+                pb = _fitny_b(res_b.spec, xb_trs, yb_tr, num_inducing=2048,
+                              moments="df64", **res_b.fit_kwargs())
+                sync(pb.beta_w)
+                extras["synth6big_90k_fit_s"] = round(
+                    _tb.perf_counter() - t0, 6)
+                mb, _ = pb.predict_mean_std_chunked(
+                    np.asarray(res_b.scale_inputs(xb_te)))
+                qb = symmetric_qerror(np.asarray(mb).ravel()
+                                      - np.asarray(yb_te).ravel())
+                extras["synth6big_90k_best_median_qerror"] = round(
+                    float(np.median(qb)), 4)
+                extras["synth6big_90k_best_p95_qerror"] = round(
+                    float(np.quantile(qb, 0.95)), 4)
+                extras["synth6big_90k_n_train"] = int(xb_tr.shape[0])
+                del pb, res_b, xb, yb, xb_tr, yb_tr, xb_te, yb_te
+            except Exception as e:           # pragma: no cover - TPU only
+                extras["synth6big_90k_best_median_qerror"] = None
+                extras["synth6big_90k_error"] = type(e).__name__
+
         # Streaming Nystrom/DTC tier (gp/nystrom.py): unbounded-n fits in
         # O(m^2) device state — forest accuracy + warm fit at m=1024 (the
         # warm time is host-eigh-bound; BASELINE.md has the 1M-row ladder).
@@ -392,6 +526,22 @@ def main():
                 # the failure reason rides in a separate string field
                 extras[f"fit_{n_scale}_s"] = None
                 extras[f"fit_{n_scale}_error"] = type(e).__name__
+
+    # v2 aliases: workload+config-explicit names for the parity keys (the
+    # legacy names keep r03 semantics above). synth6_parity_* = the
+    # bit-exact reference encoding; *_best_* rows above are the framework's
+    # measured-best configurations on the same splits.
+    extras["forest_parity_median_qerror"] = round(float(np.median(q)), 4)
+    extras["forest_parity_p95_qerror"] = round(
+        float(np.quantile(q, 0.95)), 4)
+    extras["synth6_parity_median_qerror"] = extras["join_median_qerror"]
+    extras["synth6_parity_p95_qerror"] = extras["join_p95_qerror"]
+    extras["synth6_chunk_norm_median_qerror"] = extras[
+        "join_median_qerror_chunk_norm"]
+    extras["synthimdb_parity_median_qerror"] = extras.get(
+        "imdb_median_qerror")
+    extras["synthimdb_best_median_qerror"] = extras.get(
+        "imdb_median_qerror_ard")
 
     north_star_s = 1.0  # BASELINE.json: fit < 1 s on TPU
     print(json.dumps({

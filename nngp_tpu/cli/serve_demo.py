@@ -60,7 +60,7 @@ def main(argv=None):
                    help="serve from the streaming Nystrom/DTC tier with "
                         "this many inducing rows (O(m^2) device state at "
                         "any train-set size)")
-    p.add_argument("--nystrom_moments", type=str, default="fp32",
+    p.add_argument("--nystrom_moments", type=str, default=None,
                    choices=("fp32", "df64"),
                    help="Nystrom moment-streaming precision (df64 = "
                         "emulated-fp64 kernels/projection/accumulators; "
@@ -113,6 +113,20 @@ def main(argv=None):
                         "serving bucket up to this size before accepting "
                         "connections (0 disables); first-request compiles "
                         "cost seconds-to-minutes on a remote TPU")
+    p.add_argument("--quality", type=str, default="reference",
+                   choices=["reference", "best"],
+                   help="'best' routes the measured-best decision table "
+                        "(BASELINE.md) for every flag left unset: "
+                        "chunk_norm, ARD evidence-learned hypers (auto "
+                        "DTC objective with --nystrom_m), df64 Nystrom "
+                        "moments, and a 10%% calibration holdout. "
+                        "Explicit flags still win")
+    p.add_argument("--calibrate_frac", type=float, default=None,
+                   help="hold out this fraction of the training queries "
+                        "and auto-calibrate uncertainty on them (std "
+                        "temperature + conformal scores); an alternative "
+                        "to --calibrate_file when no separate held-out "
+                        "file exists")
     p.add_argument("--listen_max_requests", type=int, default=None,
                    help="with --listen: stop after serving this many "
                         "requests (soak tests / CI; default: forever)")
@@ -150,13 +164,17 @@ def main(argv=None):
                         coef_var_threshold=args.coef_var_threshold,
                         stats_dir=args.stats_dir, mesh=mesh,
                         nystrom_m=args.nystrom_m,
+                        # store_true flags pass None when NOT given so
+                        # --quality best can fill them; given flags win
                         nystrom_moments=args.nystrom_moments,
-                        chunk_norm=args.chunk_norm,
+                        chunk_norm=args.chunk_norm or None,
                         learn_hyper=learn_hyper,
-                        hyper_ard=args.ard,
+                        hyper_ard=args.ard or None,
                         hyper_steps=args.hyper_steps,
                         hyper_points=args.hyper_points,
-                        pad_slots=args.pad_slots)
+                        pad_slots=args.pad_slots,
+                        quality=args.quality,
+                        calibrate_frac=args.calibrate_frac)
         if (args.hyper_file and est.hyper_result is not None
                 and not os.path.exists(args.hyper_file)):
             est.hyper_result.save(args.hyper_file)

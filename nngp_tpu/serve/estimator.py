@@ -86,6 +86,9 @@ class Estimator:
     # checkpoint-restored instances (built via __new__) get it too; override
     # per instance with the `predict_cache_size` constructor argument.
     predict_cache_size = 4096
+    # Configuration-routing mode (class attribute so checkpoint-restored
+    # instances report one too; the restored flags themselves are concrete).
+    quality = "reference"
 
     @property
     def posterior(self):
@@ -109,14 +112,17 @@ class Estimator:
                  stats_dir: Optional[str] = None,
                  dtype=np.float32, verbose: bool = True,
                  mesh=None, dist_block_size: Optional[int] = None,
-                 chunk_norm: bool = False,
+                 chunk_norm: Optional[bool] = None,
                  nystrom_m: Optional[int] = None,
-                 nystrom_moments: str = "fp32",
+                 nystrom_moments: Optional[str] = None,
                  learn_hyper=False, hyper_steps: int = 100,
-                 hyper_points: int = 4096, hyper_ard: bool = False,
+                 hyper_points: int = 4096, hyper_ard: Optional[bool] = None,
                  hyper_objective: str = "auto",
                  predict_cache_size: int = 4096,
-                 pad_slots: Optional[int] = None):
+                 pad_slots: Optional[int] = None,
+                 quality: str = "reference",
+                 calibrate_frac: Optional[float] = None,
+                 calibrate_seed: int = 7):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
@@ -174,12 +180,74 @@ class Estimator:
         back to dense appends (one compile per shape again); size
         pad_slots to the expected feedback volume between refits.
 
+        quality: configuration routing. 'reference' (default) honors every
+        flag exactly as passed — bit-exact reference encoding + pinned
+        hyperparameters unless opted in otherwise. 'best' routes the
+        measured-best decision table (BASELINE.md) for any flag still at
+        its unset default:
+          * chunk_norm=True — the fp32 on-ramp for packed categorical
+            chunks (no-op on all-numerical schemas);
+          * learn_hyper=True with hyper_ard=True and the auto DTC
+            objective — ARD evidence learning beats the reference's
+            pinned hypers on every measured workload (forest, synth6,
+            synthimdb, 90k Nystrom serving);
+          * nystrom_moments='df64' when nystrom_m is set and dtype is
+            fp32 — emulated-fp64 moment streaming + deeper rank cuts,
+            measured median q 2.52 -> 2.40 at 90k on chip at equal
+            serving cost (experiments/nystrom_df64_moments_ab2.log);
+          * calibrate_frac=0.1 — auto-calibrated uncertainty (below).
+        Flags you pass explicitly still win; 'best' only fills unset ones.
+        Requires an mlp-shaped spec (the default). Budget for the hyperopt
+        dispatch at construction (~30 s warm on TPU, ~12-15 min on a
+        1-core fp64 CPU at d~114).
+
+        calibrate_frac: hold out this (seeded) fraction of the training
+        queries from the fit and calibrate uncertainty on them after it —
+        fits the MLE std temperature (`eval.calibration.fit_std_scale`,
+        applied to every later predict std) and the split-conformal score
+        set enabling `predict_interval`, exactly as an explicit
+        `calibrate_uncertainty` call would. Measured on forest (fp64 CPU,
+        default kernel, val-fitted temperature, test-evaluated):
+        expected-vs-observed coverage MAE 0.413 -> 0.022 (std_scale 0.20
+        — the default kernel is strongly underconfident). The reference
+        only PLOTS calibration (`/root/reference/util.py:296-313`); it
+        cannot repair it.
+
         predict_cache_size: capacity of the cross-call prediction memo.
         PostgreSQL plan enumeration re-submits the same sub-queries across
         plan candidates and across optimizer invocations; `predict` dedups
         each batch and memoizes (query line -> raw mean/std), so repeats
         never reach the device. Invalidated on any posterior change; 0
         disables retention (within-batch dedup still applies)."""
+        if quality not in ("reference", "best"):
+            raise ValueError(
+                f"quality must be 'reference' or 'best', got {quality!r}")
+        if quality == "best":
+            # Fill only flags still at their unset defaults — explicit
+            # arguments always win. Decision table: BASELINE.md.
+            if chunk_norm is None:
+                chunk_norm = True
+            if learn_hyper is False:
+                learn_hyper = True
+            if hyper_ard is None:
+                # respect a scalar hyper artifact if one was passed
+                hyper_ard = (learn_hyper is True
+                             or getattr(learn_hyper, "feature_scale", None)
+                             is not None)
+            if (nystrom_moments is None and nystrom_m is not None
+                    and np.dtype(dtype) == np.float32):
+                nystrom_moments = "df64"
+            if calibrate_frac is None:
+                calibrate_frac = 0.1
+        chunk_norm = bool(chunk_norm) if chunk_norm is not None else False
+        hyper_ard = bool(hyper_ard) if hyper_ard is not None else False
+        nystrom_moments = (str(nystrom_moments)
+                           if nystrom_moments is not None else "fp32")
+        calibrate_frac = float(calibrate_frac or 0.0)
+        if not 0.0 <= calibrate_frac < 1.0:
+            raise ValueError(
+                f"calibrate_frac must be in [0, 1), got {calibrate_frac}")
+        self.quality = quality
         self.schema_name = schema_name
         self.chunk_size = chunk_size
         self.predict_cache_size = int(predict_cache_size)
@@ -226,6 +294,19 @@ class Estimator:
         self.drift_monitor = None       # created lazily by record_feedback
         self.feature_scale = None
         self.hyper_result = None        # HyperoptResult in effect (if any)
+        x_cal = y_cal = None
+        if calibrate_frac > 0.0 and x.shape[0] >= 20:
+            # Seeded holdout BEFORE hyperopt/fit: calibration rows must be
+            # genuinely held out or the coverage guarantee is void.
+            n_cal = max(10, int(round(calibrate_frac * x.shape[0])))
+            perm = np.random.default_rng(calibrate_seed).permutation(
+                x.shape[0])
+            cal_idx, fit_idx = perm[:n_cal], perm[n_cal:]
+            x_cal, y_cal = x[cal_idx], y[cal_idx]
+            x, y = x[fit_idx], y[fit_idx]
+            if verbose:
+                print(f"calibration holdout: {n_cal} queries "
+                      f"(fit on {x.shape[0]})")
         if learn_hyper:
             if isinstance(learn_hyper, bool):
                 self._learn_hyperparams(x, y, hyper_steps, hyper_points,
@@ -243,6 +324,10 @@ class Estimator:
             raise ValueError("hyper_ard requires learn_hyper=True")
         self.posterior = self._fit(x, y)
         self._validate_fit()
+        if x_cal is not None:
+            self._calibrate_arrays(self._apply_feature_scale(x_cal),
+                                   np.asarray(y_cal, np.float64).ravel(),
+                                   verbose, source="holdout")
 
     def _require_mlp_spec(self, op_name: str):
         """Hyperopt only parameterizes mlp-shaped stacks — silently
@@ -1079,16 +1164,23 @@ class Estimator:
         posterior moved, so the residual geometry did too). Returns the
         fitted std scale. The reference only PLOTS calibration
         (`/root/reference/util.py:296-313`); it cannot repair it."""
-        from nngp_tpu.eval.calibration import conformal_scores, fit_std_scale
         x, cards = self._encode_labeled_lines(labeled_lines,
                                               "calibrate_uncertainty")
-        y = np.log2(cards)
-        n = x.shape[0]
+        return self._calibrate_arrays(x, np.log2(cards), verbose,
+                                      source="held-out lines")
+
+    def _calibrate_arrays(self, x, y, verbose: bool, source: str) -> float:
+        """Shared core of `calibrate_uncertainty` and the constructor's
+        `calibrate_frac` holdout: x must already be on the serving feature
+        surface (chunk_norm + ARD scale applied); y in log2-card space.
+        Fits the MLE std temperature and the conformal score set from the
+        RAW posterior std (std_scale deliberately not applied twice)."""
+        from nngp_tpu.eval.calibration import conformal_scores, fit_std_scale
         mean, std = self._bucketed_predict(x)
         self.std_scale = fit_std_scale(y, mean, std)
         self._conformal_scores = conformal_scores(y, mean, std)
         if verbose:
-            print(f"calibrated on {n} held-out lines: std_scale="
+            print(f"calibrated on {x.shape[0]} {source}: std_scale="
                   f"{self.std_scale:.4f}")
         return self.std_scale
 

@@ -1226,3 +1226,131 @@ def test_estimator_pad_slots_guards(tmp_path):
     with pytest.raises(ValueError, match="pad_slots"):
         Estimator("toy", None, qdir, stats=stats, verbose=False,
                   kernel_type="ntk", pad_slots=100)
+
+
+def test_estimator_calibrate_frac_holdout(tmp_path):
+    """Estimator(calibrate_frac=...) holds out a seeded fraction of the
+    training queries, fits on the rest, and auto-calibrates: the MLE std
+    temperature applies to every later predict, the conformal score set
+    enables predict_interval without an explicit calibrate call, and both
+    artifacts ride checkpoints."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, calibrate_frac=0.2)
+    base = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                     verbose=False)
+    # the holdout really is excluded from the fit
+    assert est.posterior.num_train < base.posterior.num_train
+    assert est.std_scale != 1.0
+    assert est._conformal_scores is not None
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    _, std_cal = est.predict(lines)
+    mean, lo, hi = est.predict_interval(lines, alpha=0.2)
+    assert np.all(lo <= mean) and np.all(mean <= hi)
+
+    ckpt = tmp_path / "cal_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.std_scale == pytest.approx(est.std_scale)
+    m2, lo2, hi2 = est2.predict_interval(lines, alpha=0.2)
+    np.testing.assert_allclose(lo2, lo, rtol=1e-12)
+    np.testing.assert_allclose(hi2, hi, rtol=1e-12)
+
+
+def test_estimator_quality_best_routes_decision_table(tmp_path):
+    """quality='best' fills unset flags from the measured decision table
+    (BASELINE.md): chunk_norm on, ARD evidence-learned hypers, calibration
+    holdout — while explicit flags still win."""
+    import unittest.mock as mock
+    import nngp_tpu.gp.hyperopt as ho
+    stats, qdir = _toy_schema_files(tmp_path)
+    orig = ho.fit_kernel_hyperparams
+
+    def quick(xx, yy, **kw):
+        kw["steps"] = 5
+        kw["reg_restarts"] = ()
+        return orig(xx, yy, **kw)
+
+    with mock.patch.object(ho, "fit_kernel_hyperparams", quick):
+        est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                        verbose=False, quality="best", hyper_points=48)
+    assert est.chunk_norm is True
+    assert est.hyper_result is not None
+    assert est.feature_scale is not None        # ARD mode
+    assert est.std_scale != 1.0                 # auto-calibrated
+    assert est._conformal_scores is not None
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    mean, std = est.predict(lines)
+    assert np.all(np.isfinite(mean)) and np.all(std > 0)
+    # a checkpoint round-trips the whole routed configuration
+    ckpt = tmp_path / "best_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    m2, s2 = est2.predict(lines)
+    np.testing.assert_allclose(m2, mean, rtol=1e-12)
+    np.testing.assert_allclose(s2, std, rtol=1e-12)
+
+    # explicit flags beat the bundle; invalid mode fails loudly
+    with mock.patch.object(ho, "fit_kernel_hyperparams", quick):
+        est_o = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                          verbose=False, quality="best", chunk_norm=False,
+                          calibrate_frac=0.0, hyper_points=48)
+    assert est_o.chunk_norm is False
+    assert est_o.std_scale == 1.0
+    with pytest.raises(ValueError, match="quality"):
+        Estimator("toy", None, qdir, stats=stats, verbose=False,
+                  quality="fastest")
+
+
+def test_estimator_nystrom_df64_ntk_keeps_w_kmm_lo(tmp_path):
+    """NTK df64 tier: the SECOND basis tail (w_kmm_lo — the NTK covariance
+    mixes the solve basis and the kmm basis) must be live and survive
+    save/restore; a restore dropping only w_kmm_lo would silently round
+    that basis to fp32 and degrade deep-cut NTK serving."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float32,
+                    verbose=False, nystrom_m=60, nystrom_moments="df64",
+                    kernel_type="ntk")
+    assert est.posterior.w_kmm_lo is not None
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+             "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    mean, std = est.predict(lines)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+    ckpt = tmp_path / "ny_df64_ntk_ckpt"
+    est.save(str(ckpt))
+    est2 = Estimator.restore(str(ckpt))
+    assert est2.posterior.w_kmm_lo is not None
+    np.testing.assert_array_equal(np.asarray(est2.posterior.w_kmm_lo),
+                                  np.asarray(est.posterior.w_kmm_lo))
+    m2, s2 = est2.predict(lines)
+    np.testing.assert_allclose(m2, mean, rtol=1e-12)
+    np.testing.assert_allclose(s2, std, rtol=1e-12)
+
+
+def test_estimator_nystrom_df64_over_mesh_matches_single_device(tmp_path):
+    """mesh + nystrom_moments='df64' together: the DF-pair moment deltas
+    ride shard_map in_specs as pytree leaves and psum over the mesh — fit,
+    extend, and predict must match the single-device df64 tier (rtol 1e-6,
+    the established psum reduction-order jitter tolerance)."""
+    from nngp_tpu.parallel import make_mesh
+    stats, qdir = _toy_schema_files(tmp_path)
+    mesh = make_mesh()
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float32,
+                    verbose=False, nystrom_m=48, nystrom_moments="df64",
+                    mesh=mesh)
+    ref = Estimator("toy", None, qdir, stats=stats, dtype=np.float32,
+                    verbose=False, nystrom_m=48, nystrom_moments="df64")
+    assert est.posterior.moments == "df64"
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id",
+             "ta,tb@@y,0.9,0.1@ta,tb,id"]
+    mean, std = est.predict(lines)
+    m0, s0 = ref.predict(lines)
+    np.testing.assert_allclose(mean, m0, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(std, s0, rtol=1e-6, atol=1e-8)
+    fb = ["ta,tb@x,3.0,1.0@@ta,tb,id@2000"]
+    est.extend_with_lines(list(fb))
+    ref.extend_with_lines(list(fb))
+    m1, s1 = est.predict(lines)
+    m2, s2 = ref.predict(lines)
+    np.testing.assert_allclose(m1, m2, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-8)

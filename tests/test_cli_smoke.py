@@ -119,6 +119,23 @@ def test_serve_demo_cli_calibrate(capsys):
     assert "calibrated on" in out and "conformal 90% cardinality" in out
 
 
+def test_serve_demo_cli_quality_best(tmp_path, capsys):
+    """--quality best routes the measured-best bundle (chunk_norm + ARD
+    hypers + calibration holdout) without any individual flags."""
+    from nngp_tpu.cli.serve_demo import main
+    main(["--schema_name", "synth",
+          "--stats_dir", os.path.join(WORKLOAD, "synth_stats"),
+          "--train_query_path", os.path.join(WORKLOAD, "synth_join_data"),
+          "--test_query_file",
+          os.path.join(WORKLOAD, "synth_join_data", "join_query_2.txt"),
+          "--limit", "8", "--quality", "best",
+          "--hyper_steps", "5", "--hyper_points", "64",
+          "--ckpt", str(tmp_path / "ckq")])
+    out = capsys.readouterr().out
+    assert "calibrated on" in out       # the holdout calibration really ran
+    assert "pred_mean shape" in out
+
+
 def test_train_cli_rbf_gp():
     from nngp_tpu.cli.train import main
     profile = main(["--query_path", os.path.join(WORKLOAD, "forest_data"),
