@@ -395,7 +395,7 @@ def main():
                     train_test_val_split(xb, yb, train_frac=0.6,
                                          test_frac=0.2,
                                          all_query_infos=infos_b)
-                res_b = _fkh_b(xb_tr, yb_tr, steps=100, max_points=0,
+                res_b = _fkh_b(xb_tr, yb_tr, steps=100, max_points=None,
                                ard=True, objective="dtc", dtc_m=512)
                 xb_trs = res_b.scale_inputs(xb_tr)
                 pb = _fitny_b(res_b.spec, xb_trs, yb_tr, num_inducing=2048,

@@ -1,8 +1,8 @@
 #!/bin/bash
 # Probe the axon TPU tunnel every 15 min; when it answers, run the queued
-# TPU experiments once (sequentially, each bounded) and exit. The tunnel
-# has been DOWN for the last two sessions — this catches a window without
-# tying up the session. Logs: experiments/tpu_watch.log + per-job logs.
+# TPU jobs once (sequentially, each bounded) and exit. Keeps chip-dependent
+# work moving when a session finds the tunnel down. Update the queue each
+# round. Logs: experiments/tpu_watch.log + per-job logs.
 cd /root/repo || exit 1
 export PYTHONPATH=/root/repo:/root/.axon_site
 log() { echo "$(date +%H:%M:%S) $*" >> experiments/tpu_watch.log; }
@@ -11,20 +11,10 @@ while true; do
   if timeout 180 python -c "import jax; print(jax.devices())" \
        >> experiments/tpu_watch.log 2>&1; then
     log "tunnel UP — running queue"
-    timeout 3600 python experiments/hyper_tpu.py \
-      > experiments/hyper_tpu.log 2>&1
-    log "hyper_tpu exit=$?"
-    timeout 5400 python experiments/hyper_ard_dtc_tpu.py \
-      > experiments/hyper_ard_dtc_tpu.log 2>&1
-    log "hyper_ard_dtc_tpu exit=$?"
-    timeout 5400 python bench.py > experiments/bench_r3g_tpu.log 2>&1
+    # round-4 queue: full bench (incl. the 90k ARD x DTC + df64 headline
+    # row and the best-config rows)
+    timeout 7200 python bench.py > experiments/bench_r4_tpu.log 2>&1
     log "bench exit=$?"
-    timeout 3600 python experiments/nystrom_scale.py \
-      > experiments/nystrom_scale_chol.log 2>&1
-    log "nystrom_scale exit=$?"
-    timeout 3600 python experiments/greedy_grow_tpu.py \
-      > experiments/greedy_grow_tpu.log 2>&1
-    log "greedy_grow_tpu exit=$?"
     log "queue done"
     exit 0
   fi

@@ -21,3 +21,28 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu"
 assert jax.local_device_count() == 8
+
+# ---- fast/slow split -----------------------------------------------------
+# `pytest -m 'not slow'` is the fast gate. Slow tests (>~8 s measured on the
+# 1-core CPU image) are listed in tests/slow_tests.json — regenerate from a
+# full `--durations` run when the suite's shape changes; parity-gate tests
+# are always slow-marked (they have their own `-m parity` entry point).
+import json  # noqa: E402
+
+import pytest  # noqa: E402
+
+_here = os.path.dirname(os.path.abspath(__file__))
+with open(os.path.join(_here, "slow_tests.json")) as _f:
+    # normalize to "test_file.py::test_name" (path prefixes vary with the
+    # pytest invocation directory)
+    _SLOW = frozenset(os.path.basename(p.split("::", 1)[0]) + "::"
+                      + p.split("::", 1)[1] for p in json.load(_f))
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[", 1)[0]
+        path, _, name = base.partition("::")
+        if (os.path.basename(path) + "::" + name in _SLOW
+                or "test_parity_gate" in path):
+            item.add_marker(pytest.mark.slow)
