@@ -121,6 +121,14 @@ def main(argv=None):
                         "DTC objective with --nystrom_m), df64 Nystrom "
                         "moments, and a 10%% calibration holdout. "
                         "Explicit flags still win")
+    p.add_argument("--tier", type=str, default=None,
+                   choices=["auto", "exact", "nystrom", "distributed"],
+                   help="posterior-tier routing: 'auto' picks by the "
+                        "measured capability ladder (exact while the train "
+                        "set fits one chip, distributed with "
+                        "--mesh_devices, streaming Nystrom beyond); "
+                        "explicit values force a tier. Default: derive "
+                        "from --nystrom_m/--mesh_devices as before")
     p.add_argument("--calibrate_frac", type=float, default=None,
                    help="hold out this fraction of the training queries "
                         "and auto-calibrate uncertainty on them (std "
@@ -174,7 +182,8 @@ def main(argv=None):
                         hyper_points=args.hyper_points,
                         pad_slots=args.pad_slots,
                         quality=args.quality,
-                        calibrate_frac=args.calibrate_frac)
+                        calibrate_frac=args.calibrate_frac,
+                        tier=args.tier)
         if (args.hyper_file and est.hyper_result is not None
                 and not os.path.exists(args.hyper_file)):
             est.hyper_result.save(args.hyper_file)

@@ -122,7 +122,10 @@ class Estimator:
                  pad_slots: Optional[int] = None,
                  quality: str = "reference",
                  calibrate_frac: Optional[float] = None,
-                 calibrate_seed: int = 7):
+                 calibrate_seed: int = 7,
+                 tier: Optional[str] = None,
+                 auto_nystrom_m: int = 2048,
+                 exact_max_n: int = 55000):
         """mesh: optional jax.sharding.Mesh — fit and serve with the
         row-sharded distributed posterior (parallel.distributed_fit), for
         training sets whose n^2 Gram/factor exceed one chip's HBM. Any
@@ -213,6 +216,19 @@ class Estimator:
         only PLOTS calibration (`/root/reference/util.py:296-313`); it
         cannot repair it.
 
+        tier: posterior-tier routing. None (default) derives the tier from
+        the flags exactly as before: nystrom_m set -> streaming Nystrom,
+        mesh set -> distributed, else single-chip exact. 'auto' picks by
+        measured capability ladder (BASELINE.md scale tables): exact while
+        the train set fits one chip's exact tier (n <= exact_max_n,
+        default 55k of the measured ~70k edge — headroom for online
+        extends), then the mesh-distributed exact tier when a mesh is
+        given, else the streaming Nystrom tier with auto_nystrom_m
+        inducing rows (O(m^2) device state at any n; 90k median q 2.40
+        with quality='best'). Explicit 'exact' / 'nystrom' /
+        'distributed' force a tier ('nystrom' without nystrom_m uses
+        auto_nystrom_m; 'distributed' requires mesh).
+
         predict_cache_size: capacity of the cross-call prediction memo.
         PostgreSQL plan enumeration re-submits the same sub-queries across
         plan candidates and across optimizer invocations; `predict` dedups
@@ -241,6 +257,7 @@ class Estimator:
                 calibrate_frac = 0.1
         chunk_norm = bool(chunk_norm) if chunk_norm is not None else False
         hyper_ard = bool(hyper_ard) if hyper_ard is not None else False
+        self._moments_unset = nystrom_moments is None
         nystrom_moments = (str(nystrom_moments)
                            if nystrom_moments is not None else "fp32")
         calibrate_frac = float(calibrate_frac or 0.0)
@@ -289,6 +306,9 @@ class Estimator:
         x, y = self.encoder.transform_to_arrays(queries, cards, dtype=dtype)
         if verbose:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
+        if tier is not None:
+            self._route_tier(tier, x.shape[0], auto_nystrom_m, exact_max_n,
+                             verbose)
         self.std_scale = 1.0            # post-hoc std recalibration (MLE)
         self._conformal_scores = None   # sorted |y-mu|/std calibration set
         self.drift_monitor = None       # created lazily by record_feedback
@@ -328,6 +348,53 @@ class Estimator:
             self._calibrate_arrays(self._apply_feature_scale(x_cal),
                                    np.asarray(y_cal, np.float64).ravel(),
                                    verbose, source="holdout")
+
+    def _route_tier(self, tier: str, n: int, auto_m: int, exact_max_n: int,
+                    verbose: bool):
+        """Resolve tier='auto'/'exact'/'nystrom'/'distributed' into the
+        concrete (nystrom_m, mesh) configuration before the fit. 'auto'
+        follows the measured capability ladder (BASELINE.md): single-chip
+        exact while n fits it, the mesh tier when a mesh is available,
+        the streaming Nystrom tier beyond."""
+        if tier not in ("auto", "exact", "nystrom", "distributed"):
+            raise ValueError(
+                "tier must be 'auto', 'exact', 'nystrom' or 'distributed'; "
+                f"got {tier!r}")
+        if tier == "auto":
+            if self.nystrom_m is not None:
+                tier = "nystrom"
+            elif n <= exact_max_n:
+                tier = "distributed" if self.mesh is not None else "exact"
+            elif self.mesh is not None:
+                tier = "distributed"
+            else:
+                tier = "nystrom"
+        if tier == "exact":
+            if self.mesh is not None:
+                raise ValueError(
+                    "tier='exact' is the single-chip tier; drop mesh= or "
+                    "use tier='distributed'")
+            self.nystrom_m = None
+        elif tier == "distributed":
+            if self.mesh is None:
+                raise ValueError("tier='distributed' requires mesh=")
+            self.nystrom_m = None
+        else:                                   # nystrom
+            if self.pad_slots is not None:
+                raise ValueError(
+                    "pad_slots is the single-chip exact-tier feature but "
+                    f"the routed tier for n={n} is the Nystrom tier")
+            if self.nystrom_m is None:
+                self.nystrom_m = min(int(auto_m), n)
+            if (self.quality == "best" and self._moments_unset
+                    and np.dtype(self.dtype) == np.float32):
+                # same decision-table rule as the constructor bundle — the
+                # tier was not known yet when the bundle was resolved
+                self.nystrom_moments = "df64"
+        if verbose:
+            print(f"tier routing: n={n} -> {tier}"
+                  + (f" (m={self.nystrom_m}, moments="
+                     f"{self.nystrom_moments})" if tier == "nystrom" else ""))
 
     def _require_mlp_spec(self, op_name: str):
         """Hyperopt only parameterizes mlp-shaped stacks — silently

@@ -1354,3 +1354,56 @@ def test_estimator_nystrom_df64_over_mesh_matches_single_device(tmp_path):
     m2, s2 = ref.predict(lines)
     np.testing.assert_allclose(m1, m2, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-8)
+
+
+def test_estimator_tier_auto_routing(tmp_path):
+    """tier='auto' follows the capability ladder: exact while n fits the
+    single-chip exact tier, Nystrom (auto_nystrom_m) beyond — and composes
+    with quality='best' (df64 moments arrive even though the tier was not
+    known when the quality bundle resolved)."""
+    stats, qdir = _toy_schema_files(tmp_path)
+    # small n -> exact
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, tier="auto")
+    assert est.nystrom_m is None and hasattr(est.posterior, "l")
+    # force the ladder's upper branch with a tiny exact_max_n
+    est_ny = Estimator("toy", None, qdir, stats=stats, dtype=np.float32,
+                       verbose=False, tier="auto", exact_max_n=10,
+                       auto_nystrom_m=32)
+    assert est_ny.nystrom_m == 32
+    assert est_ny.posterior.num_inducing <= 32
+    lines = ["ta,tb@x,5.0,-5.0@@ta,tb,id"]
+    mean, std = est_ny.predict(lines)
+    assert np.all(np.isfinite(mean)) and np.all(std >= 0)
+    # quality='best' routes df64 moments once the tier resolves to Nystrom
+    import unittest.mock as mock
+    import nngp_tpu.gp.hyperopt as ho
+    orig = ho.fit_kernel_hyperparams
+
+    def quick(xx, yy, **kw):
+        kw["steps"] = 5
+        kw["reg_restarts"] = ()
+        return orig(xx, yy, **kw)
+
+    with mock.patch.object(ho, "fit_kernel_hyperparams", quick):
+        est_b = Estimator("toy", None, qdir, stats=stats, dtype=np.float32,
+                          verbose=False, tier="auto", exact_max_n=10,
+                          auto_nystrom_m=32, quality="best",
+                          hyper_points=48, calibrate_frac=0.0)
+    assert est_b.nystrom_moments == "df64"
+    assert est_b.posterior.moments == "df64"
+    # explicit tiers validate their requirements
+    with pytest.raises(ValueError, match="mesh"):
+        Estimator("toy", None, qdir, stats=stats, verbose=False,
+                  tier="distributed")
+    with pytest.raises(ValueError, match="single-chip"):
+        from nngp_tpu.parallel import make_mesh
+        Estimator("toy", None, qdir, stats=stats, verbose=False,
+                  tier="exact", mesh=make_mesh())
+    with pytest.raises(ValueError, match="tier"):
+        Estimator("toy", None, qdir, stats=stats, verbose=False,
+                  tier="warp")
+    # tier='nystrom' without nystrom_m uses auto_nystrom_m
+    est_n2 = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                       verbose=False, tier="nystrom", auto_nystrom_m=24)
+    assert est_n2.nystrom_m == 24
