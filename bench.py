@@ -78,6 +78,18 @@ def _backend_or_cpu_reexec():
 
 def main():
     _backend_or_cpu_reexec()
+    import time as _tbudget
+
+    # The optional heavy rows (best-config hyperopts, the 90k headline,
+    # scale fits) each cost a 30-300 s remote compile on a cold cache.
+    # Guarantee the JSON line always prints: skip remaining OPTIONAL rows
+    # once the elapsed budget is spent (core parity rows always run).
+    _t_start = _tbudget.perf_counter()
+    _budget_s = float(os.environ.get("NNGP_BENCH_BUDGET_S", "4500"))
+
+    def _over_budget():
+        return _tbudget.perf_counter() - _t_start > _budget_s
+
     import jax
     import jax.numpy as jnp
 
@@ -306,6 +318,8 @@ def main():
         # ARD-learned kernel on the same workload: per-feature relevance
         # scales cut the clique workload's median q-error ~2x (fp64-CPU
         # table in BASELINE.md; all-numerical [0,1000] features, fp32-safe)
+        if _over_budget():
+            raise TimeoutError("bench budget spent")
         from nngp_tpu.gp import fit_kernel_hyperparams
         resi = fit_kernel_hyperparams(xi_tr, yi_tr, steps=100,
                                       max_points=4096, ard=True)
@@ -332,6 +346,8 @@ def main():
         # hyperparameters on every quantile (fp64-CPU: median 2.535/p95
         # 19.90 vs default 2.596/22.33).
         try:
+            if _over_budget():
+                raise TimeoutError("bench budget spent")
             from nngp_tpu.gp import fit_kernel_hyperparams as _fkh_f
             res_f = _fkh_f(x_tr, y_tr, steps=100, max_points=4096, ard=True)
             pf = fit_gp(res_f.spec,
@@ -355,6 +371,8 @@ def main():
         # objective hypers, exact fit (fp64-CPU: 2.3235/28.0 vs raw parity
         # 9.85/5504 and chunk_norm default 2.685/33.0 — BASELINE.md).
         try:
+            if _over_budget():
+                raise TimeoutError("bench budget spent")
             from nngp_tpu.gp import fit_kernel_hyperparams as _fkh_s
             res_s = _fkh_s(xn_tr, yn_tr, steps=100, max_points=4096,
                            ard=True)
@@ -385,6 +403,8 @@ def main():
                                "workloads", "synth6_big_data")
         if os.path.isdir(big_dir):
             try:
+                if _over_budget():
+                    raise TimeoutError("bench budget spent")
                 import time as _tb
                 from nngp_tpu.gp import (fit_kernel_hyperparams as _fkh_b,
                                          fit_nystrom as _fitny_b)
@@ -425,6 +445,8 @@ def main():
         # O(m^2) device state — forest accuracy + warm fit at m=1024 (the
         # warm time is host-eigh-bound; BASELINE.md has the 1M-row ladder).
         try:
+            if _over_budget():
+                raise TimeoutError("bench budget spent")
             from nngp_tpu.gp import fit_nystrom
             import time as _tn
             pny = fit_nystrom(spec, x_tr, y_tr, num_inducing=1024,
@@ -454,6 +476,8 @@ def main():
         # 50 steps on a 2048-row subsample (fp64-CPU takes ~10 min for the
         # same program; the MXU owns the per-step n^3).
         try:
+            if _over_budget():
+                raise TimeoutError("bench budget spent")
             from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams
             import time as _th
             kwh = dict(steps=50, max_points=2048)
@@ -473,6 +497,8 @@ def main():
         # default kernel on every quantile, monotone in hyperopt rows).
         # Compare against join_median_qerror_chunk_norm above.
         try:
+            if _over_budget():
+                raise TimeoutError("bench budget spent")
             from nngp_tpu.gp import fit_nystrom as _fitny
             from nngp_tpu.gp.hyperopt import fit_kernel_hyperparams as _fkh
             res_a = _fkh(xn_tr, yn_tr, steps=50, max_points=2048,
@@ -498,6 +524,8 @@ def main():
         rng = np.random.default_rng(0)
         for n_scale in (21600, 32400):
             try:
+                if _over_budget():
+                    raise TimeoutError("bench budget spent")
                 x2 = jax.device_put(jnp.asarray(
                     rng.uniform(0, 1000, (n_scale, x_tr.shape[1])),
                     jnp.float32))

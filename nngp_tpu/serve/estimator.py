@@ -200,6 +200,9 @@ class Estimator:
             serving cost (experiments/nystrom_df64_moments_ab2.log);
           * calibrate_frac=0.1 — auto-calibrated uncertainty (below).
         Flags you pass explicitly still win; 'best' only fills unset ones.
+        (Exception: learn_hyper=False IS the unset sentinel — to serve
+        'best' minus hyperopt, pass a HyperoptResult artifact or use
+        quality='reference' with individual flags.)
         Requires an mlp-shaped spec (the default). Budget for the hyperopt
         dispatch at construction (~30 s warm on TPU, ~12-15 min on a
         1-core fp64 CPU at d~114).

@@ -46,3 +46,21 @@ def pytest_collection_modifyitems(config, items):
         if (os.path.basename(path) + "::" + name in _SLOW
                 or "test_parity_gate" in path):
             item.add_marker(pytest.mark.slow)
+
+
+# ---- one-process-suite LLVM-state workaround -----------------------------
+# A single process running the whole suite segfaults in XLA:CPU's LLVM
+# compile after ~280 tests (see CLAUDE.md round 4). Dropping accumulated
+# executables periodically keeps the compiler state small; enable with
+# NNGP_TEST_CLEAR_CACHES_EVERY=N (recompiles make the suite a bit slower,
+# so the default is off and the documented workaround is two shards).
+_CLEAR_EVERY = int(os.environ.get("NNGP_TEST_CLEAR_CACHES_EVERY", "0"))
+_test_counter = [0]
+
+if _CLEAR_EVERY > 0:
+    @pytest.fixture(autouse=True)
+    def _periodic_jax_cache_clear():
+        yield
+        _test_counter[0] += 1
+        if _test_counter[0] % _CLEAR_EVERY == 0:
+            jax.clear_caches()
