@@ -436,7 +436,25 @@ def main():
                 extras["synth6big_90k_best_p95_qerror"] = round(
                     float(np.quantile(qb, 0.95)), 4)
                 extras["synth6big_90k_n_train"] = int(xb_tr.shape[0])
-                del pb, res_b, xb, yb, xb_tr, yb_tr, xb_te, yb_te
+                del pb
+                # capacity is measured monotone (nystrom_90k_push.log):
+                # m=4096 beats m=2048 on every quantile at 1.6 s warm fit
+                if not _over_budget():
+                    pb4 = _fitny_b(res_b.spec, xb_trs, yb_tr,
+                                   num_inducing=4096, moments="df64",
+                                   **res_b.fit_kwargs())
+                    sync(pb4.beta_w)
+                    mb4, _ = pb4.predict_mean_std_chunked(
+                        np.asarray(res_b.scale_inputs(xb_te)))
+                    qb4 = symmetric_qerror(
+                        np.asarray(mb4).ravel()
+                        - np.asarray(yb_te).ravel())
+                    extras["synth6big_90k_m4096_median_qerror"] = round(
+                        float(np.median(qb4)), 4)
+                    extras["synth6big_90k_m4096_p95_qerror"] = round(
+                        float(np.quantile(qb4, 0.95)), 4)
+                    del pb4
+                del res_b, xb, yb, xb_tr, yb_tr, xb_te, yb_te
             except Exception as e:           # pragma: no cover - TPU only
                 extras["synth6big_90k_best_median_qerror"] = None
                 extras["synth6big_90k_error"] = type(e).__name__
