@@ -76,14 +76,21 @@ def main(argv=None):
                         "fitting — against the DTC tier's own evidence "
                         "when --nystrom_m is set (gp/hyperopt.py); the "
                         "learned spec rides through --ckpt")
-    p.add_argument("--ard", action="store_true",
+    # three-state flags (unset / --x / --no-x): --quality best fills only
+    # UNSET ones, so the explicit-off form must stay expressible
+    p.add_argument("--ard", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="with --learn_hyper: learn a per-feature input "
                         "scale (recommended: ARD x DTC beats the default "
                         "kernel on 90k Nystrom serving, BASELINE.md). "
-                        "Needs fp32-safe features: add --chunk_norm")
-    p.add_argument("--chunk_norm", action="store_true",
+                        "Needs fp32-safe features: add --chunk_norm. "
+                        "--no-ard forces it off under --quality best")
+    p.add_argument("--chunk_norm", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="rescale packed categorical chunk slots onto the "
-                        "[0,1000] numeric scale")
+                        "[0,1000] numeric scale; --no-chunk_norm forces "
+                        "the bit-exact reference encoding even under "
+                        "--quality best")
     p.add_argument("--hyper_file", type=str, default=None,
                    help="learned-hyperparameter JSON artifact "
                         "(gp.hyperopt.HyperoptResult): if it exists, serve "
@@ -172,12 +179,13 @@ def main(argv=None):
                         coef_var_threshold=args.coef_var_threshold,
                         stats_dir=args.stats_dir, mesh=mesh,
                         nystrom_m=args.nystrom_m,
-                        # store_true flags pass None when NOT given so
-                        # --quality best can fill them; given flags win
+                        # BooleanOptionalAction defaults: None when NOT
+                        # given so --quality best can fill them; explicit
+                        # --x / --no-x always wins
                         nystrom_moments=args.nystrom_moments,
-                        chunk_norm=args.chunk_norm or None,
+                        chunk_norm=args.chunk_norm,
                         learn_hyper=learn_hyper,
-                        hyper_ard=args.ard or None,
+                        hyper_ard=args.ard,
                         hyper_steps=args.hyper_steps,
                         hyper_points=args.hyper_points,
                         pad_slots=args.pad_slots,

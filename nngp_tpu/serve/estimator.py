@@ -238,26 +238,12 @@ class Estimator:
         each batch and memoizes (query line -> raw mean/std), so repeats
         never reach the device. Invalidated on any posterior change; 0
         disables retention (within-batch dedup still applies)."""
-        if quality not in ("reference", "best"):
-            raise ValueError(
-                f"quality must be 'reference' or 'best', got {quality!r}")
-        if quality == "best":
-            # Fill only flags still at their unset defaults — explicit
-            # arguments always win. Decision table: BASELINE.md.
-            if chunk_norm is None:
-                chunk_norm = True
-            if learn_hyper is False:
-                learn_hyper = True
-            if hyper_ard is None:
-                # respect a scalar hyper artifact if one was passed
-                hyper_ard = (learn_hyper is True
-                             or getattr(learn_hyper, "feature_scale", None)
-                             is not None)
-            if (nystrom_moments is None and nystrom_m is not None
-                    and np.dtype(dtype) == np.float32):
-                nystrom_moments = "df64"
-            if calibrate_frac is None:
-                calibrate_frac = 0.1
+        (chunk_norm, learn_hyper, hyper_ard, nystrom_moments,
+         calibrate_frac) = self.resolve_quality_flags(
+            quality, chunk_norm=chunk_norm, learn_hyper=learn_hyper,
+            hyper_ard=hyper_ard, nystrom_m=nystrom_m,
+            nystrom_moments=nystrom_moments, dtype=dtype,
+            calibrate_frac=calibrate_frac)
         chunk_norm = bool(chunk_norm) if chunk_norm is not None else False
         hyper_ard = bool(hyper_ard) if hyper_ard is not None else False
         self._moments_unset = nystrom_moments is None
@@ -309,19 +295,27 @@ class Estimator:
         x, y = self.encoder.transform_to_arrays(queries, cards, dtype=dtype)
         if verbose:
             print(f"training queries: {x.shape[0]}  feature dim: {x.shape[1]}")
+        # Resolve the calibration-holdout size FIRST so tier routing sees
+        # the row count actually fitted (routing on the pre-holdout count
+        # could send a near-boundary fit to the wrong tier). The holdout is
+        # capped at half the rows so tiny train sets under quality='best'
+        # (calibrate_frac=0.1, min 10 rows) keep at least half for the fit.
+        n_cal = 0
+        if calibrate_frac > 0.0 and x.shape[0] >= 20:
+            n_cal = min(max(10, int(round(calibrate_frac * x.shape[0]))),
+                        x.shape[0] // 2)
         if tier is not None:
-            self._route_tier(tier, x.shape[0], auto_nystrom_m, exact_max_n,
-                             verbose)
+            self._route_tier(tier, x.shape[0] - n_cal, auto_nystrom_m,
+                             exact_max_n, verbose)
         self.std_scale = 1.0            # post-hoc std recalibration (MLE)
         self._conformal_scores = None   # sorted |y-mu|/std calibration set
         self.drift_monitor = None       # created lazily by record_feedback
         self.feature_scale = None
         self.hyper_result = None        # HyperoptResult in effect (if any)
         x_cal = y_cal = None
-        if calibrate_frac > 0.0 and x.shape[0] >= 20:
+        if n_cal > 0:
             # Seeded holdout BEFORE hyperopt/fit: calibration rows must be
             # genuinely held out or the coverage guarantee is void.
-            n_cal = max(10, int(round(calibrate_frac * x.shape[0])))
             perm = np.random.default_rng(calibrate_seed).permutation(
                 x.shape[0])
             cal_idx, fit_idx = perm[:n_cal], perm[n_cal:]
@@ -351,6 +345,43 @@ class Estimator:
             self._calibrate_arrays(self._apply_feature_scale(x_cal),
                                    np.asarray(y_cal, np.float64).ravel(),
                                    verbose, source="holdout")
+
+    @staticmethod
+    def resolve_quality_flags(quality, *, chunk_norm, learn_hyper, hyper_ard,
+                              nystrom_m, nystrom_moments, dtype,
+                              calibrate_frac):
+        """Resolve quality='best' routing into concrete flag values.
+
+        Fills ONLY flags still at their unset (None) sentinel — explicit
+        arguments always win. Decision table: BASELINE.md. Pure function of
+        its arguments so the routing matrix is testable without a fit
+        (tests/test_routing_gate.py). Returns the tuple
+        (chunk_norm, learn_hyper, hyper_ard, nystrom_moments,
+        calibrate_frac) with None sentinels preserved for downstream
+        normalization."""
+        if quality not in ("reference", "best"):
+            raise ValueError(
+                f"quality must be 'reference' or 'best', got {quality!r}")
+        if quality == "best":
+            if chunk_norm is None:
+                chunk_norm = True
+            if learn_hyper is False:
+                # learn_hyper=False IS the unset sentinel (documented
+                # exception: pass a HyperoptResult or quality='reference'
+                # to serve 'best' minus hyperopt)
+                learn_hyper = True
+            if hyper_ard is None:
+                # respect a scalar hyper artifact if one was passed
+                hyper_ard = (learn_hyper is True
+                             or getattr(learn_hyper, "feature_scale", None)
+                             is not None)
+            if (nystrom_moments is None and nystrom_m is not None
+                    and np.dtype(dtype) == np.float32):
+                nystrom_moments = "df64"
+            if calibrate_frac is None:
+                calibrate_frac = 0.1
+        return (chunk_norm, learn_hyper, hyper_ard, nystrom_moments,
+                calibrate_frac)
 
     def _route_tier(self, tier: str, n: int, auto_m: int, exact_max_n: int,
                     verbose: bool):
@@ -668,6 +699,7 @@ class Estimator:
             meta = json.load(f)
         self.schema_name = meta["schema_name"]
         self.chunk_size = meta["chunk_size"]
+        self.quality = meta.get("quality", "reference")
         self.kernel_type = meta["kernel_type"]
         self.diag_reg = meta["diag_reg"]
         self.dtype = np.dtype(meta["dtype"]).type
@@ -819,6 +851,10 @@ class Estimator:
             "spec": _spec_to_json(self.spec),
             "stats": [s.to_json() for s in self.stats],
             "chunk_norm": self.chunk_norm,
+            # construction-time routing mode: the routed flags themselves
+            # are concrete and persisted below; this keeps introspection
+            # honest after a restore (a 'best'-built server reports 'best')
+            "quality": self.quality,
         }
         if self.feature_scale is not None:
             meta["feature_scale"] = [float(v) for v in self.feature_scale]

@@ -51,10 +51,11 @@ def pytest_collection_modifyitems(config, items):
 # ---- one-process-suite LLVM-state workaround -----------------------------
 # A single process running the whole suite segfaults in XLA:CPU's LLVM
 # compile after ~280 tests (see CLAUDE.md round 4). Dropping accumulated
-# executables periodically keeps the compiler state small; enable with
-# NNGP_TEST_CLEAR_CACHES_EVERY=N (recompiles make the suite a bit slower,
-# so the default is off and the documented workaround is two shards).
-_CLEAR_EVERY = int(os.environ.get("NNGP_TEST_CLEAR_CACHES_EVERY", "0"))
+# executables periodically keeps the compiler state small. ON by default
+# (every 100 tests; verified 458-green in one process) so a bare
+# `python -m pytest tests/ -q` works; opt out with
+# NNGP_TEST_CLEAR_CACHES_EVERY=0 (slightly faster, needs two shards).
+_CLEAR_EVERY = int(os.environ.get("NNGP_TEST_CLEAR_CACHES_EVERY", "100"))
 _test_counter = [0]
 
 if _CLEAR_EVERY > 0:

@@ -1,0 +1,192 @@
+"""Fast routing-logic gate (no big fits, lives in `pytest -m 'not slow'`).
+
+Pins the two decision tables that pick the serving configuration:
+  * `Estimator.resolve_quality_flags` — the quality='best' fill-in matrix
+    (explicit flags win; None sentinels filled from BASELINE.md's table);
+  * `Estimator._route_tier` — the tier='auto' capability ladder
+    (exact <= exact_max_n -> distributed-with-mesh -> Nystrom auto_m)
+    exercised on a stub instance so no fit is paid.
+A regression in either previously passed both the fast gate and the parity
+gate (round-4 verdict weakness 3); these assertions close that hole.
+"""
+
+import numpy as np
+import pytest
+
+from nngp_tpu.serve.estimator import Estimator
+
+
+def _resolve(quality="best", **kw):
+    args = dict(chunk_norm=None, learn_hyper=False, hyper_ard=None,
+                nystrom_m=None, nystrom_moments=None, dtype=np.float32,
+                calibrate_frac=None)
+    args.update(kw)
+    return Estimator.resolve_quality_flags(quality, **args)
+
+
+class _FakeHyperArtifact:
+    """Duck-typed HyperoptResult: only feature_scale is consulted here."""
+
+    def __init__(self, feature_scale):
+        self.feature_scale = feature_scale
+
+
+def test_quality_reference_preserves_sentinels():
+    out = _resolve(quality="reference")
+    assert out == (None, False, None, None, None)
+
+
+def test_quality_best_fills_unset_defaults():
+    chunk_norm, learn_hyper, hyper_ard, moments, cal = _resolve()
+    assert chunk_norm is True
+    assert learn_hyper is True
+    assert hyper_ard is True
+    assert moments is None          # no nystrom_m -> no moment routing
+    assert cal == 0.1
+
+
+def test_quality_best_df64_moments_rule():
+    # df64 moments only when a Nystrom tier is requested AND dtype is fp32
+    assert _resolve(nystrom_m=2048)[3] == "df64"
+    assert _resolve(nystrom_m=2048, dtype=np.float64)[3] is None
+    assert _resolve(nystrom_m=None)[3] is None
+    # explicit moments always win
+    assert _resolve(nystrom_m=2048, nystrom_moments="fp32")[3] == "fp32"
+
+
+def test_quality_best_explicit_flags_win():
+    chunk_norm, _, hyper_ard, _, cal = _resolve(
+        chunk_norm=False, hyper_ard=False, calibrate_frac=0.0)
+    assert chunk_norm is False
+    assert hyper_ard is False
+    assert cal == 0.0
+
+
+def test_quality_best_hyper_artifact_routing():
+    # a scalar artifact (no feature_scale) must NOT turn ARD on — the
+    # artifact has no per-feature scales to apply
+    art = _FakeHyperArtifact(None)
+    _, learn_hyper, hyper_ard, _, _ = _resolve(learn_hyper=art)
+    assert learn_hyper is art and hyper_ard is False
+    art_ard = _FakeHyperArtifact(np.ones(4))
+    _, learn_hyper, hyper_ard, _, _ = _resolve(learn_hyper=art_ard)
+    assert learn_hyper is art_ard and hyper_ard is True
+
+
+def test_quality_validation():
+    with pytest.raises(ValueError, match="quality"):
+        _resolve(quality="bestest")
+
+
+# ---- tier='auto' ladder on a stub (no fit) -------------------------------
+
+def _stub(nystrom_m=None, mesh=None, pad_slots=None, quality="reference",
+          moments_unset=True, dtype=np.float32):
+    est = Estimator.__new__(Estimator)
+    est.nystrom_m = nystrom_m
+    est.mesh = mesh
+    est.pad_slots = pad_slots
+    est.quality = quality
+    est._moments_unset = moments_unset
+    est.nystrom_moments = "fp32"
+    est.dtype = dtype
+    return est
+
+
+def test_tier_auto_small_n_routes_exact():
+    est = _stub()
+    est._route_tier("auto", n=1000, auto_m=2048, exact_max_n=55000,
+                    verbose=False)
+    assert est.nystrom_m is None and est.mesh is None
+
+
+def test_tier_auto_mesh_routes_distributed():
+    mesh = object()   # _route_tier only tests `is not None`
+    est = _stub(mesh=mesh)
+    est._route_tier("auto", n=1000, auto_m=2048, exact_max_n=55000,
+                    verbose=False)
+    assert est.nystrom_m is None and est.mesh is mesh
+    est_big = _stub(mesh=mesh)
+    est_big._route_tier("auto", n=90000, auto_m=2048, exact_max_n=55000,
+                        verbose=False)
+    assert est_big.nystrom_m is None and est_big.mesh is mesh
+
+
+def test_tier_auto_big_n_routes_nystrom_with_auto_m():
+    est = _stub()
+    est._route_tier("auto", n=90000, auto_m=2048, exact_max_n=55000,
+                    verbose=False)
+    assert est.nystrom_m == 2048
+    # auto_m clamps to n
+    est_small = _stub()
+    est_small._route_tier("auto", n=900, auto_m=2048, exact_max_n=100,
+                          verbose=False)
+    assert est_small.nystrom_m == 900
+
+
+def test_tier_auto_preset_nystrom_m_wins():
+    est = _stub(nystrom_m=512)
+    est._route_tier("auto", n=1000, auto_m=2048, exact_max_n=55000,
+                    verbose=False)
+    assert est.nystrom_m == 512
+
+
+def test_tier_routing_reapplies_best_df64_rule():
+    # the quality bundle resolved before the tier was known; routing to
+    # Nystrom must re-apply the df64-moments rule for unset+fp32
+    est = _stub(quality="best")
+    est._route_tier("auto", n=90000, auto_m=2048, exact_max_n=55000,
+                    verbose=False)
+    assert est.nystrom_moments == "df64"
+    # ... but NOT when moments were explicitly set, or dtype is fp64
+    est_set = _stub(quality="best", moments_unset=False)
+    est_set._route_tier("auto", n=90000, auto_m=2048, exact_max_n=55000,
+                        verbose=False)
+    assert est_set.nystrom_moments == "fp32"
+    est_64 = _stub(quality="best", dtype=np.float64)
+    est_64._route_tier("auto", n=90000, auto_m=2048, exact_max_n=55000,
+                       verbose=False)
+    assert est_64.nystrom_moments == "fp32"
+
+
+def test_tier_explicit_validation():
+    with pytest.raises(ValueError, match="single-chip"):
+        _stub(mesh=object())._route_tier("exact", 100, 2048, 55000, False)
+    with pytest.raises(ValueError, match="mesh"):
+        _stub()._route_tier("distributed", 100, 2048, 55000, False)
+    with pytest.raises(ValueError, match="pad_slots"):
+        _stub(pad_slots=64)._route_tier("nystrom", 100, 2048, 55000, False)
+    with pytest.raises(ValueError, match="tier"):
+        _stub()._route_tier("warp", 100, 2048, 55000, False)
+
+
+def test_tier_explicit_overrides_flags():
+    # explicit 'exact' drops a preset nystrom_m; explicit 'nystrom'
+    # without m uses auto_m
+    est = _stub(nystrom_m=512)
+    est._route_tier("exact", 100, 2048, 55000, False)
+    assert est.nystrom_m is None
+    est_n = _stub()
+    est_n._route_tier("nystrom", 100, 24, 55000, False)
+    assert est_n.nystrom_m == 24
+
+
+def test_calibration_holdout_cap_and_post_holdout_routing(tmp_path):
+    """ADVICE round-4: the holdout must never eat more than half a tiny
+    train set, and tier routing must see the POST-holdout count (a fit
+    near the exact_max_n boundary would otherwise be mis-routed). Real
+    tiny fit (60 toy rows) — cheap enough for the fast gate."""
+    from tests.test_active_serve import _toy_schema_files
+    stats, qdir = _toy_schema_files(tmp_path)
+    # 60 rows, calibrate_frac=0.5 -> n_cal = min(max(10, 30), 30) = 30,
+    # fit on 30. exact_max_n=30: routes exact ONLY if the post-holdout
+    # count is used (pre-holdout 60 would route to the Nystrom tier).
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False, tier="auto", exact_max_n=30,
+                    calibrate_frac=0.5)
+    assert est.nystrom_m is None            # routed exact, not Nystrom
+    assert hasattr(est.posterior, "l")
+    assert int(est.posterior.x_train.shape[0]) == 30   # cap: half of 60
+    # calibration artifacts were actually fitted on the holdout
+    assert est._conformal_scores is not None
+    assert est.std_scale != 1.0
