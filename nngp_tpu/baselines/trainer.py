@@ -304,15 +304,32 @@ def krr_train_and_test(x_train, y_train, x_test, alpha=1.0):
     return clf.predict(np.asarray(x_test))
 
 
-def xgb_train_and_test(x_train, y_train, x_test, n_estimators=32, seed=123):
-    """XGBoost baseline (`/root/reference/dnn/train.py:323-345`). xgboost is
-    not installed in this image; raises a clear error if absent."""
+def xgb_train_and_test(x_train, y_train, x_test, n_estimators=32, seed=123,
+                       allow_sklearn_fallback=True):
+    """Gradient-boosted-tree baseline (`/root/reference/dnn/train.py:323-345`:
+    XGBRegressor with tree_method='hist', grow_policy='lossguide',
+    n_estimators=32). xgboost is preferred when installed; in this image it
+    is not, so by default the branch falls back to sklearn's
+    HistGradientBoostingRegressor — the same algorithm family (histogram-
+    binned leaf-wise GBT, squared-error objective) with the hyperparameters
+    mapped (n_estimators -> max_iter boosting rounds, seed -> random_state;
+    early stopping off to match XGB's fixed round count). Pass
+    allow_sklearn_fallback=False to require real xgboost."""
     try:
         import xgboost as xgb
     except ImportError as e:
-        raise RuntimeError(
-            "xgboost is not installed in this environment; install it to run "
-            "the XGB baseline") from e
+        if not allow_sklearn_fallback:
+            raise RuntimeError(
+                "xgboost is not installed in this environment; install it "
+                "to run the XGB baseline, or use the sklearn "
+                "HistGradientBoostingRegressor fallback "
+                "(allow_sklearn_fallback=True)") from e
+        from sklearn.ensemble import HistGradientBoostingRegressor
+        reg = HistGradientBoostingRegressor(
+            loss="squared_error", max_iter=n_estimators,
+            early_stopping=False, random_state=seed)
+        reg.fit(np.asarray(x_train), np.asarray(y_train).ravel())
+        return reg.predict(np.asarray(x_test))
     reg = xgb.XGBRegressor(objective="reg:squarederror", tree_method="hist",
                            grow_policy="lossguide",
                            n_estimators=n_estimators, seed=seed)

@@ -7,7 +7,8 @@ dispatch surface (`/root/reference/dnn/train.py:248-295`).
 Model types: DNN (MultiTaskMLP), MCDropout, DeepEnsemble, Density, DKL
 (exact-GP deep kernel), DKL-SKI (grid-interpolation / KISS-GP deep kernel —
 the reference's covariance structure), GP (sklearn exact GP), KRR, MLP
-(sklearn), XGB (needs xgboost), RBF-GP (our jax MLL-trained GP, the
+(sklearn), XGB (xgboost when installed, else the sklearn
+HistGradientBoosting fallback), RBF-GP (our jax MLL-trained GP, the
 reference's --kernel_type gp).
 """
 

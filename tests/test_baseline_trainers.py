@@ -109,3 +109,32 @@ def test_baseline_active_learner(model_type):
         x[:40], y[:40], x[40:300], y[40:300], x[300:], y[300:], printer=None)
     assert len(history) == 3
     assert history[-1]["num_train"] == 40 + 2 * 40
+
+
+def test_xgb_branch_sklearn_fallback():
+    """The XGB dispatcher branch must EXECUTE in this image: xgboost is
+    absent, so the sklearn HistGradientBoostingRegressor fallback carries
+    the branch (same histogram-GBT family, squared-error objective,
+    n_estimators -> max_iter). Also pins the strict mode's clean raise."""
+    from nngp_tpu.baselines.trainer import xgb_train_and_test
+    x, y = _task(n=300)
+    pred = xgb_train_and_test(x[:200], y[:200], x[200:])
+    assert pred.shape == (100,)
+    assert np.all(np.isfinite(pred))
+    # 32 boosting rounds on a smooth 2-feature target: must beat the
+    # predict-the-mean baseline by a wide margin
+    mse = float(np.mean((pred - y[200:].ravel()) ** 2))
+    var = float(np.var(y[200:].ravel()))
+    assert mse < 0.5 * var
+    # deterministic under the pinned seed
+    pred2 = xgb_train_and_test(x[:200], y[:200], x[200:])
+    np.testing.assert_array_equal(pred, pred2)
+    try:
+        import xgboost  # noqa: F401
+        have_xgb = True
+    except ImportError:
+        have_xgb = False
+    if not have_xgb:
+        with pytest.raises(RuntimeError, match="xgboost is not installed"):
+            xgb_train_and_test(x[:200], y[:200], x[200:],
+                               allow_sklearn_fallback=False)
