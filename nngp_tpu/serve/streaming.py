@@ -164,6 +164,12 @@ class StreamingBatcher:
         self._n_batches = 0
         self._batch_sizes: deque = deque(maxlen=4096)
         self._latencies: deque = deque(maxlen=65536)
+        # per-item latency decomposition (same maxlen as _latencies so the
+        # quantiles describe the same window): queue wait = enqueue ->
+        # predict_fn start; service = predict_fn start -> futures resolved
+        # (host prep + dispatch + device compute + the ~30 ms tunnel fetch)
+        self._queue_waits: deque = deque(maxlen=65536)
+        self._services: deque = deque(maxlen=65536)
         self._started = time.monotonic()
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name=name, daemon=True)
@@ -268,6 +274,7 @@ class StreamingBatcher:
         of n serial per-item retries (one malformed line in a 4k batch
         would otherwise stall coalescing for ~n tunnel roundtrips)."""
         try:
+            t_ship = time.monotonic()
             mean, std = self._predict_fn(items)
             mean = np.asarray(mean).ravel()
             std = np.asarray(std).ravel()
@@ -284,6 +291,12 @@ class StreamingBatcher:
                 self._n_batches += 1
                 self._batch_sizes.append(len(items))
                 self._latencies.extend(done - t for t in t_enq)
+                self._queue_waits.extend(t_ship - t for t in t_enq)
+                # one service value PER ITEM so the quantiles weight each
+                # request, not each batch (a 4k burst batch and a 1-item
+                # trickle batch serve very different request counts)
+                self._services.extend(
+                    (done - t_ship) for _ in range(len(items)))
             mvals, svals = mean.tolist(), std.tolist()
             # Batch fast path: one condvar acquisition + ONE notify_all for
             # the whole batch instead of a lock round-trip per future.
@@ -305,6 +318,8 @@ class StreamingBatcher:
     def stats(self) -> dict:
         with self._lock:
             lat = np.asarray(self._latencies, dtype=np.float64)
+            qw = np.asarray(self._queue_waits, dtype=np.float64)
+            sv = np.asarray(self._services, dtype=np.float64)
             sizes = np.asarray(self._batch_sizes, dtype=np.float64)
             elapsed = time.monotonic() - self._started
             return {
@@ -319,6 +334,18 @@ class StreamingBatcher:
                                    if lat.size else 0.0),
                 "p99_latency_ms": (float(np.quantile(lat, 0.99)) * 1e3
                                    if lat.size else 0.0),
+                # latency decomposition (per-item): total = queue wait
+                # (enqueue -> ship; the batching policy's cost) + service
+                # (ship -> resolved; host prep + dispatch + compute + the
+                # blocking tunnel fetch). BASELINE.md tail-latency ledger.
+                "p50_queue_wait_ms": (float(np.quantile(qw, 0.5)) * 1e3
+                                      if qw.size else 0.0),
+                "p95_queue_wait_ms": (float(np.quantile(qw, 0.95)) * 1e3
+                                      if qw.size else 0.0),
+                "p50_service_ms": (float(np.quantile(sv, 0.5)) * 1e3
+                                   if sv.size else 0.0),
+                "p95_service_ms": (float(np.quantile(sv, 0.95)) * 1e3
+                                   if sv.size else 0.0),
             }
 
     def close(self, timeout: float = 10.0):

@@ -258,3 +258,32 @@ def test_quiet_gap_burst_capture_and_trickle_latency():
         t0 = _t.monotonic()
         assert srv.submit(4.0).result(timeout=30) == (4.0, 4.0)
         assert _t.monotonic() - t0 < 2.0
+
+
+def test_stats_latency_decomposition():
+    """Per-item latency decomposes into queue wait (enqueue -> ship) plus
+    service (ship -> resolved); the decomposition quantiles back the
+    BASELINE.md tail-latency ledger and must roughly reconstruct the
+    total (same 65536-item window)."""
+    import time as _t
+
+    def slow_predict(rows):
+        _t.sleep(0.02)                      # visible service component
+        v = np.asarray([float(np.sum(r)) for r in rows])
+        return v, np.abs(v) + 1.0
+
+    with StreamingBatcher(slow_predict, max_batch=64,
+                          quiet_gap_ms=1.0) as srv:
+        futs = [srv.submit(np.full(3, i, np.float32)) for i in range(100)]
+        for f in futs:
+            f.result(timeout=30)
+        st = srv.stats()
+    for key in ("p50_queue_wait_ms", "p95_queue_wait_ms",
+                "p50_service_ms", "p95_service_ms"):
+        assert key in st and st[key] >= 0.0
+    # service includes the 20 ms sleep; queue wait is bounded by the SLO
+    assert st["p50_service_ms"] >= 20.0
+    # components cannot exceed the total at matching quantiles by much:
+    # p95(total) >= p95(wait) and >= p95(service) up to window jitter
+    assert st["p95_latency_ms"] >= st["p95_service_ms"] - 1.0
+    assert st["p95_latency_ms"] >= st["p95_queue_wait_ms"] - 1.0
