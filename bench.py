@@ -91,6 +91,13 @@ def _over_budget():
     return time.perf_counter() - _T_START > _BUDGET_S
 
 
+def _mark(name):
+    """Progress marker on STDERR (stdout stays pure for the JSON line):
+    a killed/truncated run's log then shows which row was in flight."""
+    print(f"[bench {time.perf_counter() - _T_START:7.1f}s] {name}",
+          file=sys.stderr, flush=True)
+
+
 def _skip_row(name):
     """Record that a row was dropped by the soft budget (absent keys would
     otherwise be indistinguishable from a broken workload)."""
@@ -187,6 +194,7 @@ def main():
     from nngp_tpu.models.kernel_spec import reference_kernel
     from nngp_tpu.utils.timing import sync, timed
 
+    _mark("backend up: " + RESULT["backend"])
     RESULT["backend"] = jax.default_backend()
     fast = os.environ.get("NNGP_BENCH_FAST") == "1"
 
@@ -212,6 +220,7 @@ def main():
         return fit_gp(spec, x_tr_d, y_tr_d, diag_reg=1e-3, get="nngp",
                       input_scale=s_forest)
 
+    _mark("forest fit warmup/compile")
     # Warm-up (compile), then measure.
     post = fit()
     sync((post.l, post.alpha))
@@ -220,12 +229,14 @@ def main():
     # Dispatch+sync floor of the remote-TPU tunnel on this image (~30 ms):
     # included in the wall-clocks below, reported so on-device time is
     # interpretable.
+    _mark("dispatch floor")
     trivial = jax.jit(lambda a: a + 1.0)
     small = jnp.ones((8, 128))
     trivial(small)
     _, floor_s = timed(lambda: trivial(small), repeats=5)
     RESULT["dispatch_floor_s"] = round(floor_s, 6)
 
+    _mark("forest fit timing")
     _, fit_s = timed(lambda: (lambda p: (p.l, p.alpha))(fit()), repeats=5)
     RESULT["value"] = round(fit_s, 6)
     RESULT["vs_baseline"] = round(_NORTH_STAR_S / fit_s, 4)
@@ -246,6 +257,7 @@ def main():
     # fitted on the VAL split (the Estimator calibrate_frac/
     # calibrate_uncertainty flow; the reference can only PLOT calibration).
     # Same batch shape as the test predict, so no new compile.
+    _mark("calibration")
     from nngp_tpu.eval.calibration import (
         calibration_mae, calibration_table, fit_std_scale)
     x_val_d = jax.device_put(jnp.asarray(x_val))
@@ -264,6 +276,7 @@ def main():
 
     # Incremental active-learning append: 1,000 labeled rows folded into the
     # factor in O(n^2 k) (the reference refits from scratch each round).
+    _mark("extend_1000")
     if not (_over_budget() and _skip_row("extend_1000")):
         x_new = jax.device_put(jnp.asarray(x_val[:1000]))
         y_new = jax.device_put(jnp.asarray(y_val[:1000]))
@@ -280,6 +293,7 @@ def main():
     # costs a single compiled program — the r04 bench compiled three and
     # paid 2 extra cold compiles through the tunnel for batches the
     # quiet-gap policy almost never ships.
+    _mark("streaming")
     if not (_over_budget() and _skip_row("streaming")):
         from nngp_tpu.serve.streaming import StreamingBatcher
         bucket = 4096
@@ -328,6 +342,7 @@ def main():
     # path (GPPosterior.input_scale).
     from nngp_tpu.data.workload import load_multi_join_workload
     xn_tr = xn_te = yn_tr = yn_te = None
+    _mark("synth6 parity")
     if not (_over_budget() and _skip_row("synth6")):
         xj, yj, infos_j, _enc = load_multi_join_workload(
             "workloads/synth6_join_data", schema_name="synth6",
@@ -413,6 +428,7 @@ def main():
     # parity 9.85/5504 and chunk_norm default 2.685/33.0 — BASELINE.md).
     # The CPU fallback shrinks the hyperopt (1-core fp32 matmuls); the
     # "backend" field marks those runs.
+    _mark("synth6 best (core)")
     if xn_tr is not None and not (_over_budget()
                                   and _skip_row("synth6_best")):
         try:
@@ -443,6 +459,7 @@ def main():
     # CLIQUE join graph with Zipf fanouts — the reference's actual
     # deployment shape (`/root/reference/neuroestimator/estimator/
     # util.py:159-195`), labeled by the message-passing tree counter.
+    _mark("synthimdb")
     try:
         if _over_budget() and _skip_row("synthimdb"):
             raise TimeoutError("bench budget spent")
@@ -497,6 +514,7 @@ def main():
         # learned hypers, exact fit — beats the reference's pinned
         # hyperparameters on every quantile (fp64-CPU: median 2.535/p95
         # 19.90 vs default 2.596/22.33).
+        _mark("forest best")
         try:
             if _over_budget() and _skip_row("forest_best"):
                 raise TimeoutError("bench budget spent")
@@ -525,6 +543,7 @@ def main():
         # the measured-best large-n serving configuration (BASELINE.md).
         big_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "workloads", "synth6_big_data")
+        _mark("synth6big 90k")
         if not os.path.isdir(big_dir) and not _over_budget():
             try:
                 sys.path.insert(0, os.path.join(
@@ -593,6 +612,7 @@ def main():
         # Streaming Nystrom/DTC tier (gp/nystrom.py): unbounded-n fits in
         # O(m^2) device state — forest accuracy + warm fit at m=1024 (the
         # warm time is host-eigh-bound; BASELINE.md has the 1M-row ladder).
+        _mark("nystrom m1024")
         try:
             if _over_budget() and _skip_row("nystrom_m1024"):
                 raise TimeoutError("bench budget spent")
@@ -623,6 +643,7 @@ def main():
         # restarts vmapped — is ONE compiled dispatch. Warm wall-clock at
         # 50 steps on a 2048-row subsample (fp64-CPU takes ~10 min for the
         # same program; the MXU owns the per-step n^3).
+        _mark("hyperopt warm")
         try:
             if _over_budget() and _skip_row("hyperopt_warm"):
                 raise TimeoutError("bench budget spent")
@@ -643,6 +664,7 @@ def main():
         # the recommended serving configuration (BASELINE.md: beats the
         # default kernel on every quantile, monotone in hyperopt rows).
         # Compare against join_median_qerror_chunk_norm above.
+        _mark("synth6 ard_dtc")
         try:
             if xn_tr is None or (_over_budget()
                                  and _skip_row("synth6_ard_dtc")):
@@ -670,6 +692,7 @@ def main():
         # only). 32,400 runs on the block-factor path (column blocks end to
         # end); guarded so a compile hiccup can't sink the whole bench line.
         rng = np.random.default_rng(0)
+        _mark("scale rows")
         for n_scale in (21600, 32400):
             try:
                 if _over_budget() and _skip_row(f"fit_{n_scale}"):
