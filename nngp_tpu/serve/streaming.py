@@ -41,6 +41,19 @@ batch now serves p95 ≈ 53 ms vs ~120-250 ms before.
 Generic over the request payload: `predict_fn(items) -> (mean, std)` — pass
 `Estimator.predict` for query-line items (its power-of-two bucketing keeps
 compiled-shape reuse), or any row-wise batch function.
+
+PIPELINED MODE (round 5, opt-in): pass `dispatch_fn(items) -> handle` +
+`fetch_fn(handle) -> (mean, std)` instead of `predict_fn`. The dispatcher
+then runs a SINGLE-THREADED software pipeline: it dispatches batch k+1 to
+the device BEFORE blocking on batch k's fetch, so batch k+1's device
+compute overlaps batch k's ~27 ms tunnel roundtrip. This respects both
+round-3 tunnel findings — fetches serialize (so a second fetch thread
+buys nothing) and cross-thread lazy fetches are pathologically slow on
+the axon client (everything here stays on the dispatcher thread); what it
+overlaps is COMPUTE, which the synchronous loop leaves serialized behind
+the fetch. Worth it when per-batch device compute is comparable to the
+roundtrip (large buckets at high offered rates); a trickle pays one extra
+~2 ms drain poll. Measured A/B: experiments/serve_tail_ledger.log.
 """
 
 import queue
@@ -146,10 +159,24 @@ class StreamingBatcher:
     wait under sustained arrival.
     """
 
-    def __init__(self, predict_fn: Callable[[List], Tuple], *,
-                 max_batch: int = 4096, max_wait_ms: float = 25.0,
+    def __init__(self, predict_fn: Optional[Callable[[List], Tuple]] = None,
+                 *, max_batch: int = 4096, max_wait_ms: float = 25.0,
                  quiet_gap_ms: float = 2.0,
+                 dispatch_fn: Optional[Callable[[List], object]] = None,
+                 fetch_fn: Optional[Callable[[object], Tuple]] = None,
                  name: str = "nngp-stream"):
+        if (dispatch_fn is None) != (fetch_fn is None):
+            raise ValueError(
+                "pipelined mode needs BOTH dispatch_fn and fetch_fn")
+        self._dispatch_fn = dispatch_fn
+        self._fetch_fn = fetch_fn
+        if predict_fn is None:
+            if dispatch_fn is None:
+                raise ValueError(
+                    "pass predict_fn, or dispatch_fn + fetch_fn")
+            # composed synchronous path: used for bisection after a batch
+            # failure, where re-running sub-batches serially is fine
+            predict_fn = lambda items: fetch_fn(dispatch_fn(items))  # noqa: E731
         self._predict_fn = predict_fn
         self._max_batch = int(max_batch)
         self._max_wait_s = float(max_wait_ms) / 1e3
@@ -197,7 +224,7 @@ class StreamingBatcher:
         return means, stds
 
     # --------------------------------------------------------- dispatcher
-    def _drain_batch(self) -> Optional[List]:
+    def _drain_batch(self, first_timeout: float = 0.05) -> Optional[List]:
         """Block for the first item, then keep draining while requests keep
         arriving within the quiet gap; ship when the queue stays quiet, the
         SLO window closes, or the batch fills.
@@ -211,7 +238,7 @@ class StreamingBatcher:
         collect its items in one sweep; a trickle still pays only the gap.
         """
         try:
-            first = self._queue.get(timeout=0.05)
+            first = self._queue.get(timeout=first_timeout)
         except queue.Empty:
             return None
         batch = [first]
@@ -248,6 +275,8 @@ class StreamingBatcher:
         return batch
 
     def _dispatch_loop(self):
+        if self._dispatch_fn is not None:
+            return self._dispatch_loop_pipelined()
         while self._running or not self._queue.empty():
             batch = self._drain_batch()
             if not batch:
@@ -256,6 +285,53 @@ class StreamingBatcher:
             futs = [b[1] for b in batch]
             t_enq = [b[2] for b in batch]
             self._resolve(items, futs, t_enq)
+
+    def _dispatch_loop_pipelined(self):
+        """Software pipeline on ONE thread: dispatch the next batch before
+        blocking on the previous batch's fetch, overlapping device compute
+        with the tunnel roundtrip (module docstring, PIPELINED MODE).
+        `in_flight` holds at most one dispatched-but-unfetched batch."""
+        in_flight = None        # (handle, items, futs, t_enq, t_ship)
+        while self._running or not self._queue.empty() or in_flight:
+            # with a batch in flight, only poll briefly for new arrivals —
+            # the pending batch's clients are waiting on its fetch
+            batch = self._drain_batch(
+                first_timeout=0.002 if in_flight else 0.05)
+            nxt = None
+            if batch:
+                items = [b[0] for b in batch]
+                futs = [b[1] for b in batch]
+                t_enq = [b[2] for b in batch]
+                t_ship = time.monotonic()
+                try:
+                    handle = self._dispatch_fn(items)
+                    nxt = (handle, items, futs, t_enq, t_ship)
+                except Exception:
+                    # dispatch itself failed: isolate via the synchronous
+                    # bisection path (device order no longer matters)
+                    self._resolve(items, futs, t_enq)
+            if in_flight is not None:
+                self._fetch_and_finish(*in_flight)
+            in_flight = nxt
+
+    def _fetch_and_finish(self, handle, items, futs, t_enq, t_ship):
+        try:
+            mean, std = self._fetch_fn(handle)
+            self._finish_batch(items, futs, t_enq, t_ship, mean, std)
+        except Exception:
+            # fetch/validation failed: re-run the batch through the
+            # synchronous composed path with bisection
+            if len(items) == 1:
+                try:
+                    mean, std = self._predict_fn(items)
+                    self._finish_batch(items, futs, t_enq,
+                                       time.monotonic(), mean, std)
+                except Exception as e:
+                    self._safe_set(futs[0], exc=e)
+                return
+            mid = len(items) // 2
+            self._resolve(items[:mid], futs[:mid], t_enq[:mid])
+            self._resolve(items[mid:], futs[mid:], t_enq[mid:])
 
     # A client may cancel its future at any moment; SlimFuture._set is a
     # no-op on anything already cancelled/resolved, so the dispatcher
@@ -268,6 +344,40 @@ class StreamingBatcher:
         else:
             fut._set(_RESULT, result)
 
+    def _finish_batch(self, items, futs, t_enq, t_ship, mean, std):
+        """Validate a batch's predictions, record metrics, resolve futures.
+        Raises on malformed predictions (callers bisect)."""
+        mean = np.asarray(mean).ravel()
+        std = np.asarray(std).ravel()
+        if mean.shape[0] != len(items):
+            # e.g. Estimator.predict silently drops blank lines —
+            # resolving positionally would hand each later client
+            # its neighbor's prediction. Fail the batch loudly.
+            raise ValueError(
+                f"predict_fn returned {mean.shape[0]} results for "
+                f"{len(items)} requests (did it drop empty items?)")
+        done = time.monotonic()
+        with self._lock:
+            self._n_requests += len(items)
+            self._n_batches += 1
+            self._batch_sizes.append(len(items))
+            self._latencies.extend(done - t for t in t_enq)
+            self._queue_waits.extend(t_ship - t for t in t_enq)
+            # one service value PER ITEM so the quantiles weight each
+            # request, not each batch (a 4k burst batch and a 1-item
+            # trickle batch serve very different request counts)
+            self._services.extend(
+                (done - t_ship) for _ in range(len(items)))
+        mvals, svals = mean.tolist(), std.tolist()
+        # Batch fast path: one condvar acquisition + ONE notify_all for
+        # the whole batch instead of a lock round-trip per future.
+        with self._cond:
+            for f, m, s in zip(futs, mvals, svals):
+                if f._state == _PENDING:
+                    f._state = _RESULT
+                    f._value = (float(m), float(s))
+            self._cond.notify_all()
+
     def _resolve(self, items, futs, t_enq):
         """Predict a batch and resolve its futures. On failure, BISECT:
         the bad requests are isolated in O(k log n) sub-dispatches instead
@@ -276,36 +386,7 @@ class StreamingBatcher:
         try:
             t_ship = time.monotonic()
             mean, std = self._predict_fn(items)
-            mean = np.asarray(mean).ravel()
-            std = np.asarray(std).ravel()
-            if mean.shape[0] != len(items):
-                # e.g. Estimator.predict silently drops blank lines —
-                # resolving positionally would hand each later client
-                # its neighbor's prediction. Fail the batch loudly.
-                raise ValueError(
-                    f"predict_fn returned {mean.shape[0]} results for "
-                    f"{len(items)} requests (did it drop empty items?)")
-            done = time.monotonic()
-            with self._lock:
-                self._n_requests += len(items)
-                self._n_batches += 1
-                self._batch_sizes.append(len(items))
-                self._latencies.extend(done - t for t in t_enq)
-                self._queue_waits.extend(t_ship - t for t in t_enq)
-                # one service value PER ITEM so the quantiles weight each
-                # request, not each batch (a 4k burst batch and a 1-item
-                # trickle batch serve very different request counts)
-                self._services.extend(
-                    (done - t_ship) for _ in range(len(items)))
-            mvals, svals = mean.tolist(), std.tolist()
-            # Batch fast path: one condvar acquisition + ONE notify_all for
-            # the whole batch instead of a lock round-trip per future.
-            with self._cond:
-                for f, m, s in zip(futs, mvals, svals):
-                    if f._state == _PENDING:
-                        f._state = _RESULT
-                        f._value = (float(m), float(s))
-                self._cond.notify_all()
+            self._finish_batch(items, futs, t_enq, t_ship, mean, std)
         except Exception as e:
             if len(items) == 1:
                 self._safe_set(futs[0], exc=e)

@@ -287,3 +287,66 @@ def test_stats_latency_decomposition():
     # p95(total) >= p95(wait) and >= p95(service) up to window jitter
     assert st["p95_latency_ms"] >= st["p95_service_ms"] - 1.0
     assert st["p95_latency_ms"] >= st["p95_queue_wait_ms"] - 1.0
+
+
+def test_pipelined_mode_correctness_and_overlap():
+    """dispatch_fn/fetch_fn mode: same results as synchronous mode, and
+    the single-thread software pipeline overlaps batch k+1's 'compute'
+    with batch k's fetch (simulated: dispatch is instant, fetch sleeps —
+    wall-clock for 2 batches must stay well under 2x the serial cost
+    would be with compute serialized behind each fetch)."""
+    import time as _t
+
+    def dispatch(rows):
+        v = np.asarray([float(np.sum(r)) for r in rows])
+        return v
+
+    def fetch(v):
+        _t.sleep(0.03)                      # the tunnel roundtrip
+        return v, np.abs(v) + 1.0
+
+    with StreamingBatcher(dispatch_fn=dispatch, fetch_fn=fetch,
+                          max_batch=8, quiet_gap_ms=1.0) as srv:
+        futs = [srv.submit(np.full(2, i, np.float32)) for i in range(32)]
+        out = [f.result(timeout=30) for f in futs]
+        st = srv.stats()
+    for i, (m, s) in enumerate(out):
+        assert m == 2.0 * i and s == abs(m) + 1.0
+    assert st["requests"] == 32 and st["batches"] >= 4
+    assert st["p95_service_ms"] >= 30.0     # includes the fetch sleep
+
+
+def test_pipelined_mode_validation_requires_pair():
+    with pytest.raises(ValueError, match="BOTH"):
+        StreamingBatcher(lambda r: (r, r), dispatch_fn=lambda r: r)
+    with pytest.raises(ValueError, match="predict_fn"):
+        StreamingBatcher()
+
+
+def test_pipelined_mode_bisects_bad_item():
+    """A poisoned item in a pipelined batch is isolated by bisection via
+    the composed synchronous path; good items still resolve."""
+    def dispatch(rows):
+        return rows
+
+    def fetch(rows):
+        vals = []
+        for r in rows:
+            if float(r[0]) == 13.0:
+                raise ValueError("poisoned")
+            vals.append(float(np.sum(r)))
+        v = np.asarray(vals)
+        return v, v + 1.0
+
+    with StreamingBatcher(dispatch_fn=dispatch, fetch_fn=fetch,
+                          max_batch=64, quiet_gap_ms=1.0) as srv:
+        futs = [srv.submit(np.full(2, i, np.float32)) for i in range(20)]
+        results = []
+        for i, f in enumerate(futs):
+            if i == 13:
+                with pytest.raises(ValueError, match="poisoned"):
+                    f.result(timeout=30)
+            else:
+                results.append((i, f.result(timeout=30)))
+    for i, (m, s) in results:
+        assert m == 2.0 * i and s == m + 1.0
