@@ -164,12 +164,18 @@ class StreamingBatcher:
                  quiet_gap_ms: float = 2.0,
                  dispatch_fn: Optional[Callable[[List], object]] = None,
                  fetch_fn: Optional[Callable[[object], Tuple]] = None,
+                 backlog_ship: bool = False,
                  name: str = "nngp-stream"):
         if (dispatch_fn is None) != (fetch_fn is None):
             raise ValueError(
                 "pipelined mode needs BOTH dispatch_fn and fetch_fn")
         self._dispatch_fn = dispatch_fn
         self._fetch_fn = fetch_fn
+        # backlog shipping: skip the capture wait when the dispatcher wakes
+        # to a non-empty queue right after serving a batch (_drain_batch
+        # docstring). Opt-in pending the measured A/B default decision
+        # (experiments/serve_backlog_ab.log).
+        self._backlog_ship = bool(backlog_ship)
         if predict_fn is None:
             if dispatch_fn is None:
                 raise ValueError(
@@ -224,7 +230,8 @@ class StreamingBatcher:
         return means, stds
 
     # --------------------------------------------------------- dispatcher
-    def _drain_batch(self, first_timeout: float = 0.05) -> Optional[List]:
+    def _drain_batch(self, first_timeout: float = 0.05,
+                     immediate: bool = False) -> Optional[List]:
         """Block for the first item, then keep draining while requests keep
         arriving within the quiet gap; ship when the queue stays quiet, the
         SLO window closes, or the batch fills.
@@ -236,12 +243,28 @@ class StreamingBatcher:
         fragmented capture, experiments/stream_host_profile.py). One
         sleep per gap lets the producer run uninterrupted and the drain
         collect its items in one sweep; a trickle still pays only the gap.
+
+        immediate=True (backlog shipping): sweep what is already queued and
+        ship with NO capture wait. Callers pass it only when the dispatcher
+        just finished a batch AND the queue is non-empty at wake — that
+        backlog accumulated during the previous service roundtrip, which
+        already did the capture window's grouping job; waiting another SLO
+        window on top is pure added latency under sustained arrival. An
+        idle wake (empty queue) always takes the capture path, so burst
+        absorption is unchanged.
         """
         try:
             first = self._queue.get(timeout=first_timeout)
         except queue.Empty:
             return None
         batch = [first]
+        if immediate:
+            try:
+                while len(batch) < self._max_batch:
+                    batch.append(self._queue.get_nowait())
+            except queue.Empty:
+                pass
+            return batch
         deadline = time.monotonic() + self._max_wait_s
         while len(batch) < self._max_batch:
             before = len(batch)
@@ -277,8 +300,12 @@ class StreamingBatcher:
     def _dispatch_loop(self):
         if self._dispatch_fn is not None:
             return self._dispatch_loop_pipelined()
+        was_busy = False
         while self._running or not self._queue.empty():
-            batch = self._drain_batch()
+            immediate = (self._backlog_ship and was_busy
+                         and not self._queue.empty())
+            batch = self._drain_batch(immediate=immediate)
+            was_busy = bool(batch)
             if not batch:
                 continue
             items = [b[0] for b in batch]
@@ -292,11 +319,21 @@ class StreamingBatcher:
         with the tunnel roundtrip (module docstring, PIPELINED MODE).
         `in_flight` holds at most one dispatched-but-unfetched batch."""
         in_flight = None        # (handle, items, futs, t_enq, t_ship)
+        was_busy = False
         while self._running or not self._queue.empty() or in_flight:
             # with a batch in flight, only poll briefly for new arrivals —
-            # the pending batch's clients are waiting on its fetch
+            # the pending batch's clients are waiting on its fetch. A
+            # backlog at wake ships immediately (no capture wait): the
+            # in-flight batch's fetch must not queue behind an SLO window
+            # (measured 2x p50 regression without this,
+            # experiments/serve_pipeline_ab.log arm P).
+            immediate = (self._backlog_ship
+                         and (in_flight is not None or was_busy)
+                         and not self._queue.empty())
             batch = self._drain_batch(
-                first_timeout=0.002 if in_flight else 0.05)
+                first_timeout=0.002 if in_flight else 0.05,
+                immediate=immediate)
+            was_busy = bool(batch) or in_flight is not None
             nxt = None
             if batch:
                 items = [b[0] for b in batch]

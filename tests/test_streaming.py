@@ -350,3 +350,41 @@ def test_pipelined_mode_bisects_bad_item():
                 results.append((i, f.result(timeout=30)))
     for i, (m, s) in results:
         assert m == 2.0 * i and s == m + 1.0
+
+
+def test_backlog_ship_policy():
+    """backlog_ship=True skips the capture wait when the dispatcher wakes
+    to a non-empty queue after serving a batch, but an idle wake still
+    takes the capture path (burst absorption unchanged)."""
+    import time as _t
+    calls = []
+
+    def predict(rows):
+        calls.append(len(rows))
+        _t.sleep(0.02)                      # service window builds backlog
+        v = np.asarray([float(np.sum(r)) for r in rows])
+        return v, v + 1.0
+
+    with StreamingBatcher(predict, max_batch=4096, backlog_ship=True,
+                          quiet_gap_ms=2.0, max_wait_ms=25.0) as srv:
+        # idle-wake burst: one batch (capture path still active)
+        futs = [srv.submit(np.full(2, i, np.float32)) for i in range(500)]
+        for f in futs:
+            f.result(timeout=30)
+        burst_batches = len(calls)
+        # sustained trickle during service: backlog ships without the
+        # SLO wait — total wall must be well under batches * max_wait
+        t0 = _t.perf_counter()
+        futs = []
+        for i in range(200):
+            futs.append(srv.submit(np.full(2, i, np.float32)))
+            _t.sleep(0.0002)
+        for f in futs:
+            f.result(timeout=30)
+        wall = _t.perf_counter() - t0
+        st = srv.stats()
+    assert burst_batches <= 3               # burst still coalesces
+    assert st["requests"] == 700
+    # sustained phase: ~0.04s submit + a few 20ms services; with the
+    # 25 ms SLO wait per batch it would exceed ~0.2 s easily
+    assert wall < 1.0
