@@ -164,7 +164,7 @@ class StreamingBatcher:
                  quiet_gap_ms: float = 2.0,
                  dispatch_fn: Optional[Callable[[List], object]] = None,
                  fetch_fn: Optional[Callable[[object], Tuple]] = None,
-                 backlog_ship: bool = False,
+                 backlog_ship: bool = True,
                  name: str = "nngp-stream"):
         if (dispatch_fn is None) != (fetch_fn is None):
             raise ValueError(
@@ -173,8 +173,11 @@ class StreamingBatcher:
         self._fetch_fn = fetch_fn
         # backlog shipping: skip the capture wait when the dispatcher wakes
         # to a non-empty queue right after serving a batch (_drain_batch
-        # docstring). Opt-in pending the measured A/B default decision
-        # (experiments/serve_backlog_ab.log).
+        # docstring). DEFAULT ON: two independent on-chip runs agree
+        # (experiments/serve_backlog_ab{_run1,}.log, arms interleaved) —
+        # p50 -20..-35% and p95 -23..-27% at every offered rate, closed-
+        # loop burst capture unchanged (1 batch, same qps/p95). Set False
+        # to restore the unconditional quiet-gap policy.
         self._backlog_ship = bool(backlog_ship)
         if predict_fn is None:
             if dispatch_fn is None:
