@@ -42,18 +42,26 @@ Generic over the request payload: `predict_fn(items) -> (mean, std)` — pass
 `Estimator.predict` for query-line items (its power-of-two bucketing keeps
 compiled-shape reuse), or any row-wise batch function.
 
-PIPELINED MODE (round 5, opt-in): pass `dispatch_fn(items) -> handle` +
-`fetch_fn(handle) -> (mean, std)` instead of `predict_fn`. The dispatcher
-then runs a SINGLE-THREADED software pipeline: it dispatches batch k+1 to
-the device BEFORE blocking on batch k's fetch, so batch k+1's device
-compute overlaps batch k's ~27 ms tunnel roundtrip. This respects both
-round-3 tunnel findings — fetches serialize (so a second fetch thread
-buys nothing) and cross-thread lazy fetches are pathologically slow on
-the axon client (everything here stays on the dispatcher thread); what it
-overlaps is COMPUTE, which the synchronous loop leaves serialized behind
-the fetch. Worth it when per-batch device compute is comparable to the
-roundtrip (large buckets at high offered rates); a trickle pays one extra
-~2 ms drain poll. Measured A/B: experiments/serve_tail_ledger.log.
+Round-5 policy refinement — BACKLOG SHIPPING (default on): when the
+dispatcher wakes from serving a batch to a non-empty queue, the backlog
+accumulated during that service roundtrip and is already a grouped batch;
+it ships with no capture wait. Idle wakes keep the full quiet-gap capture
+(bursts still coalesce into one dispatch). Measured on chip, two
+independent interleaved A/B runs (experiments/serve_backlog_ab*.log):
+p50 -20..-35% and p95 -23..-27% at 2k-32k offered qps, burst unchanged.
+
+PIPELINED MODE (round 5, opt-in, NOT RECOMMENDED over the remote tunnel):
+pass `dispatch_fn(items) -> handle` + `fetch_fn(handle) -> (mean, std)`
+instead of `predict_fn` to dispatch batch k+1 before blocking on batch
+k's fetch, overlapping device compute with the roundtrip on one thread.
+Controlled on-chip tests confirm the overlap exists (two in-flight
+256-row fetches: 51 ms vs ~134 ms serial), BUT the measured serving A/Bs
+are against it on this image: without backlog shipping the in-flight
+fetch queues behind the next capture window (p50 ~2x WORSE,
+experiments/serve_pipeline_ab.log), and with it the axon client wedged
+a fetch >120 s nondeterministically under sustained load
+(serve_backlog_ab_run1.log). Useful only on attached hardware where the
+fetch is cheap and the client is not a serialized tunnel.
 """
 
 import queue
