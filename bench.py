@@ -429,6 +429,10 @@ def main():
     # The CPU fallback shrinks the hyperopt (1-core fp32 matmuls); the
     # "backend" field marks those runs.
     _mark("synth6 best (core)")
+    if xn_tr is None:
+        # the synth6 section itself was budget-skipped upstream — record
+        # that this row fell with it rather than leaving the key absent
+        _skip_row("synth6_best")
     if xn_tr is not None and not (_over_budget()
                                   and _skip_row("synth6_best")):
         try:
