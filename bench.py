@@ -194,8 +194,8 @@ def main():
     from nngp_tpu.models.kernel_spec import reference_kernel
     from nngp_tpu.utils.timing import sync, timed
 
-    _mark("backend up: " + RESULT["backend"])
     RESULT["backend"] = jax.default_backend()
+    _mark("backend up: " + RESULT["backend"])
     fast = os.environ.get("NNGP_BENCH_FAST") == "1"
 
     x, y, infos, enc = load_single_table_workload(
@@ -733,4 +733,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise                      # CPU-fallback reexec path
+    except BaseException as e:     # survivability: NO exit is lineless
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        _emit(truncated=True,
+              reason=f"exception {type(e).__name__}: {e}")
+        raise SystemExit(1)
