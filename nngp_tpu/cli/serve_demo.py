@@ -28,7 +28,7 @@ def load_query_lines_without_card(path: str, limit=None):
     return lines
 
 
-def main(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(
         "nngp_tpu serving demo",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
@@ -152,6 +152,11 @@ def main(argv=None):
                         "connections batch into shared device dispatches). "
                         "With --calibrate_file, responses carry conformal "
                         "lo/hi at --interval_alpha")
+    return p
+
+
+def main(argv=None):
+    p = build_parser()
     args = p.parse_args(argv)
     if not args.test_query_file and not args.listen:
         p.error("--test_query_file is required unless --listen is given")

@@ -190,3 +190,40 @@ def test_calibration_holdout_cap_and_post_holdout_routing(tmp_path):
     # calibration artifacts were actually fitted on the holdout
     assert est._conformal_scores is not None
     assert est.std_scale != 1.0
+
+
+def test_quality_persists_through_checkpoint(tmp_path):
+    """ADVICE round-4: an Estimator built with quality='best' must report
+    quality='best' after restore (the routed flags were always concrete;
+    introspection was the gap)."""
+    from tests.test_active_serve import _toy_schema_files
+    stats, qdir = _toy_schema_files(tmp_path)
+    est = Estimator("toy", None, qdir, stats=stats, dtype=np.float64,
+                    verbose=False)
+    est.quality = "best"        # simulate a best-built server cheaply
+    ck = tmp_path / "ck"
+    est.save(str(ck))
+    est2 = Estimator.restore(str(ck))
+    assert est2.quality == "best"
+    # absent key (old checkpoints) defaults to 'reference'
+    import json
+    meta = json.loads((ck / "meta.json").read_text())
+    del meta["quality"]
+    (ck / "meta.json").write_text(json.dumps(meta))
+    est3 = Estimator.restore(str(ck))
+    assert est3.quality == "reference"
+
+
+def test_serve_demo_cli_three_state_flags():
+    """ADVICE round-4: --chunk_norm/--ard must be three-state so explicit
+    OFF composes with --quality best (unset -> None, --x -> True,
+    --no-x -> False)."""
+    from nngp_tpu.cli.serve_demo import build_parser
+    p = build_parser()
+    base = ["--schema_name", "toy", "--train_query_path", "q"]
+    a = p.parse_args(base)
+    assert a.chunk_norm is None and a.ard is None
+    a = p.parse_args(base + ["--chunk_norm", "--ard"])
+    assert a.chunk_norm is True and a.ard is True
+    a = p.parse_args(base + ["--no-chunk_norm", "--no-ard"])
+    assert a.chunk_norm is False and a.ard is False
