@@ -172,3 +172,18 @@ def test_forest_2048_nystrom_df64_moments_pin(forest_2048):
     pin = _FOREST_2048_PINS["nystrom_m256_fp32_df64"]
     assert med == pytest.approx(pin[0], rel=2e-3)
     assert p95 == pytest.approx(pin[1], rel=2e-3)
+
+
+def test_synthtpch_2048_pin():
+    """TPC-H-shaped star workload (synthtpch, round 5): the third committed
+    join-graph family (snowflake / clique / STAR through the lineitem fact
+    table, all-numerical predicates per the reference's TPC-H loaders —
+    `/root/reference/datasets.py:10-47`). Golden 2048-row anchor."""
+    x, y, infos, _enc = load_multi_join_workload(
+        "workloads/synthtpch_data", schema_name="synthtpch",
+        dtype=np.float64)
+    x_tr, y_tr, _, x_te, y_te, _, _, _, _ = train_test_val_split(
+        x, y, train_frac=0.6, test_frac=0.2, all_query_infos=infos)
+    med, p95, _ = _fit_predict_q(x_tr[:2048], y_tr[:2048], x_te, y_te)
+    assert med == pytest.approx(2.7015, rel=2e-3)
+    assert p95 == pytest.approx(30.861, rel=2e-3)
