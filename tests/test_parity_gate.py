@@ -187,3 +187,20 @@ def test_synthtpch_2048_pin():
     med, p95, _ = _fit_predict_q(x_tr[:2048], y_tr[:2048], x_te, y_te)
     assert med == pytest.approx(2.7015, rel=2e-3)
     assert p95 == pytest.approx(30.861, rel=2e-3)
+
+
+def test_synthtpcds_2048_pin():
+    """TPC-DS-shaped workload (synthtpcds, round 5): star WITH a join-graph
+    triangle (store_sales-item-promotion; the reference's TPC-DS loader
+    layouts, `/root/reference/datasets.py:52-98`). The 99-dim wide-fact
+    encoding and the triangle's dimension-to-dimension joins make this the
+    hardest committed family — the anchor gates against regressions, not
+    beauty. Golden 2048-row fp64 pin."""
+    x, y, infos, _enc = load_multi_join_workload(
+        "workloads/synthtpcds_data", schema_name="synthtpcds",
+        dtype=np.float64)
+    x_tr, y_tr, _, x_te, y_te, _, _, _, _ = train_test_val_split(
+        x, y, train_frac=0.6, test_frac=0.2, all_query_infos=infos)
+    med, p95, _ = _fit_predict_q(x_tr[:2048], y_tr[:2048], x_te, y_te)
+    assert med == pytest.approx(5.964, rel=2e-3)
+    assert p95 == pytest.approx(305.6134, rel=2e-3)
