@@ -212,3 +212,27 @@ def test_single_table_onramp_through_encode(tmp_path, relation):
     assert x.shape[0] == 8
     assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
     assert all(i.num_predicates == 2 for i in infos)
+
+
+def test_synthtpch_generator_roundtrip(tmp_path, monkeypatch):
+    """Round-5 workload generators stay runnable end to end: tiny-scale
+    synthtpch generation (CSVs -> SCHEMAS['tpch'] loaders -> DBSchema ->
+    sampler ground truth -> labeled files), then the labeled output loads
+    and encodes through load_multi_join_workload."""
+    import sys
+    sys.path.insert(0, "workloads")
+    import make_synthtpch
+    out = tmp_path / "d"
+    stats = tmp_path / "s"
+    csvs = tmp_path / "c"
+    # generator writes relative to workloads/: point it at tmp via args
+    make_synthtpch.main(per_arity=6, scale=0.03, out_name=str(out),
+                        stats_name=str(stats), csv_name=str(csvs))
+    import numpy as np
+    from nngp_tpu.featurize.stats import load_stats_dir
+    from nngp_tpu.data.workload import load_multi_join_workload
+    stats_list = load_stats_dir(str(stats))
+    x, y, infos, _ = load_multi_join_workload(
+        str(out), stats_list=stats_list, dtype=np.float64)
+    assert x.shape[0] == 24 and x.shape[1] == 45
+    assert np.all(np.isfinite(x)) and np.all(y >= 0)
